@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 re-expressed
+  * Spark-first; [[oracleSql]] carries the DuckDB-equivalent SQL the driver
+  * checks it against (column names aligned on both sides — the driver hashes
+  * column-name-sorted values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (Relational.q01PricingSummary _),
+    "q02_minmax_per_type"   -> (Relational.q02MinMaxPerType _),
+    "q03_global_stats"      -> (Relational.q03GlobalStats _),
+    "q04_filtered_count"    -> (Relational.q04FilteredCount _),
+    "q05_gap_lead"          -> (Relational.q05GapLead _),
+    "q06_latest_per_key"    -> (Relational.q06LatestPerKey _),
+    "q07_keyset_page"       -> (Relational.q07KeysetPage _),
+    "q08_offset_limit"      -> (Relational.q08OffsetLimit _),
+    "q09_top_recent"        -> (Relational.q09TopRecent _),
+    "q10_success_first"     -> (Relational.q10SuccessFirst _),
+    "q11_fk_join"           -> (Relational.q11FkJoin _),
+    "q12_adjacent_coalesce" -> (Relational.q12AdjacentCoalesce _),
+    "q13_union_two_scans"   -> (Relational.q13UnionTwoScans _),
+    "q14_exists"            -> (Relational.q14Exists _),
+    "q15_meta_count"        -> (Relational.q15MetaCount _),
+    "q16_like_search"       -> (Relational.q16LikeSearch _),
+    "q17_search_predicate"  -> (Relational.q17SearchPredicate _),
+    "q18_json_group"        -> (Relational.q18JsonGroup _),
+    "q19_point_lookup"      -> (Relational.q19PointLookup _),
+    "q20_rich_list"         -> (Relational.q20RichList _),
+    "q21_cumulative_supply" -> (Relational.q21CumulativeSupply _),
+    "q22_collect_sorted"    -> (Relational.q22CollectSorted _),
+    "q23_continuation_chain"-> (Relational.q23ContinuationChain _),
+    "q24_range_chunks"      -> (Relational.q24RangeChunks _),
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
+    * names/aliases). Convention: exact DECIMAL(18,6) arithmetic for float
+    * aggregates cast to DOUBLE at the end; deterministic total ORDER BY. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_minmax_per_type" ->
+      """SELECT event_type, min(event_id) AS min_id, max(event_id) AS max_id,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q03_global_stats" ->
+      "SELECT max(event_id) AS max_id, max(user_id) AS max_user, count(*) AS n FROM events",
+    "q04_filtered_count" ->
+      """SELECT count(*) AS n FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q05_gap_lead" ->
+      """SELECT user_id, event_id AS gap_start, next_id AS gap_end
+        |FROM (SELECT user_id, event_id,
+        |        lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+        |      FROM events)
+        |WHERE next_id - event_id > 50
+        |ORDER BY user_id, gap_start""".stripMargin,
+    "q06_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q07_keyset_page" ->
+      """SELECT user_id, event_id, event_type FROM events
+        |WHERE (user_id, event_id) < (7, 500)
+        |ORDER BY user_id DESC, event_id DESC LIMIT 25""".stripMargin,
+    "q08_offset_limit" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id DESC LIMIT 20 OFFSET 50""".stripMargin,
+    "q09_top_recent" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 10""".stripMargin,
+    "q10_success_first" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) DESC,
+        |         o_orderkey DESC
+        |LIMIT 50""".stripMargin,
+    "q11_fk_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q12_adjacent_coalesce" ->
+      """SELECT e.event_id, e.user_id,
+        |  coalesce(c.c_k, v.v_k, '-') AS prior_k
+        |FROM events e
+        |LEFT JOIN (SELECT event_id AS c_id, json_extract_string(props, '$.k') AS c_k
+        |           FROM events WHERE event_type = 'click') c
+        |  ON c.c_id = e.event_id - 1
+        |LEFT JOIN (SELECT event_id AS v_id, json_extract_string(props, '$.k') AS v_k
+        |           FROM events WHERE event_type = 'view') v
+        |  ON v.v_id = e.event_id - 1
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+    "q13_union_two_scans" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
+        |  FROM lineitem WHERE l_suppkey = 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
+        |  FROM lineitem WHERE l_partkey = 42)
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey""".stripMargin,
+    "q14_exists" ->
+      "SELECT CAST(count(*) > 0 AS INT) AS has_rows FROM events WHERE event_type = 'signup'",
+    "q15_meta_count" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "q16_like_search" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE coalesce(text, '') LIKE '%merge join%'
+        |ORDER BY doc_id""".stripMargin,
+    "q17_search_predicate" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (event_type LIKE '%sign%' OR props LIKE '%"k": 7%')
+        |  AND value >= 10 AND value < 500 AND user_id < 10
+        |ORDER BY event_id""".stripMargin,
+    "q18_json_group" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+    "q19_point_lookup" ->
+      """SELECT event_id, user_id, event_type, props FROM events
+        |WHERE event_id = 777""".stripMargin,
+    "q20_rich_list" ->
+      """SELECT o_custkey,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS balance,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY balance DESC, o_custkey LIMIT 100""".stripMargin,
+    "q21_cumulative_supply" ->
+      """SELECT p_partkey,
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6)))
+        |       OVER (ORDER BY p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS cum_supply
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q22_collect_sorted" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_continuation_chain" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT event_id AS id,
+        |         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS parent_id
+        |  FROM events),
+        |chain AS (
+        |  SELECT e.event_id AS seed_event_id, 0 AS depth, e.event_id AS ancestor_id
+        |  FROM events e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT c.seed_event_id, c.depth + 1, ed.parent_id
+        |  FROM chain c JOIN edges ed ON ed.id = c.ancestor_id
+        |  WHERE c.depth < 3 AND ed.parent_id IS NOT NULL)
+        |SELECT seed_event_id, depth, ancestor_id FROM chain
+        |WHERE depth >= 1 ORDER BY seed_event_id, depth""".stripMargin,
+    "q24_range_chunks" ->
+      """SELECT event_type, chunk_lo, least(chunk_lo + 119, hi) AS chunk_hi
+        |FROM (SELECT event_type, unnest(generate_series(lo, hi, 120)) AS chunk_lo, hi
+        |      FROM (SELECT event_type, min(event_id) AS lo, max(event_id) AS hi
+        |            FROM events GROUP BY event_type))
+        |ORDER BY event_type, chunk_lo""".stripMargin,
+  )
 }
