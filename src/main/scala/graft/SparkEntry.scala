@@ -42,6 +42,8 @@ object SparkEntry {
     "q22_collect_sorted"    -> (Relational.q22CollectSorted _),
     "q23_continuation_chain"-> (Relational.q23ContinuationChain _),
     "q24_range_chunks"      -> (Relational.q24RangeChunks _),
+    "q25_bounded_offset"    -> (Paging.q25BoundedOffset _),
+    "q26_bounded_limit"     -> (Paging.q26BoundedLimit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -180,5 +182,27 @@ object SparkEntry {
         |      FROM (SELECT event_type, min(event_id) AS lo, max(event_id) AS hi
         |            FROM events GROUP BY event_type))
         |ORDER BY event_type, chunk_lo""".stripMargin,
+    "q25_bounded_offset" ->
+      """SELECT user_id, event_id, scan_num, found_num FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (ORDER BY user_id DESC, event_id DESC) AS scan_num,
+        |    count(*) FILTER (WHERE match)
+        |      OVER (ORDER BY user_id DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS found_num
+        |  FROM (SELECT user_id, event_id, event_type = 'click' AS match
+        |        FROM events ORDER BY user_id DESC, event_id DESC LIMIT 200))
+        |WHERE scan_num = 200 OR found_num = 30
+        |ORDER BY scan_num LIMIT 1""".stripMargin,
+    "q26_bounded_limit" ->
+      """SELECT user_id, event_id, match, scan_num FROM (
+        |  SELECT user_id, event_id, match,
+        |    row_number() OVER (ORDER BY user_id DESC, event_id DESC) AS scan_num,
+        |    count(*) FILTER (WHERE match)
+        |      OVER (ORDER BY user_id DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS found_num
+        |  FROM (SELECT user_id, event_id, event_type = 'click' AS match
+        |        FROM events ORDER BY user_id DESC, event_id DESC LIMIT 200))
+        |WHERE (match AND found_num <= 10) OR scan_num = 200
+        |ORDER BY scan_num""".stripMargin,
   )
 }
