@@ -44,6 +44,17 @@ object SparkEntry {
     "q24_range_chunks"      -> (Relational.q24RangeChunks _),
     "q25_bounded_offset"    -> (Paging.q25BoundedOffset _),
     "q26_bounded_limit"     -> (Paging.q26BoundedLimit _),
+    "q27_dedup_exact"       -> (Dedup.q27DedupExact _),
+    "q28_minhash_signature" -> (Dedup.q28MinhashSignature _),
+    "q29_lsh_near_dup"      -> (Dedup.q29LshNearDup _),
+    "q30_simhash"           -> (Dedup.q30Simhash _),
+    "q31_embedding_near_dup"-> (Dedup.q31EmbeddingNearDup _),
+    "q32_ann_brute"         -> (Similarity.q32AnnBrute _),
+    "q33_ann_ivf"           -> (Similarity.q33AnnIvf _),
+    "q34_lang_id"           -> (TextOps.q34LangId _),
+    "q35_quality_score"     -> (TextOps.q35QualityScore _),
+    "q36_token_count"       -> (TextOps.q36TokenCount _),
+    "q37_fingerprint"       -> (TextOps.q37Fingerprint _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -204,5 +215,16 @@ object SparkEntry {
         |        FROM events ORDER BY user_id DESC, event_id DESC LIMIT 200))
         |WHERE (match AND found_num <= 10) OR scan_num = 200
         |ORDER BY scan_num""".stripMargin,
+    "q27_dedup_exact"        -> Dedup.dedupExactOracle,
+    "q28_minhash_signature"  -> Dedup.minhashOracle,
+    "q29_lsh_near_dup"       -> Dedup.lshNearDupOracle,
+    "q30_simhash"            -> Dedup.simhashOracle,
+    "q31_embedding_near_dup" -> Dedup.embeddingNearDupOracle,
+    "q32_ann_brute"          -> Similarity.annBruteOracle,
+    "q33_ann_ivf"            -> Similarity.annIvfOracle,
+    "q34_lang_id"            -> TextOps.langIdOracle,
+    "q35_quality_score"      -> TextOps.qualityOracle,
+    "q36_token_count"        -> TextOps.tokenCountOracle,
+    "q37_fingerprint"        -> TextOps.fingerprintOracle,
   )
 }

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (BASELINE.json
+  * north star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every variant is a *bucketed shuffle*, never an
+  * all-pairs comparison —
+  *   - exact: shuffle by content hash (one shuffle of |docs| tiny rows);
+  *   - MinHash/LSH: shuffle by (band_idx, band_hash); only same-bucket
+  *     candidates are pair-joined, so cost scales with collisions, not n²;
+  *   - SimHash: 16-bit signatures cluster near-dups into few buckets;
+  *   - Jaccard verification runs only on the LSH candidate set.
+  * Skew note: boilerplate duplicated millions of times makes one hot
+  * bucket; AQE skew-join splitting handles moderate skew, and a count-based
+  * bucket cap (drop buckets with > N members into a dedicated pass) is the
+  * documented escape hatch for pathological ones.
+  *
+  * Portability: the only hash is md5 (bit-identical in DuckDB), minima over
+  * fixed-width lowercase hex strings are minima over the numbers they
+  * encode, so signatures compare exactly across engines.
+  */
+object Dedup {
+
+  private val K_HASHES = 8 // minhash signature width
+  private val N_BANDS = 4  // LSH bands (2 rows each)
+
+  /** q27 — exact dedup: whitespace-normalized content hash → keeper = min
+    * doc_id per group. Emits the full keep/drop mapping. */
+  def q27DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("text_hash"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactOracle: String =
+    """SELECT doc_id, text_hash,
+      |  min(doc_id) OVER (PARTITION BY text_hash) AS keeper,
+      |  CAST(doc_id != min(doc_id) OVER (PARTITION BY text_hash) AS INT) AS is_dup
+      |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** doc_id + shingle set + K-wide minhash signature array. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val mh = transform(sequence(lit(0), lit(K_HASHES - 1)), i =>
+      array_min(transform(col("sh"), s => md5(concat(i.cast("string"), lit(":"), s)))))
+    TextOps.tokenized(spark, dir).select(col("doc_id"), col("sh"), mh.as("m"))
+  }
+
+  /** DuckDB spelling of the signature CTE (over `documents`). */
+  private val duckSignatures: String =
+    s"""sig AS (
+       |  SELECT doc_id, s, list_transform(range(0, $K_HASHES),
+       |    i -> list_aggregate(list_transform(s, x -> md5(i::VARCHAR || ':' || x)), 'min')) AS m
+       |  FROM (SELECT doc_id, ${TextOps.duckShingles} AS s
+       |        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |              FROM documents)))""".stripMargin
+
+  /** q28 — MinHash signatures, one column per hash (the sketch itself is
+    * the operator's contract; LSH banding consumes it in q29). */
+  def q28MinhashSignature(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir).select(
+      col("doc_id") +:
+        (0 until K_HASHES).map(k => element_at(col("m"), k + 1).as(s"mh$k")): _*)
+      .orderBy(col("doc_id"))
+
+  val minhashOracle: String = {
+    val cols = (0 until K_HASHES).map(k => s"m[${k + 1}] AS mh$k").mkString(", ")
+    s"WITH $duckSignatures\nSELECT doc_id, $cols FROM sig ORDER BY doc_id"
+  }
+
+  /** q29 — MinHash-LSH near-dup pairs: band the signatures, bucket-join,
+    * then verify candidates with exact shingle Jaccard ≥ 0.5. Rounding to
+    * 6 decimals happens BEFORE the threshold so both engines make the same
+    * keep/drop decision. */
+  def q29LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
+        md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
+      .toDF("doc_id", "sh", "band_idx", "band_hash")
+    val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+                         col("band_idx"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+                         col("band_idx"), col("band_hash"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = round(inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"), 6)
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val lshNearDupOracle: String =
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |          CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity).
+    * Nibble values come from `conv(hex,16,10)` on the Spark side and
+    * `strpos('0123456789abcdef', …)-1` in DuckDB — same integer. */
+  def q30Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(col("t"), tok => md5(tok))
+    def bitOf(h: Column, b: Int): Column = {
+      val nib = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+      b % 4 match {
+        case 0 => nib >= 8
+        case 1 => nib % 8 >= 4
+        case 2 => nib % 4 >= 2
+        case _ => nib % 2 === 1
+      }
+    }
+    val simhash = (0 until 16).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(bitOf(h, b), 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << (15 - b))).otherwise(0L)
+    }.reduce(_ + _)
+    TextOps.tokenized(spark, dir)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashOracle: String = {
+    def bitSql(b: Int): String = {
+      val nib = s"(strpos('0123456789abcdef', substr(x, ${b / 4 + 1}, 1)) - 1)"
+      b % 4 match {
+        case 0 => s"$nib >= 8"
+        case 1 => s"$nib % 8 >= 4"
+        case 2 => s"$nib % 4 >= 2"
+        case _ => s"$nib % 2 = 1"
+      }
+    }
+    val terms = (0 until 16).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |    x -> CASE WHEN ${bitSql(b)} THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << (15 - b)} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT doc_id, ($terms) AS simhash
+       |FROM (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\\s+'),
+       |             tok -> md5(tok)) AS hs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q31 — embedding-cosine near-dup pairs, blocked by the pre-assigned
+    * cluster label (the IVF-style scale path: pairs only form inside a
+    * partition, never across the full corpus). Cosine is computed in double
+    * with one canonical op order and rounded to 4 decimals BEFORE the
+    * threshold. */
+  def q31EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), (acc, p) => acc + p)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+                     col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+                     col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 4)
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), sim.as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+      |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      |        FROM embeddings))
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS cos_sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+}

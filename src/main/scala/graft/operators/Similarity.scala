@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (BASELINE.json north star).
+  *
+  * Two plans, one contract:
+  *   - q32 brute force: the small query set is BROADCAST against the full
+  *     corpus — no shuffle of the corpus, one pass, top-k via a bounded
+  *     per-query window. This is the exact baseline any ANN index is
+  *     recalled against.
+  *   - q33 IVF: the corpus is pre-partitioned by a coarse quantizer (the
+  *     driver data ships cluster `label` as the assignment); a query probes
+  *     only its own cell, so scanned volume drops by |cells|. At 100 TB the
+  *     cells are the physical partition key, and probing = partition
+  *     pruning, not a filter over the full scan.
+  *
+  * Determinism: cosine is computed in double with one canonical op order
+  * (index-order fold), rounded to 4 decimals BEFORE ranking; ties break by
+  * vec_id, so Spark and the DuckDB oracle produce identical top-k sets.
+  */
+object Similarity {
+
+  private val N_QUERIES = 16
+  private val TOP_K = 5
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+  }
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), (acc, p) => acc + p)
+
+  private def topK(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q32 — brute-force cosine top-k for a fixed query set. */
+  def q32AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    topK(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+  }
+
+  /** q33 — IVF-style ANN: probe only the query's own coarse cell (label). */
+  def q33AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    topK(e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+  }
+
+  private def annOracle(sameLabel: Boolean): String = {
+    val labelCond = if (sameLabel) " AND n.label = q.label" else ""
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings))
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |    FROM e q JOIN e n ON q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id$labelCond))
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
+  }
+
+  val annBruteOracle: String = annOracle(sameLabel = false)
+  val annIvfOracle: String = annOracle(sameLabel = true)
+}

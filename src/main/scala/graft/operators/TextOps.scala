@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over `documents`
+  * (BASELINE.json north star: language-ID, quality scoring, token counting,
+  * document fingerprinting).
+  *
+  * Portability convention shared with the DuckDB oracles: the only hash
+  * primitive is `md5` (bit-identical across engines), token/shingle
+  * definitions are plain regex splits, and every derived double is computed
+  * with the same IEEE op sequence then `round(_, 6)` — so a 1000-executor
+  * run and the single-threaded oracle agree exactly.
+  *
+  * All of these are embarrassingly parallel row-wise maps (no shuffle at
+  * all): at 100 TB they run as one whole-stage-codegen'd scan per file
+  * split, and the only cost knob is `spark.sql.files.maxPartitionBytes`.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text (multiplicity preserved). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct 3-word shingles — the dedup/fingerprint unit. Guarded for
+    * short docs (Spark's `sequence(1,0)` would count DOWN, not empty). */
+  def shingles3(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    .otherwise(typedLit(Array.empty[String]))
+
+  /** doc_id + token array + shingle set, the shared front of every text op. */
+  def tokenized(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), t.as("t"))
+      .withColumn("sh", shingles3(col("t")))
+  }
+
+  // -------------------------------------------------------------------------
+  // Language ID (n-gram/marker heuristic)
+  // -------------------------------------------------------------------------
+
+  /** Marker words per language; the score is the total matched character
+    * mass (`length(text) - length(replace(text, marker, ''))` per marker),
+    * which needs no division and is identical in any SQL dialect. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("的", "是"))
+
+  /** q34 — language-ID heuristic: argmax of marker scores with a fixed
+    * priority order tiebreak, 'und' when nothing matches. */
+  def q34LangId(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lg, ws) =>
+      lg -> ws.map(w => length(padded) - length(regexp_replace(padded, s" $w ", "")))
+              .reduce(_ + _)
+    }
+    val maxS = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(maxS <= 0, "und")) { case (acc, (lg, s)) =>
+      acc.when(s === maxS, lg)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("pred_lang"), maxS.cast("long").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB-side rendering of the same scores (kept next to the Spark
+    * columns so the two dialects can't drift). */
+  def langIdOracle: String = {
+    val scores = langMarkers.map { case (lg, ws) =>
+      lg -> ws.map(w => s"(length(p) - length(replace(p, ' $w ', '')))").mkString(" + ")
+    }
+    val maxS = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lg, s) => s"WHEN ($s) = m THEN '$lg'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE WHEN m <= 0 THEN 'und' $cases END AS pred_lang,
+       |  CAST(m AS BIGINT) AS score
+       |FROM (SELECT doc_id, p, $maxS AS m
+       |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // Quality scoring
+  // -------------------------------------------------------------------------
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** q35 — quality scoring: token stats + punctuation/stopword ratios and a
+    * linear quality score (no transcendentals — libm differences would break
+    * cross-engine determinism). */
+  def q35QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val nTok = size(t)
+    val tokChars = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val meanLen = tokChars.cast("double") / nTok.cast("double")
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+    val stopCnt = size(filter(t, x => x.isInCollection(stopwords)))
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    tokenized(spark, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tok"),
+      round(meanLen, 6).as("mean_tok_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(2.0) * stopRatio - lit(3.0) * punctRatio + lit(0.05) * meanLen, 6)
+        .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityOracle: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tok,
+       |  round(mean_raw, 6) AS mean_tok_len,
+       |  round(punct_raw, 6) AS punct_ratio,
+       |  round(stop_raw, 6) AS stop_ratio,
+       |  round(2.0*stop_raw - 3.0*punct_raw + 0.05*mean_raw, 6) AS quality
+       |FROM (SELECT doc_id, t,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_raw,
+       |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_raw,
+       |    CAST(len(list_filter(t, x -> x IN ($stops))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_raw
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // Token counting
+  // -------------------------------------------------------------------------
+
+  /** BPE-ish lexer: word / number / single non-space symbol. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** q36 — token counting: whitespace tokens + regex-lexer tokens + chars. */
+  def q36TokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir).select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("chars"))
+      .orderBy(col("doc_id"))
+
+  def tokenCountOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS BIGINT) AS bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Document fingerprinting
+  // -------------------------------------------------------------------------
+
+  /** q37 — rolling-hash-style fingerprint: min/max md5 over the shingle set
+    * (the winnowing extrema) + shingle cardinality. */
+  def q37Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(col("sh"), s => md5(s))
+    tokenized(spark, dir).select(
+      col("doc_id"),
+      array_min(hashes).as("fp_min"),
+      array_max(hashes).as("fp_max"),
+      size(col("sh")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprintOracle: String =
+    s"""SELECT doc_id,
+       |  list_aggregate(hs, 'min') AS fp_min,
+       |  list_aggregate(hs, 'max') AS fp_max,
+       |  CAST(len(hs) AS BIGINT) AS n_shingles
+       |FROM (SELECT doc_id, list_transform($duckShingles, s -> md5(s)) AS hs
+       |      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB spelling of [[shingles3]] over a token list column `t`. */
+  val duckShingles: String =
+    "list_distinct(list_transform(range(1, greatest(len(t)-1, 1)), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+}
