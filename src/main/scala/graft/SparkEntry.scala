@@ -55,6 +55,8 @@ object SparkEntry {
     "q35_quality_score"     -> (TextOps.q35QualityScore _),
     "q36_token_count"       -> (TextOps.q36TokenCount _),
     "q37_fingerprint"       -> (TextOps.q37Fingerprint _),
+    "q38_tumbling_window"   -> (Windowed.q38TumblingWindow _),
+    "q39_multimodal_meta"   -> (Multimodal.q39MultimodalMeta _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -226,5 +228,7 @@ object SparkEntry {
     "q35_quality_score"      -> TextOps.qualityOracle,
     "q36_token_count"        -> TextOps.tokenCountOracle,
     "q37_fingerprint"        -> TextOps.fingerprintOracle,
+    "q38_tumbling_window"    -> Windowed.tumblingOracle,
+    "q39_multimodal_meta"    -> Multimodal.multimodalOracle,
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE.json north star): media as opaque
+  * `binary` payloads with typed metadata, plus decode/feature-extract/
+  * frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic STUB (clearly marked below); everything Spark-side —
+  * schema, batch shape, partition-parallel decode via `mapPartitions`,
+  * metadata pushdown — is real. Swapping the stub for a JNI/FFI codec call
+  * changes nothing structurally.
+  *
+  * Scale: payloads travel as parquet binary chunks; the decode stage is a
+  * row-map (no shuffle) whose parallelism is file-split-driven. Metadata
+  * predicates (width/format) prune BEFORE any payload byte is touched —
+  * project metadata columns first, never `select *` through a decode.
+  */
+object Multimodal {
+
+  /** Media table synthesized deterministically over `documents`: the text
+    * bytes stand in for an encoded frame buffer. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(kinds, (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"), // opaque binary column
+      (lit(16) + (col("doc_id") * 37 + 11) % 48).as("width"),
+      (lit(16) + (col("doc_id") * 53 + 7) % 48).as("height"))
+  }
+
+  /** Decoded per-media features. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Long, mean_byte: Double)
+
+  /** DECODE STUB — the partition-parallel binary→feature stage. The batch
+    * shape is real (one iterator pass per partition, payload bytes
+    * materialized once, no shuffle); only the codec body is fake: a real
+    * implementation replaces `fakeDecode` with the actual image/audio
+    * decode (JNI/FFI), nothing else changes. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          // ??? real codec goes here ??? — deterministic fake: byte stats.
+          def fakeDecode(bytes: Array[Byte]): Double =
+            if (bytes.isEmpty) 0.0
+            else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+          MediaFeatures(id, kind, payload.length.toLong, fakeDecode(payload))
+        }
+      }.toDF()
+  }
+
+  /** q39 — multimodal metadata + stub-decoded feature. Every column is
+    * plain arithmetic/hash so the DuckDB oracle checks the whole pipeline
+    * shape end-to-end. */
+  def q39MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val nBytes = octet_length(col("text")).cast("long")
+    val h = md5(col("text")) // md5(payload) == md5(text bytes)
+    def nibAt(i: Int): Column =
+      conv(substring(h, i, 1), 16, 10).cast("int")
+    val brightness = round(
+      (nibAt(1) * 16 + nibAt(2)).cast("double") / 255.0, 6)
+    val nFrames = when(col("media_type") === "video",
+      (nBytes / 256L).cast("long") + 1L).otherwise(1L)
+    mediaTable(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        col("doc_id"), col("media_type"),
+        nBytes.as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        nFrames.as("n_frames"),
+        brightness.as("brightness"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalOracle: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(16 + (doc_id * 37 + 11) % 48 AS BIGINT) AS width,
+      |  CAST(16 + (doc_id * 53 + 7) % 48 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 + 1 = 3
+      |       THEN octet_length(encode(text)) // 256 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+      |  round(CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS DOUBLE)
+      |        / 255.0, 6) AS brightness
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -21,14 +21,14 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
 
   /** Exact intermediate type for double aggregation (order-independent). */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private[operators] def dec(c: Column): Column = c.cast(DecimalType(18, 6))
 
   /** Final double rendering of an exact decimal aggregate. The interposed
     * DECIMAL(38,4) matters for oracle parity: DuckDB's int128→double cast at
     * high scale is not correctly rounded, but at scale 4 the scaled integer
     * fits a double exactly on both engines (all source values carry ≤4
     * fractional digits, so no rounding occurs). */
-  private def asMoney(c: Column): Column =
+  private[operators] def asMoney(c: Column): Column =
     c.cast(DecimalType(38, 4)).cast("double")
 
   // -------------------------------------------------------------------------

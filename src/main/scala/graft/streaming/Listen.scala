@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.ingest.{Flatten, Upsert}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ingest — the reference's `listen` mode (chainweb-data
+  * exec/Chainweb/Listen.hs:52-97) as Structured Streaming.
+  *
+  * The SSE feed becomes a JSON drop-zone that an out-of-engine daemon
+  * appends to (SURVEY §7.3.7 — the reference's own HTTP client is equally
+  * out-of-engine); `readStream` tails it, and each micro-batch runs the
+  * same flatten + idempotent-merge fan-out as the batch path
+  * (`processNewHeader` → `insertNewHeader`, Listen.hs:62-97).
+  *
+  * Delivery: file source + checkpoint = at-least-once replay; PK-keyed
+  * [[Upsert.merge]] makes the effect exactly-once (T4, Worker.hs:50-126's
+  * conflict-ignore semantics). No watermark is needed for correctness —
+  * lateness is handled structurally by idempotent upserts + offline gap
+  * repair (T2, Gaps.hs:38-107), exactly like the reference.
+  */
+object Listen {
+
+  /** Each drop-zone line: {"header": {...}, "payload": {...}} — the
+    * SSE event body paired with its fetched payload. */
+  def stream(spark: SparkSession, dropZone: String, tableDir: String,
+             checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema("value STRING")
+      .text(dropZone)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, batch, tableDir): Unit
+      }
+      .start()
+
+  /** One micro-batch: split the envelope, flatten to 6 tables, merge. */
+  def ingestBatch(spark: SparkSession, raw: DataFrame, tableDir: String): Map[String, Long] = {
+    val headers = Flatten.parseHeaders(
+      raw.select(get_json_object(col("value"), "$.header").as("value")))
+    val payloads = Flatten.parsePayloads(
+      raw.select(get_json_object(col("value"), "$.payload").as("value")))
+    Upsert.mergeAll(spark, tableDir, Flatten.allTables(Flatten.joined(headers, payloads)))
+  }
+
+  /** Streaming windowed stats (tumbling day windows over event time with a
+    * watermark for state cleanup) — the streaming face of the batch
+    * tumbling-window query (SparkEntry q38); same grouping columns, so a
+    * backfill and the live stream produce union-compatible rows. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}
