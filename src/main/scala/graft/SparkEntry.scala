@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_fingerprint"       -> (TextOps.q37Fingerprint _),
     "q38_tumbling_window"   -> (Windowed.q38TumblingWindow _),
     "q39_multimodal_meta"   -> (Multimodal.q39MultimodalMeta _),
+    "q40_asof_supply"       -> (AsOfJoin.q40AsofSupply _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -230,5 +231,6 @@ object SparkEntry {
     "q37_fingerprint"        -> TextOps.fingerprintOracle,
     "q38_tumbling_window"    -> Windowed.tumblingOracle,
     "q39_multimodal_meta"    -> Multimodal.multimodalOracle,
+    "q40_asof_supply"        -> AsOfJoin.asofOracle,
   )
 }

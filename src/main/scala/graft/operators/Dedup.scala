@@ -82,22 +82,32 @@ object Dedup {
     * 6 decimals happens BEFORE the threshold so both engines make the same
     * keep/drop decision. */
   def q29LshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-    val bands = sig.select(col("doc_id"), col("sh"),
+    // Three consumers (bands + two shingle re-attaches) read the signature
+    // relation; higher-order-function trees are interpreted (no codegen),
+    // so recomputing it per consumer triples the dominant cost. Materialize
+    // it once — at cluster scale this is a persisted intermediate table of
+    // |docs| small rows, trivially cacheable.
+    val sig = signatures(spark, dir).localCheckpoint()
+    // Bands carry ONLY (doc_id, band_idx, band_hash): the bucket join and
+    // the pair-dedup shuffle 3 small columns, never the shingle arrays —
+    // at 100 TB the arrays would otherwise dominate every exchange.
+    val bands = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
         md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
-      .toDF("doc_id", "sh", "band_idx", "band_hash")
-    val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-                         col("band_idx"), col("band_hash"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-                         col("band_idx"), col("band_hash"))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = bands.toDF("doc_a", "band_idx", "band_hash")
+      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    // Shingle sets re-attach only for the (small) candidate set.
+    val sh = sig.select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = round(inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"), 6)
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -170,12 +180,14 @@ object Dedup {
     * with one canonical op order and rounded to 4 decimals BEFORE the
     * threshold. */
   def q31EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val v = transform(col("embedding"), _.cast("double"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, _ * _), lit(0.0), (acc, p) => acc + p)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // graft_dot: codegen'd native Expression (float arrays in, double out).
+    def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+    // Both join sides read this relation; materialize the norm prep once.
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), v.as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
+      .localCheckpoint()
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
                      col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),

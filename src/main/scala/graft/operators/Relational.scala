@@ -256,11 +256,16 @@ object Relational {
   def q23ContinuationChain(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val lagW = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // Materialize the edge relation once and cut the frontier's lineage per
+    // iteration — otherwise the unioned final plan re-derives the window
+    // d times and re-joins the whole prefix chain per level (the classic
+    // iterative-fixpoint blowup, SURVEY §7.3.1).
     val edges = ev
       .select(col("user_id"), col("event_id"))
       .withColumn("parent_id", lag(col("event_id"), 1).over(lagW))
       .filter(col("parent_id").isNotNull)
       .select(col("event_id").as("id"), col("parent_id"))
+      .localCheckpoint()
     val seeds = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("seed_event_id"), col("event_id").as("cur"))
     val maxDepth = 3
@@ -270,6 +275,7 @@ object Relational {
       frontier = frontier
         .join(edges, col("cur") === col("id"))
         .select(col("seed_event_id"), col("parent_id").as("cur"))
+        .localCheckpoint()
       val level = frontier.select(col("seed_event_id"), lit(d).as("depth"),
                                   col("cur").as("ancestor_id"))
       out = if (out == null) level else out.unionAll(level)

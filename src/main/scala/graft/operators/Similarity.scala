@@ -29,14 +29,19 @@ object Similarity {
   private val TOP_K = 5
 
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
-    val v = transform(col("embedding"), _.cast("double"))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // Consumed twice per query (corpus side + query side): materialize the
+    // norm prep once. graft_dot is the codegen'd native Expression
+    // ([[graft.functions.DotProduct]]) — float arrays in, double out, so
+    // the float→double transform disappears entirely.
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), v.as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
+      .localCheckpoint()
   }
 
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), (acc, p) => acc + p)
+    call_function("graft_dot", x, y)
 
   private def topK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
