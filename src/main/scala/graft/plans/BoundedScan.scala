@@ -51,13 +51,22 @@ object BoundedScan {
     * `(c1 < v1) OR (c1 = v1 AND c2 < v2) OR …` that Catalyst pushes down. */
   def resumePredicate(spec: CursorSpec, cursor: Seq[Column]): Column = {
     require(cursor.length == spec.cols.length, "cursor arity mismatch")
-    spec.cols.zipWithIndex.map { case ((name, desc), i) =>
+    val orChain = spec.cols.zipWithIndex.map { case ((name, desc), i) =>
       val eqPrefix = spec.cols.take(i).zipWithIndex
         .map { case ((pn, _), j) => col(pn) === cursor(j) }
         .foldLeft(lit(true))(_ && _)
       val strict = if (desc) col(name) < cursor(i) else col(name) > cursor(i)
       eqPrefix && strict
     }.reduce(_ || _)
+    // Redundant leading-column bound (implied by the OR-chain): a simple
+    // range predicate that parquet min/max stats prune on directly, so deep
+    // pages skip earlier row groups even when the full row-value OR is too
+    // complex for stats-based skipping (SURVEY §7.2's cursor rewrite, done
+    // at construction instead of a Rule).
+    val (leadName, leadDesc) = spec.cols.head
+    val leadBound = if (leadDesc) col(leadName) <= cursor.head
+                    else col(leadName) >= cursor.head
+    orChain && leadBound
   }
 
   /** The cursor-ordered, cursor-resumed, scan-budgeted residue with the
