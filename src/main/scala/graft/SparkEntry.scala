@@ -58,6 +58,8 @@ object SparkEntry {
     "q38_tumbling_window"   -> (Windowed.q38TumblingWindow _),
     "q39_multimodal_meta"   -> (Multimodal.q39MultimodalMeta _),
     "q40_asof_supply"       -> (AsOfJoin.q40AsofSupply _),
+    "q41_sessionize"        -> (Sessionize.q41Sessionize _),
+    "q42_dedup_clusters"    -> (Dedup.q42DedupClusters _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -232,5 +234,7 @@ object SparkEntry {
     "q38_tumbling_window"    -> Windowed.tumblingOracle,
     "q39_multimodal_meta"    -> Multimodal.multimodalOracle,
     "q40_asof_supply"        -> AsOfJoin.asofOracle,
+    "q41_sessionize"         -> Sessionize.sessionizeOracle,
+    "q42_dedup_clusters"     -> Dedup.dedupClustersOracle,
   )
 }

@@ -199,6 +199,67 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q42 — near-dup CLUSTERS: connected components over the verified LSH
+    * pair graph (q29), i.e. the keeper assignment a dedup pass acts on.
+    * Min-label propagation to fixpoint — the scalable CC shape (each
+    * iteration is one join+agg shuffle on node id; components here are
+    * tiny, so it converges in 2-3 rounds; per-iteration checkpoint keeps
+    * the plan flat, and the loop stops on an actual converged count,
+    * not a guess). */
+  def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+                least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+                  .as("cluster"))
+        .localCheckpoint()
+      converged = next.select(col("node"), col("cluster").as("c_next"))
+        .join(labels.select(col("node"), col("cluster").as("c_prev")), "node")
+        .filter(col("c_next") =!= col("c_prev")).isEmpty
+      labels = next
+      iters += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       |    FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS m FROM edges
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+       |SELECT node AS doc_id, min(m) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val embeddingNearDupOracle: String =
     """WITH e AS (
       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm

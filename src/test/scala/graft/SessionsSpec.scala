@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.Sessions
+import graft.streaming.Sessions.{Ev, SessionRow}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful streaming sessionization: sessions close exactly at the gap
+  * boundary, across micro-batches, with one open session per key in
+  * state. */
+class SessionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val hourUs = 3600L * 1000000L
+
+  test("sessions close across micro-batches at the gap boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Sessions.sessionStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // base offset keeps event-times away from the initial watermark (0)
+      val t0 = 1000 * hourUs
+      // batch 1: three events inside one session — nothing closes
+      input.addData(Ev(1, t0), Ev(1, t0 + hourUs), Ev(1, t0 + 2 * hourUs))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0)
+
+      // batch 2: return after 9h (> 8h gap) → the first session closes
+      input.addData(Ev(1, t0 + 11 * hourUs))
+      q.processAllAvailable()
+      assert(spark.table("sessions").as[SessionRow].collect().toSeq
+        === Seq(SessionRow(1, t0, t0 + 2 * hourUs, 3)))
+
+      // batch 3: another long gap → the singleton second session closes too
+      input.addData(Ev(1, t0 + 30 * hourUs))
+      q.processAllAvailable()
+      assert(spark.table("sessions").as[SessionRow].collect().toSeq
+        === Seq(SessionRow(1, t0, t0 + 2 * hourUs, 3),
+                SessionRow(1, t0 + 11 * hourUs, t0 + 11 * hourUs, 1)))
+    } finally q.stop()
+  }
+}
