@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{Flatten, Upsert}
+import graft.operators.AccountHistory
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end flagship slice (SURVEY §7.1.4): ingest fixture → 6 tables →
+  * account history with ordering, decoration, and x-chain resolution. */
+class AccountHistorySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("alice's coin history: ordering, block time, x-chain target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hist").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+
+    val hist = AccountHistory.transfersOf(spark, dir, "alice").collect()
+    // coin-module rows touching alice: rk1 alice→bob 1.5, rk3 x-chain 4.5
+    // (the ns1.tok row is another token; rk2 is bob→dave). Same height →
+    // requestkey DESC puts rk3 first (O1 cursor order).
+    assert(hist.map(_.getAs[String]("requestkey")).toSeq === Seq("rk3", "rk1"))
+
+    val rk1 = hist(1)
+    assert(rk1.getAs[String]("to_acct") === "bob")
+    assert(!rk1.getAs[Boolean]("cross_chain"))
+    assert(rk1.getAs[java.sql.Timestamp]("block_time") != null) // J1 decoration
+
+    val rk3 = hist(0)
+    assert(rk3.getAs[Boolean]("cross_chain"))
+    assert(rk3.getAs[String]("to_acct") === "eve")     // resolved via J3
+    assert(rk3.getAs[Long]("target_chainid") === 3L)
+    assert(rk3.getAs[java.math.BigDecimal]("amount").doubleValue === 4.5)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+/** Shared hand-built wire fixture (shapes per chainweb-data
+  * exec/Chainweb/Lookups.hs:141-160): one block, three txs (exec success,
+  * cont failure, x-chain send), coinbase. */
+object Fixtures {
+
+  val header1 =
+    """{"chainId":0,"height":100,"hash":"blk1","parent":"blk0",
+      |"creationTime":1600000000000000,"payloadHash":"ph1","nonce":"12345",
+      |"target":"9876543210","weight":"1111","epochStart":1599999000000000,
+      |"featureFlags":0,"powHash":"pow1"}""".stripMargin.replaceAll("\n", "")
+
+  val payload1 =
+    """{"payloadHash":"ph1",
+      |"minerData":{"account":"miner1","publicKeys":["k1","k2"]},
+      |"transactions":[
+      | {"requestKey":"rk1",
+      |  "cmd":{"payload":{"exec":{"code":"(coin.transfer \"alice\" \"bob\" 1.5)","data":{"note":1}}},
+      |         "signers":[{"pubKey":"pkA","scheme":"ED25519","caps":[]},{"pubKey":"pkB","scheme":"ED25519","caps":[]}],
+      |         "nonce":"n1",
+      |         "meta":{"chainId":"0","sender":"alice","gasLimit":1000,"gasPrice":1.0e-5,"ttl":600,"creationTime":1600000000}},
+      |  "sigs":[{"sig":"sigA"},{"sig":"sigB"}],
+      |  "result":{"gas":5,"status":"success","data":{"ok":true},"txId":7,"logs":"lh1","continuation":null,
+      |    "events":[
+      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["alice","bob",{"decimal":"1.5"}]},
+      |      {"name":"TRANSFER","module":{"namespace":"ns1","name":"tok"},"moduleHash":"mh2","params":["alice","carol",{"int":2}]},
+      |      {"name":"NOTIFY","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["x"]}]}},
+      | {"requestKey":"rk2",
+      |  "cmd":{"payload":{"cont":{"pactId":"rk1","rollback":false,"step":1,"data":{},"proof":"pf"}},
+      |         "signers":[{"pubKey":"pkC","scheme":"ED25519","caps":[]}],
+      |         "nonce":"n2",
+      |         "meta":{"chainId":"0","sender":"bob","gasLimit":500,"gasPrice":2.0e-5,"ttl":600,"creationTime":1600000060}},
+      |  "sigs":[{"sig":"sigC"}],
+      |  "result":{"gas":3,"status":"failure","data":{"error":"boom"},"txId":8,"logs":"lh2","continuation":null,
+      |    "events":[
+      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["bob","dave","3.25"]}]}},
+      | {"requestKey":"rk3",
+      |  "cmd":{"payload":{"exec":{"code":"(coin.transfer-crosschain)","data":{}}},
+      |         "signers":[{"pubKey":"pkD","scheme":"ED25519","caps":[]}],
+      |         "nonce":"n3",
+      |         "meta":{"chainId":"0","sender":"alice","gasLimit":800,"gasPrice":1.0e-5,"ttl":600,"creationTime":1600000120}},
+      |  "sigs":[{"sig":"sigD"}],
+      |  "result":{"gas":7,"status":"success","data":"ok","txId":9,"logs":"lh3","continuation":null,
+      |    "events":[
+      |      {"name":"TRANSFER_XCHAIN","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["alice","eve",{"decimal":"4.5"},"3"]},
+      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["alice","",{"decimal":"4.5"}]}]}}],
+      |"coinbase":{"gas":0,"status":"success",
+      |  "events":[{"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["","miner1",0.98]}]}}
+      |""".stripMargin.replaceAll("\n", "")
+
+  /** header+payload drop-zone envelope (streaming ingest input). */
+  val envelope1: String = s"""{"header":$header1,"payload":$payload1}"""
+}

@@ -22,45 +22,12 @@ class IngestSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val header1 =
-    """{"chainId":0,"height":100,"hash":"blk1","parent":"blk0",
-      |"creationTime":1600000000000000,"payloadHash":"ph1","nonce":"12345",
-      |"target":"9876543210","weight":"1111","epochStart":1599999000000000,
-      |"featureFlags":0,"powHash":"pow1"}""".stripMargin.replaceAll("\n", "")
-
-  private val payload1 =
-    """{"payloadHash":"ph1",
-      |"minerData":{"account":"miner1","publicKeys":["k1","k2"]},
-      |"transactions":[
-      | {"requestKey":"rk1",
-      |  "cmd":{"payload":{"exec":{"code":"(coin.transfer \"alice\" \"bob\" 1.5)","data":{"note":1}}},
-      |         "signers":[{"pubKey":"pkA","scheme":"ED25519","caps":[]},{"pubKey":"pkB","scheme":"ED25519","caps":[]}],
-      |         "nonce":"n1",
-      |         "meta":{"chainId":"0","sender":"alice","gasLimit":1000,"gasPrice":1.0e-5,"ttl":600,"creationTime":1600000000}},
-      |  "sigs":[{"sig":"sigA"},{"sig":"sigB"}],
-      |  "result":{"gas":5,"status":"success","data":{"ok":true},"txId":7,"logs":"lh1","continuation":null,
-      |    "events":[
-      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["alice","bob",{"decimal":"1.5"}]},
-      |      {"name":"TRANSFER","module":{"namespace":"ns1","name":"tok"},"moduleHash":"mh2","params":["alice","carol",{"int":2}]},
-      |      {"name":"NOTIFY","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["x"]}]}},
-      | {"requestKey":"rk2",
-      |  "cmd":{"payload":{"cont":{"pactId":"rk1","rollback":false,"step":1,"data":{},"proof":"pf"}},
-      |         "signers":[{"pubKey":"pkC","scheme":"ED25519","caps":[]}],
-      |         "nonce":"n2",
-      |         "meta":{"chainId":"0","sender":"bob","gasLimit":500,"gasPrice":2.0e-5,"ttl":600,"creationTime":1600000060}},
-      |  "sigs":[{"sig":"sigC"}],
-      |  "result":{"gas":3,"status":"failure","data":{"error":"boom"},"txId":8,"logs":"lh2","continuation":null,
-      |    "events":[
-      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["bob","dave","3.25"]}]}}],
-      |"coinbase":{"gas":0,"status":"success",
-      |  "events":[{"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["","miner1",0.98]}]}}
-      |""".stripMargin.replaceAll("\n", "")
 
   private def flattened = {
     import spark.implicits._
     val hp = Flatten.joined(
-      Flatten.parseHeaders(Seq(header1).toDF("value")),
-      Flatten.parsePayloads(Seq(payload1).toDF("value")))
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
     Flatten.allTables(hp)
   }
 
@@ -89,7 +56,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("events: coinbase sentinel and qualname composition") {
     val ev = flattened("events")._1.collect()
-    assert(ev.length === 5) // 3 + 1 + 1 coinbase
+    assert(ev.length === 7) // 3 + 1 + 2 + 1 coinbase
     val cb = ev.filter(_.getAs[String]("requestkey") == "cb")
     assert(cb.length === 1 && cb.head.getAs[String]("qualname") === "coin.TRANSFER")
     val quals = ev.map(_.getAs[String]("qualname")).toSet
@@ -102,7 +69,7 @@ class IngestSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("requestkey"), r.getAs[Int]("idx"),
                  r.getAs[String]("pubkey"), r.getAs[String]("sig"))).sorted
     assert(s === Array(("rk1", 0, "pkA", "sigA"), ("rk1", 1, "pkB", "sigB"),
-                       ("rk2", 0, "pkC", "sigC")))
+                       ("rk2", 0, "pkC", "sigC"), ("rk3", 0, "pkD", "sigD")))
   }
 
   test("transfers: TRANSFER shape filter + amount cascade") {
@@ -115,33 +82,34 @@ class IngestSpec extends AnyFunSuite {
       ("rk1", "alice", "bob", 1.5),    // {"decimal":"1.5"}
       ("rk1", "alice", "carol", 2.0),  // {"int":2}
       ("rk2", "bob", "dave", 3.25),    // "3.25" string
+      ("rk3", "alice", "", 4.5),       // x-chain send: empty to_acct
       ("cb", "", "miner1", 0.98)))     // bare number, coinbase row
   }
 
   test("upsert merge is idempotent (replay = no-op)") {
     val dir = Files.createTempDirectory("graft_upsert").toString
     val first = Upsert.mergeAll(spark, dir, flattened)
-    assert(first("blocks") === 1 && first("events") === 5 && first("transfers") === 4)
+    assert(first("blocks") === 1 && first("events") === 7 && first("transfers") === 5)
     val replay = Upsert.mergeAll(spark, dir, flattened)
     assert(replay.values.sum === 0)
-    assert(spark.read.parquet(s"$dir/events").count() === 5)
+    assert(spark.read.parquet(s"$dir/events").count() === 7)
   }
 
   test("streaming listen: drop-zone → 6 tables, effectively-once") {
     val zone = Files.createTempDirectory("graft_zone").toString
     val tables = Files.createTempDirectory("graft_tables").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
-    val env = s"""{"header":${header1},"payload":${payload1}}"""
+    val env = Fixtures.envelope1
     Files.writeString(java.nio.file.Path.of(zone, "b1.json"), env)
     val q = Listen.stream(spark, zone, tables, ckpt)
     q.processAllAvailable()
-    assert(spark.read.parquet(s"$tables/transactions").count() === 2)
+    assert(spark.read.parquet(s"$tables/transactions").count() === 3)
     // replay the same block under a new file name → no duplicates
     Files.writeString(java.nio.file.Path.of(zone, "b1_replay.json"), env)
     q.processAllAvailable()
     q.stop()
-    assert(spark.read.parquet(s"$tables/transactions").count() === 2)
-    assert(spark.read.parquet(s"$tables/events").count() === 5)
+    assert(spark.read.parquet(s"$tables/transactions").count() === 3)
+    assert(spark.read.parquet(s"$tables/events").count() === 7)
   }
 
   test("multimodal decode stub: partition-parallel binary → features") {
