@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transaction detail lookup — `/txs/tx` + `/txs/txs`
+  * (SURVEY §2.3 J4/J5: chainweb-data exec/Chainweb/Server.hs:408-441).
+  * Orphan-tolerant: one detail row per (requestkey, block) — the reference
+  * returns ALL fork copies from `/txs/txs` and picks one for `/txs/tx`
+  * (Server.hs:462-482); callers get the same choice here.
+  *
+  * The per-tx events and signers become sorted struct arrays via
+  * `sort_array(collect_list(struct(idx, …)))` — the reference's app-side
+  * merge (two extra point queries + Haskell zip) collapses into two
+  * aggregations co-keyed with the tx row. Point-lookup latency at scale
+  * rides on requestkey clustering/stats (SURVEY §4), not an index.
+  */
+object TxDetail {
+
+  def lookup(spark: SparkSession, tableDir: String, requestkey: String): DataFrame = {
+    val tx = spark.read.parquet(s"$tableDir/transactions")
+      .filter(col("requestkey") === requestkey)
+    val events = spark.read.parquet(s"$tableDir/events")
+      .filter(col("requestkey") === requestkey)
+      .groupBy(col("requestkey"), col("block"))
+      .agg(sort_array(collect_list(struct(
+        col("idx"), col("qualname"), col("paramtext")))).as("events"))
+    val signers = spark.read.parquet(s"$tableDir/signers")
+      .filter(col("requestkey") === requestkey)
+      .groupBy(col("requestkey"))
+      .agg(sort_array(collect_list(struct(
+        col("idx"), col("pubkey"), col("sig")))).as("signers"))
+    tx.join(events, Seq("requestkey", "block"), "left")
+      .join(signers, Seq("requestkey"), "left")
+      .orderBy(col("block"))
+  }
+}

@@ -42,5 +42,14 @@ class AccountHistorySpec extends AnyFunSuite {
     assert(rk3.getAs[String]("to_acct") === "eve")     // resolved via J3
     assert(rk3.getAs[Long]("target_chainid") === 3L)
     assert(rk3.getAs[java.math.BigDecimal]("amount").doubleValue === 4.5)
+
+    // tx detail on the same tables: events + signers as sorted arrays
+    val det = graft.operators.TxDetail.lookup(spark, dir, "rk1").collect()
+    assert(det.length === 1) // one (requestkey, block) copy — no orphans here
+    val evs = det.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("events")
+    assert(evs.map(_.getAs[Long]("idx")).toSeq === Seq(0L, 1L, 2L))
+    assert(evs.head.getAs[String]("qualname") === "coin.TRANSFER")
+    val sgs = det.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("signers")
+    assert(sgs.map(_.getAs[String]("pubkey")).toSeq === Seq("pkA", "pkB"))
   }
 }
