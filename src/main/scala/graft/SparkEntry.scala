@@ -60,6 +60,11 @@ object SparkEntry {
     "q40_asof_supply"       -> (AsOfJoin.q40AsofSupply _),
     "q41_sessionize"        -> (Sessionize.q41Sessionize _),
     "q42_dedup_clusters"    -> (Dedup.q42DedupClusters _),
+    "q43_vocab_topk"        -> (Corpus.q43VocabTopk _),
+    "q44_stratified_sample" -> (Corpus.q44StratifiedSample _),
+    "q45_contamination"     -> (Corpus.q45Contamination _),
+    "q46_length_hist"       -> (Corpus.q46LengthHist _),
+    "q47_mixture_weights"   -> (Corpus.q47MixtureWeights _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -236,5 +241,10 @@ object SparkEntry {
     "q40_asof_supply"        -> AsOfJoin.asofOracle,
     "q41_sessionize"         -> Sessionize.sessionizeOracle,
     "q42_dedup_clusters"     -> Dedup.dedupClustersOracle,
+    "q43_vocab_topk"         -> Corpus.vocabOracle,
+    "q44_stratified_sample"  -> Corpus.stratifiedOracle,
+    "q45_contamination"      -> Corpus.contaminationOracle,
+    "q46_length_hist"        -> Corpus.lengthHistOracle,
+    "q47_mixture_weights"    -> Corpus.mixtureOracle,
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit operators for the training-data pipeline: vocabulary,
+  * deterministic stratified sampling, benchmark-contamination scan, length
+  * histogram, and mixture weights — the bookkeeping every large-scale data
+  * curation run needs beside dedup/similarity.
+  *
+  * All shapes are one groupBy shuffle or a pure row-map; sampling is
+  * hash-gated (md5 prefix), so it is reproducible across engines, runs,
+  * and cluster sizes — no RNG state anywhere.
+  */
+object Corpus {
+
+  /** q43 — vocabulary top-K: token frequencies with deterministic
+    * tiebreak. Map-side partial counts make the shuffle |vocab|-sized. */
+  def q43VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val vocabOracle: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** q44 — stratified deterministic sampling: per-language md5-prefix
+    * gates (en kept at ~50%, others ~12.5%) — the data-mixing primitive.
+    * Reproducible: membership depends only on doc_id. */
+  def q44StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val gate = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val threshold = when(col("lang") === "en", "80").otherwise("20")
+    Tables.documents(spark, dir)
+      .filter(gate < threshold)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |      < (CASE WHEN lang = 'en' THEN '80' ELSE '20' END)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q45 — contamination scan: which docs contain any benchmark phrase,
+    * and which phrase hit first (fixed priority order). */
+  val phrases: Seq[String] = Seq("merge join", "hash join", "window function")
+
+  def q45Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val hit = phrases.foldLeft(lit(null).cast("string")) { (acc, p) =>
+      coalesce(acc, when(col("text").contains(p), p))
+    }
+    Tables.documents(spark, dir)
+      .withColumn("phrase", hit)
+      .filter(col("phrase").isNotNull)
+      .select(col("doc_id"), col("phrase"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationOracle: String = {
+    val cases = phrases.map(p => s"WHEN text LIKE '%$p%' THEN '$p'").mkString(" ")
+    s"""SELECT doc_id, CASE $cases END AS phrase
+       |FROM documents WHERE CASE $cases END IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q46 — length histogram: 100-char buckets capped at 9, with exact
+    * decimal mean length per bucket. */
+  def q46LengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = least((col("n_chars") / 100).cast("long"), lit(9L))
+    Tables.documents(spark, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           Relational.asMoney(sum(Relational.dec(col("n_chars")))).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthHistOracle: String =
+    """SELECT least(n_chars // 100, 9) AS bucket, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q47 — mixture weights: corpus fraction per (lang, source) — the
+    * single-partition total window runs over |groups| rows, not the
+    * corpus. */
+  def q47MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("pct",
+        round(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val mixtureOracle: String =
+    """SELECT lang, source, n,
+      |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+      |FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+      |ORDER BY lang, source""".stripMargin
+}

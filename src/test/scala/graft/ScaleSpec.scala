@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale strategies must be provable locally: bucketed joins plan without
+  * exchanges; salted aggregation equals the direct aggregation. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+            Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    Bucketing.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey")
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_b", "l_orderkey")
+    val joined = Bucketing.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    val n = joined.count()
+    assert(n === Tables.lineitem(spark, dir).count()) // FK: every line matches
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("salted aggregation equals direct aggregation under a hot key") {
+    import spark.implicits._
+    // one whale key (90% of rows) + a long tail
+    val rows = (1 to 9000).map(i => ("whale", i.toLong, i.toLong)) ++
+               (1 to 1000).map(i => (s"k${i % 50}", i.toLong, i.toLong))
+    val df = rows.toDF("key", "row_id", "value")
+    val salted = Skew.saltedSum(df, col("key"), col("row_id"), col("value"))
+      .orderBy(col("k")).collect()
+    val direct = df.groupBy(col("key"))
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy(col("key")).collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // and the pre-agg really fans the whale out over multiple shards
+    val shards = df.filter(col("key") === "whale")
+      .select(pmod(hash(col("row_id")), lit(16))).distinct().count()
+    assert(shards > 8)
+  }
+}
