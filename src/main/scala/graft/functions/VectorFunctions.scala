@@ -80,17 +80,32 @@ object VectorFunctions {
 
   /** Session-local registration for sessions built without the extension
     * (idempotent). */
-  def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShingleSet(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.GraftExtensions` — production registration
   * path via [[org.apache.spark.sql.SparkSessionExtensions]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       VectorFunctions.dotInfo,
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+  }
 }

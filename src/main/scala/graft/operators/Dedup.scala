@@ -48,11 +48,17 @@ object Dedup {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  /** doc_id + shingle set + K-wide minhash signature array. */
+  /** doc_id + shingle set + K-wide minhash signature array, via the
+    * compiled kernels ([[graft.functions.MinHashSig]] /
+    * [[graft.functions.ShingleSet]]) — one codegen'd call per row instead
+    * of interpreted nested higher-order functions; semantics identical to
+    * the declarative form (and to the DuckDB oracle). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val mh = transform(sequence(lit(0), lit(K_HASHES - 1)), i =>
-      array_min(transform(col("sh"), s => md5(concat(i.cast("string"), lit(":"), s)))))
-    TextOps.tokenized(spark, dir).select(col("doc_id"), col("sh"), mh.as("m"))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      call_function("graft_shingles", col("text")).as("sh"),
+      call_function("graft_minhash", col("text"), lit(K_HASHES)).as("m"))
   }
 
   /** DuckDB spelling of the signature CTE (over `documents`). */
