@@ -16,14 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` bucketed+sorted by `key` as managed table `name`. */
+  /** Persist `df` bucketed+sorted by `key` as table `name` (external when
+    * a path is given, so tests and jobs control the location instead of
+    * the session's static warehouse dir). */
   def writeBucketed(df: DataFrame, name: String, key: String,
-                    buckets: Int = 8): Unit =
-    df.write.mode("overwrite")
+                    buckets: Int = 8, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(name)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(name)
+  }
 
   /** Join two same-bucketed tables on their bucket key — planner emits a
     * SortMergeJoin with NO shuffle exchange on either side. */

@@ -15,26 +15,35 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir",
-            Files.createTempDirectory("graft_wh").toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   test("bucketed co-located join plans with zero shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
-    Bucketing.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey")
-    Bucketing.writeBucketed(
-      Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
-      "ord_b", "l_orderkey")
-    val joined = Bucketing.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
-    val n = joined.count()
-    assert(n === Tables.lineitem(spark, dir).count()) // FK: every line matches
+    // runtime conf: the suite shares one JVM-wide session, so builder-time
+    // configs from this spec may not have applied — set + restore here.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val wh = Files.createTempDirectory("graft_bkt")
+      Bucketing.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey",
+        path = Some(s"$wh/li_b"))
+      Bucketing.writeBucketed(
+        Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b", "l_orderkey", path = Some(s"$wh/ord_b"))
+      val joined = Bucketing.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      val n = joined.count()
+      assert(n === Tables.lineitem(spark, dir).count()) // FK: every line matches
 
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"))
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
