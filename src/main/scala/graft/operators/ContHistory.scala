@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuation (pact) history — the reference's recursive-CTE join
+  * (SURVEY §2.3 J2, §2.4 A7: chainweb-data lib/ChainwebDb/Queries.hs:112-137
+  * follows `pactid → requestkey` to the root and aggregates
+  * `array_agg(requestkey ORDER BY depth)` plus the first non-null code).
+  *
+  * Spark has no recursive CTE; pact chains are short (multi-step defpacts,
+  * ≤ ~10), so a bounded iterative join with per-iteration checkpoints is
+  * faithful and scale-safe (SURVEY §7.3.1) — each step is one equi-join
+  * on requestkey, and the frontier only shrinks.
+  */
+object ContHistory {
+
+  /** For every continuation tx: the ancestor chain (self first, root
+    * last) and the chain's code (first non-null walking up). */
+  def chains(spark: SparkSession, tableDir: String, maxDepth: Int = 25): DataFrame = {
+    val tx = spark.read.parquet(s"$tableDir/transactions")
+      .select(col("requestkey"), col("pactid"), col("code"))
+      .localCheckpoint()
+
+    var frontier = tx.filter(col("pactid").isNotNull)
+      .select(col("requestkey").as("seed"),
+              array(struct(lit(0L).as("depth"), col("requestkey").as("rk"))).as("chain"),
+              col("code").as("chain_code"),
+              col("pactid").as("next"))
+      .localCheckpoint()
+    var done = frontier.filter(lit(false))
+
+    var d = 1
+    while (d <= maxDepth && !frontier.isEmpty) {
+      val stepped = frontier
+        .join(tx.select(col("requestkey").as("next"), col("pactid").as("p2"),
+                        col("code").as("c2")),
+              Seq("next"), "left")
+        .select(col("seed"),
+                when(col("c2").isNotNull || col("p2").isNotNull,
+                  array_union(col("chain"),
+                    array(struct(lit(d.toLong).as("depth"), col("next").as("rk")))))
+                  .otherwise(col("chain")).as("chain"),
+                coalesce(col("chain_code"), col("c2")).as("chain_code"),
+                col("p2").as("next"),
+                (col("c2").isNotNull || col("p2").isNotNull).as("found"))
+        .localCheckpoint()
+      done = done.select(col("seed"), col("chain"), col("chain_code"), col("next"))
+        .unionByName(stepped.filter(col("next").isNull)
+          .select(col("seed"), col("chain"), col("chain_code"), col("next")))
+        .localCheckpoint()
+      frontier = stepped.filter(col("next").isNotNull)
+        .select(col("seed"), col("chain"), col("chain_code"), col("next"))
+        .localCheckpoint()
+      d += 1
+    }
+    done.unionByName(frontier) // any chain deeper than maxDepth, truncated
+      .select(col("seed").as("requestkey"),
+              transform(col("chain"), _.getField("rk")).as("chain"),
+              col("chain_code"))
+      .orderBy(col("requestkey"))
+  }
+}

@@ -51,5 +51,21 @@ class AccountHistorySpec extends AnyFunSuite {
     assert(evs.head.getAs[String]("qualname") === "coin.TRANSFER")
     val sgs = det.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("signers")
     assert(sgs.map(_.getAs[String]("pubkey")).toSeq === Seq("pkA", "pkB"))
+
+    // continuation history: rk2 (cont) chains to rk1 (exec); the chain
+    // code is the first non-null walking up (rk1's).
+    val ch = graft.operators.ContHistory.chains(spark, dir).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[String]("requestkey") === "rk2")
+    assert(ch.head.getAs[scala.collection.Seq[String]]("chain").toSeq === Seq("rk2", "rk1"))
+    assert(ch.head.getAs[String]("chain_code").startsWith("(coin.transfer"))
+  }
+
+  test("height/date conversion round-trips") {
+    import graft.operators.ChainTime
+    assert(ChainTime.dateToHeight(ChainTime.heightToDate(852054L)) === 852054L)
+    assert(ChainTime.dateToHeight(ChainTime.Genesis) === 0L)
+    assert(ChainTime.heightToDate(1).getEpochSecond
+      - ChainTime.heightToDate(0).getEpochSecond === 30L)
   }
 }

@@ -54,6 +54,22 @@ class BoundedScanSpec extends AnyFunSuite {
     }
   }
 
+  test("paging property: pseudo-random budget/limit/offset combinations") {
+    val expected = unbounded
+    // deterministic pseudo-random draws — covers sentinel-on-match,
+    // budget-equals-page, offset-across-windows edge classes
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val scanLimit = 1 + rng.nextInt(150)
+      val resultLimit = 1 + rng.nextInt(20)
+      val offset = rng.nextInt(30)
+      val got = pageAll(scanLimit, resultLimit,
+        Some(Continuation(None, offset)))
+      assert(got === expected.drop(offset),
+        s"scanLimit=$scanLimit resultLimit=$resultLimit offset=$offset")
+    }
+  }
+
   test("initial offset continuation skips exactly offset matches") {
     val expected = unbounded.drop(25)
     assert(pageAll(64, 13, Some(Continuation(None, 25))) === expected)
