@@ -1,0 +1,30 @@
+package graft
+import graft.operators.Dedup
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.extensions","graft.functions.GraftExtensions")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    // 20x corpus (100k docs); each copy gets a distinct trailing token so
+    // copies are NEAR-dups (jaccard ~0.95), making this a worst-case
+    // pair-explosion test: every 20-copy family collides in LSH buckets.
+    spark.range(20).crossJoin(base)
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+              concat(col("text"), lit(" copytag"), col("id")).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+      .coalesce(8)
+      .write.mode(SaveMode.Overwrite).parquet("/tmp/stress_sf/documents.parquet")
+    println(s"docs=${spark.read.parquet("/tmp/stress_sf/documents.parquet").count()}")
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.q29LshNearDup(spark, "/tmp/stress_sf").count()
+      println(f"run$i pairs=$pairs t=${(System.nanoTime()-t0)/1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}
