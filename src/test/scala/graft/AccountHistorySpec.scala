@@ -61,6 +61,31 @@ class AccountHistorySpec extends AnyFunSuite {
     assert(ch.head.getAs[String]("chain_code").startsWith("(coin.transfer"))
   }
 
+  test("schema check + maintenance pass over ingested tables") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_maint").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+
+    // check-schema parity: derived contract matches what was written
+    assert(graft.ingest.Schemas.check(spark, dir) === Map.empty)
+
+    val out = Files.createTempDirectory("graft_maint_out").toString
+    val rep = graft.plans.Maintenance.run(spark, dir, out,
+      genesis = Map(0L -> 100L)) // fixture block IS height 100 → no gaps
+    assert(rep.gapChunks === 0)
+    assert(rep.richlistRows > 0)
+    assert(rep.totalSupply.doubleValue === 0.98) // one coinbase mint
+    // ledger sanity: bob got 1.5 from alice, sent 3.25 to dave
+    val bal = graft.plans.Maintenance.balancesFromTransfers(
+      spark.read.parquet(s"$dir/transfers")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).doubleValue).toMap
+    assert(bal("bob") === 1.5 - 3.25)
+    assert(bal("dave") === 3.25)
+  }
+
   test("height/date conversion round-trips") {
     import graft.operators.ChainTime
     assert(ChainTime.dateToHeight(ChainTime.heightToDate(852054L)) === 852054L)
