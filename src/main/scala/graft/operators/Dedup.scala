@@ -220,6 +220,12 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: labels only decrease under
+    // min-propagation, so an unchanged sum ⇔ a fixpoint — one cheap
+    // aggregate per iteration instead of a self-join diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
@@ -231,9 +237,9 @@ object Dedup {
                 least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
                   .as("cluster"))
         .localCheckpoint()
-      converged = next.select(col("node"), col("cluster").as("c_next"))
-        .join(labels.select(col("node"), col("cluster").as("c_prev")), "node")
-        .filter(col("c_next") =!= col("c_prev")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iters += 1
     }

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *   - `GET /txs/recent`                             — top-10 by recency
   *   - `GET /stats`                                  — row-count stats
   */
-class Api(spark: SparkSession, dataDir: String, port: Int) {
+class Api(spark: SparkSession, dataDir: String, port: Int,
+          tablesDir: Option[String] = None) {
 
   private val SCAN_LIMIT = 50000  // Server.hs:317
   private val MAX_LIMIT = 250     // Server.hs:318
@@ -39,6 +40,8 @@ class Api(spark: SparkSession, dataDir: String, port: Int) {
   server.createContext("/txs/events", (ex: HttpExchange) => handle(ex)(searchEvents))
   server.createContext("/txs/recent", (ex: HttpExchange) => handle(ex)(recent))
   server.createContext("/stats", (ex: HttpExchange) => handle(ex)(stats))
+  server.createContext("/txs/account", (ex: HttpExchange) =>
+    handle(ex)(accountHistory(ex.getRequestURI.getPath)))
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
@@ -78,6 +81,21 @@ class Api(spark: SparkSession, dataDir: String, port: Int) {
       events, spec, col("event_type").contains(search), SCAN_LIMIT, limit, cont)
     val body = rows.map(rowJson).mkString("[", ",", "]")
     (body, next.map(c => Map("Graft-Next" -> BoundedScan.encodeToken(c))).getOrElse(Map.empty))
+  }
+
+  /** `/txs/account/<acct>` — the marquee endpoint (Server.hs account
+    * handler): full transfer history with cross-chain resolution over the
+    * ingested tables ([[graft.operators.AccountHistory]]). */
+  private def accountHistory(path: String)(p: Map[String, String]): (String, Map[String, String]) = {
+    val dir = tablesDir.getOrElse(
+      throw new IllegalStateException("no ingested tables configured"))
+    val acct = java.net.URLDecoder.decode(
+      path.stripPrefix("/txs/account/"), StandardCharsets.UTF_8)
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(DEFAULT_LIMIT), MAX_LIMIT)
+    val rows = graft.operators.AccountHistory
+      .transfersOf(spark, dir, acct)
+      .limit(limit).collect()
+    (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
   }
 
   /** Top-10 recent (O4 — Server.hs:621-631). */

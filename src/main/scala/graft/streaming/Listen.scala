@@ -49,6 +49,15 @@ object Listen {
     * watermark for state cleanup) — the streaming face of the batch
     * tumbling-window query (SparkEntry q38); same grouping columns, so a
     * backfill and the live stream produce union-compatible rows. */
+  /** Streaming exact-dedup: first sighting of each key wins; the watermark
+    * bounds the dedup state (keys older than the horizon are evicted —
+    * matching the batch dedup's semantics inside the lateness window).
+    * This is the streaming face of q27 for a live document/event feed. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", horizon: String = "2 days"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def windowedEventCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 days")

@@ -64,4 +64,23 @@ class ApiSpec extends AnyFunSuite {
       assert(stats.body().contains("\"transactionCount\":1000"))
     } finally api.stop()
   }
+
+  test("account history endpoint serves ingested tables with x-chain resolution") {
+    import spark.implicits._
+    import graft.ingest.{Flatten, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_tables").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+
+    val api = new Api(spark, sf, 0, tablesDir = Some(dir))
+    api.start()
+    try {
+      val resp = get(s"http://localhost:${api.boundPort}/txs/account/alice")
+      assert(resp.statusCode() === 200)
+      assert(resp.body().contains("\"requestkey\":\"rk1\""))
+      assert(resp.body().contains("\"to_acct\":\"eve\"")) // x-chain resolved
+    } finally api.stop()
+  }
 }

@@ -48,4 +48,23 @@ class SessionsSpec extends AnyFunSuite {
                 SessionRow(1, t0 + 11 * hourUs, t0 + 11 * hourUs, 1)))
     } finally q.stop()
   }
+
+  test("streaming exact-dedup: replays inside the watermark are dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val ts = (h: Long) => new java.sql.Timestamp(3600000L * h)
+    val q = graft.streaming.Listen.dedupStream(
+        input.toDF().toDF("doc_id", "ts"), Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1000)), (1L, ts(1000)), (2L, ts(1001)))
+      q.processAllAvailable()
+      input.addData((1L, ts(1002))) // replay in a later batch, same key
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
