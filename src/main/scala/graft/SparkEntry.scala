@@ -65,6 +65,8 @@ object SparkEntry {
     "q45_contamination"     -> (Corpus.q45Contamination _),
     "q46_length_hist"       -> (Corpus.q46LengthHist _),
     "q47_mixture_weights"   -> (Corpus.q47MixtureWeights _),
+    "q48_top_per_group"     -> (Corpus.q48TopPerGroup _),
+    "q49_median_length"     -> (Corpus.q49MedianLength _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -246,5 +248,7 @@ object SparkEntry {
     "q45_contamination"      -> Corpus.contaminationOracle,
     "q46_length_hist"        -> Corpus.lengthHistOracle,
     "q47_mixture_weights"    -> Corpus.mixtureOracle,
+    "q48_top_per_group"      -> Corpus.topPerGroupOracle,
+    "q49_median_length"      -> Corpus.medianOracle,
   )
 }

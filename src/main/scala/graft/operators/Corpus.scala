@@ -105,4 +105,47 @@ object Corpus {
       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
       |FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
       |ORDER BY lang, source""".stripMargin
+
+  /** q48 — top-3 longest docs per language (curation shortlist). The
+    * rank window compiles to WindowGroupLimit: per-partition top-k heaps
+    * before the shuffle, so only k×|groups| rows move. */
+  def q48TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val topPerGroupOracle: String =
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
+  /** q49 — median doc length per language, spelled as an explicit
+    * row_number selection (lower-middle element) so both engines pick the
+    * SAME row — engine-native percentile functions interpolate
+    * differently. */
+  def q49MedianLength(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+      .select(col("lang"), col("n_chars").as("median_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val medianOracle: String =
+    """SELECT lang, n_chars AS median_chars FROM (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |WHERE rn = CAST((cnt + 1) // 2 AS INT) ORDER BY lang""".stripMargin
 }
