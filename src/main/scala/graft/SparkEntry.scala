@@ -67,6 +67,8 @@ object SparkEntry {
     "q47_mixture_weights"   -> (Corpus.q47MixtureWeights _),
     "q48_top_per_group"     -> (Corpus.q48TopPerGroup _),
     "q49_median_length"     -> (Corpus.q49MedianLength _),
+    "q50_star_revenue"      -> (Relational.q50StarRevenue _),
+    "q51_anti_blocklist"    -> (Relational.q51AntiBlocklist _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -250,5 +252,23 @@ object SparkEntry {
     "q47_mixture_weights"    -> Corpus.mixtureOracle,
     "q48_top_per_group"      -> Corpus.topPerGroupOracle,
     "q49_median_length"      -> Corpus.medianOracle,
+    "q50_star_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q51_anti_blocklist" -> {
+      val cases = graft.operators.Corpus.phrases
+        .map(p => s"text LIKE '%$p%'").mkString(" OR ")
+      s"""SELECT lang, count(*) AS n_clean FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE $cases)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
   )
 }

@@ -283,6 +283,36 @@ object Relational {
     out.orderBy(col("seed_event_id"), col("depth"))
   }
 
+  /** Star-schema rollup (TPC-H Q5 shape): revenue per nation through a
+    * 5-way join. The three dimension legs broadcast; only the
+    * lineitem⋈orders leg shuffles — with AQE picking broadcast for any
+    * side under threshold. This is the multi-join plan Catalyst's
+    * reordering + broadcast selection exists for. */
+  def q50StarRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && col("o_orderstatus") === "F")
+      .groupBy(col("n_name"))
+      .agg(asMoney(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  /** Anti-join blocklist filter — semi/anti joins are absent from the
+    * reference but core to training-data curation ("drop everything that
+    * hit the contamination scan"). left_anti keeps the scan pruned and
+    * shuffles only the small blocklist side under broadcast. */
+  def q51AntiBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Corpus.q45Contamination(spark, dir).select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(blocked), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_clean"))
+      .orderBy(col("lang"))
+  }
+
   // -------------------------------------------------------------------------
   // Set ops (SURVEY §2.7)
   // -------------------------------------------------------------------------
