@@ -69,6 +69,8 @@ object SparkEntry {
     "q49_median_length"     -> (Corpus.q49MedianLength _),
     "q50_star_revenue"      -> (Relational.q50StarRevenue _),
     "q51_anti_blocklist"    -> (Relational.q51AntiBlocklist _),
+    "q52_mixture_rollup"    -> (Corpus.q52MixtureRollup _),
+    "q53_ann_multiprobe"    -> (Similarity.q53AnnMultiProbe _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -270,5 +272,7 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE $cases)
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q52_mixture_rollup"     -> Corpus.mixtureRollupOracle,
+    "q53_ann_multiprobe"     -> Similarity.annMultiProbeOracle,
   )
 }

@@ -141,6 +141,20 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** q52 — mixture audit with ROLLUP: per (lang, source), per lang, and
+    * grand total in one pass (partial aggregation covers all grouping
+    * sets in a single shuffle). */
+  def q52MixtureRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val mixtureRollupOracle: String =
+    """SELECT lang, source, count(*) AS n FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   val medianOracle: String =
     """SELECT lang, n_chars AS median_chars FROM (
       |  SELECT lang, n_chars, doc_id,

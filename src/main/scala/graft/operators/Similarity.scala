@@ -75,6 +75,69 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
   }
 
+  /** q53 — multi-probe IVF with a COMPUTED coarse quantizer: centroids are
+    * per-cell means (rounded to 6dp so both engines make identical probe
+    * decisions), each query probes its 2 nearest cells by squared L2 to
+    * the centroid, then exact cosine top-k runs on the probed union.
+    * Scale: centroid table = |cells|×dim (a broadcast dimension); probe
+    * selection is a tiny cross join; the corpus is touched only in the
+    * probed cells — the same partition-pruning story as q33, but with the
+    * quantizer derived from the data instead of assumed. */
+  def q53AnnMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("cv"),
+               (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("rdist", round(sqDist, 4))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 2)
+      .select(col("q_id"), col("label"), col("qv"), col("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    topK(e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+  }
+
+  val annMultiProbeOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, round(avg(v[i]), 6) AS c
+       |    FROM e, generate_series(1, 64) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT q_id, label, qv, qn FROM (
+       |    SELECT q.vec_id AS q_id, c.label, q.v AS qv, q.nrm AS qn,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS pr
+       |    FROM e q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr <= 2),
+       |sims AS (
+       |  SELECT p.q_id, n.vec_id AS n_id,
+       |    round(list_dot_product(p.qv, n.v) / sqrt(p.qn * n.nrm), 4) AS cos_sim
+       |  FROM probes p JOIN e n ON n.label = p.label AND n.vec_id != p.q_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
+
   private def annOracle(sameLabel: Boolean): String = {
     val labelCond = if (sameLabel) " AND n.label = q.label" else ""
     s"""WITH e AS (
