@@ -71,6 +71,8 @@ object SparkEntry {
     "q51_anti_blocklist"    -> (Relational.q51AntiBlocklist _),
     "q52_mixture_rollup"    -> (Corpus.q52MixtureRollup _),
     "q53_ann_multiprobe"    -> (Similarity.q53AnnMultiProbe _),
+    "q54_range_frame"       -> (Windowed.q54RangeFrame _),
+    "q55_pivot_counts"      -> (Windowed.q55PivotCounts _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -274,5 +276,7 @@ object SparkEntry {
     },
     "q52_mixture_rollup"     -> Corpus.mixtureRollupOracle,
     "q53_ann_multiprobe"     -> Similarity.annMultiProbeOracle,
+    "q54_range_frame"        -> Windowed.rangeFrameOracle,
+    "q55_pivot_counts"       -> Windowed.pivotOracle,
   )
 }
