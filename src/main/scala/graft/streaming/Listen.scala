@@ -49,6 +49,14 @@ object Listen {
     * watermark for state cleanup) — the streaming face of the batch
     * tumbling-window query (SparkEntry q38); same grouping columns, so a
     * backfill and the live stream produce union-compatible rows. */
+  /** Stream-static enrichment: decorate a live stream with a slowly
+    * changing dimension (the streaming face of the J1 block-decoration
+    * join). The static side re-reads per micro-batch, so dimension updates
+    * are picked up without restarting the query; Spark broadcasts it when
+    * under threshold. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Streaming exact-dedup: first sighting of each key wins; the watermark
     * bounds the dedup state (keys older than the horizon are evicted —
     * matching the batch dedup's semantics inside the lateness window).

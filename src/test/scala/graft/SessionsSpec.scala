@@ -67,4 +67,22 @@ class SessionsSpec extends AnyFunSuite {
       assert(ids.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment join decorates live rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Long]
+    val q = graft.streaming.Listen.enrich(
+        input.toDF().toDF("user_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
 }
