@@ -73,6 +73,9 @@ object SparkEntry {
     "q53_ann_multiprobe"    -> (Similarity.q53AnnMultiProbe _),
     "q54_range_frame"       -> (Windowed.q54RangeFrame _),
     "q55_pivot_counts"      -> (Windowed.q55PivotCounts _),
+    "q56_unpivot"           -> (Corpus.q56Unpivot _),
+    "q57_distinct_agg"      -> (Corpus.q57DistinctAgg _),
+    "q58_holdout_except"    -> (Corpus.q58HoldoutExcept _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -278,5 +281,8 @@ object SparkEntry {
     "q53_ann_multiprobe"     -> Similarity.annMultiProbeOracle,
     "q54_range_frame"        -> Windowed.rangeFrameOracle,
     "q55_pivot_counts"       -> Windowed.pivotOracle,
+    "q56_unpivot"            -> Corpus.unpivotOracle,
+    "q57_distinct_agg"       -> Corpus.distinctAggOracle,
+    "q58_holdout_except"     -> Corpus.holdoutExceptOracle,
   )
 }

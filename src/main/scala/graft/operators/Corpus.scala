@@ -155,6 +155,53 @@ object Corpus {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  /** q56 — unpivot/melt: wide per-doc stats to (doc_id, metric, value)
+    * long form — feature-store export shape. */
+  def q56Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+              length(col("text")).cast("long").as("text_len"))
+      .unpivot(Array(col("doc_id")),
+               Array(col("n_chars"), col("text_len")), "metric", "value")
+      .orderBy(col("doc_id"), col("metric"))
+
+  val unpivotOracle: String =
+    """SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'text_len', CAST(length(text) AS BIGINT) FROM documents
+      |ORDER BY doc_id, metric""".stripMargin
+
+  /** q57 — distinct aggregation (absent from the reference; corpus audits
+    * need it): distinct sources + docs per language. Spark plans this as
+    * a two-stage expand + aggregate; the shuffle carries distinct pairs. */
+  def q57DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+           count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val distinctAggOracle: String =
+    """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q58 — holdout split via EXCEPT (set semantics): the complement of
+    * the q44 sample. Same result as an anti join, but exercises the set
+    * operator (dedup + distributed set difference). */
+  def q58HoldoutExcept(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+    all.except(q44StratifiedSample(spark, dir).select(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  val holdoutExceptOracle: String =
+    """SELECT doc_id FROM documents
+      |EXCEPT
+      |SELECT doc_id FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |      < (CASE WHEN lang = 'en' THEN '80' ELSE '20' END)
+      |ORDER BY doc_id""".stripMargin
+
   val medianOracle: String =
     """SELECT lang, n_chars AS median_chars FROM (
       |  SELECT lang, n_chars, doc_id,
