@@ -212,9 +212,16 @@ object Dedup {
     * tiny, so it converges in 2-3 rounds; per-iteration checkpoint keeps
     * the plan flat, and the loop stops on an actual converged count,
     * not a guess). */
+  /** Edge-count threshold below which connected components solve on the
+    * driver (union-find over a collected pair list — microseconds) instead
+    * of the distributed fixpoint. Both paths produce identical labels
+    * (min doc_id per component); the loop below is the ≥threshold path. */
+  private val DriverCCEdgeLimit = 2000000L
+
   def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
+    if (pairs.count() <= DriverCCEdgeLimit) return driverCC(spark, pairs)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
@@ -244,6 +251,31 @@ object Dedup {
       iters += 1
     }
     labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Small-graph path: union-find on the driver — the same pattern as the
+    * reference's driver-side control loops (SURVEY §0.c). */
+  private def driverCC(spark: SparkSession,
+                       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label root
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("doc_id", "cluster_id")
       .orderBy(col("doc_id"))
   }
 
