@@ -49,6 +49,22 @@ object Listen {
     * watermark for state cleanup) — the streaming face of the batch
     * tumbling-window query (SparkEntry q38); same grouping columns, so a
     * backfill and the live stream produce union-compatible rows. */
+  /** Stream-stream join: headers and payloads arriving as SEPARATE feeds
+    * (the real network topology — the reference fetches the payload in a
+    * second round trip, Listen.hs:62-83) paired on payloadHash inside a
+    * watermark horizon. State holds only unmatched rows younger than the
+    * horizon on each side. */
+  def joinStreams(headers: DataFrame, payloads: DataFrame,
+                  horizon: String = "1 hour"): DataFrame = {
+    val h = headers.withWatermark("h_time", horizon)
+    val p = payloads.withWatermark("p_time", horizon)
+    h.join(p,
+      h("payloadHash") === p("payloadHash") &&
+        p("p_time").between(h("h_time") - org.apache.spark.sql.functions.expr(s"INTERVAL $horizon"),
+                            h("h_time") + org.apache.spark.sql.functions.expr(s"INTERVAL $horizon")),
+      "inner")
+  }
+
   /** Stream-static enrichment: decorate a live stream with a slowly
     * changing dimension (the streaming face of the J1 block-decoration
     * join). The static side re-reads per micro-batch, so dimension updates

@@ -68,6 +68,27 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs headers with late-arriving payloads") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ts = (h: Long) => new java.sql.Timestamp(3600000L * h)
+    val headers = MemoryStream[(String, java.sql.Timestamp)]
+    val payloads = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.Listen.joinStreams(
+        headers.toDF().toDF("payloadHash", "h_time"),
+        payloads.toDF().toDF("payloadHash", "p_time"))
+      .writeStream.format("memory").queryName("hp")
+      .outputMode("append").start()
+    try {
+      headers.addData(("ph1", ts(1000)), ("ph2", ts(1000)))
+      q.processAllAvailable()
+      assert(spark.table("hp").count() === 0) // payloads not here yet
+      payloads.addData(("ph1", ts(1000)))     // arrives one batch later
+      q.processAllAvailable()
+      assert(spark.table("hp").collect().map(_.getString(0)).toSeq === Seq("ph1"))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join decorates live rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
