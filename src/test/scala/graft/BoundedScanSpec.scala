@@ -75,6 +75,22 @@ class BoundedScanSpec extends AnyFunSuite {
     assert(pageAll(64, 13, Some(Continuation(None, 25))) === expected)
   }
 
+  test("no matching rows: pages drain the scan and end with None") {
+    var cont: Option[Continuation] = None
+    var first = true
+    var pages = 0
+    while (first || cont.isDefined) {
+      first = false
+      val (rows, next) = BoundedScan.performBoundedScan(
+        src, spec, col("event_type") === "no_such_type", 300, 10, cont)
+      assert(rows.isEmpty)
+      cont = next
+      pages += 1
+      assert(pages < 20)
+    }
+    assert(pages >= 3) // 1000 rows / 300 budget → several empty pages
+  }
+
   test("offset larger than match count yields empty result") {
     assert(pageAll(1000, 13, Some(Continuation(None, 1000000))) === Seq.empty)
   }
