@@ -76,6 +76,8 @@ object SparkEntry {
     "q56_unpivot"           -> (Corpus.q56Unpivot _),
     "q57_distinct_agg"      -> (Corpus.q57DistinctAgg _),
     "q58_holdout_except"    -> (Corpus.q58HoldoutExcept _),
+    "q59_dim_stats"         -> (Similarity.q59DimStats _),
+    "q60_quartiles"         -> (Corpus.q60Quartiles _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -284,5 +286,7 @@ object SparkEntry {
     "q56_unpivot"            -> Corpus.unpivotOracle,
     "q57_distinct_agg"       -> Corpus.distinctAggOracle,
     "q58_holdout_except"     -> Corpus.holdoutExceptOracle,
+    "q59_dim_stats"          -> Similarity.dimStatsOracle,
+    "q60_quartiles"          -> Corpus.quartilesOracle,
   )
 }

@@ -202,6 +202,27 @@ object Corpus {
       |      < (CASE WHEN lang = 'en' THEN '80' ELSE '20' END)
       |ORDER BY doc_id""".stripMargin
 
+  /** q60 — quartile assignment by doc length (curriculum bucketing):
+    * ntile over a total order (unique doc_id tiebreak makes both engines
+    * assign identical quartiles), then per-quartile stats. */
+  def q60Quartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy(col("quartile"))
+  }
+
+  val quartilesOracle: String =
+    """SELECT quartile, count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM (SELECT n_chars,
+      |        CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+      |      FROM documents)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val medianOracle: String =
     """SELECT lang, n_chars AS median_chars FROM (
       |  SELECT lang, n_chars, doc_id,

@@ -138,6 +138,28 @@ object Similarity {
        |  FROM sims)
        |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
 
+  /** q59 — per-dimension embedding statistics (feature-drift audit):
+    * posexplode fans each vector into (dim, value); the shuffle carries
+    * |dims| partial aggregates per task, never the vectors. Extremes are
+    * exact; the mean is rounded to 6dp for cross-engine agreement. */
+  def q59DimStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select((col("dim") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x")), 6).as("mean_x"),
+           min(col("x")).as("min_x"),
+           max(col("x")).as("max_x"))
+      .orderBy(col("dim"))
+
+  val dimStatsOracle: String =
+    """SELECT CAST(i AS BIGINT) AS dim,
+      |  round(avg(embedding[i]::DOUBLE), 6) AS mean_x,
+      |  min(embedding[i]::DOUBLE) AS min_x,
+      |  max(embedding[i]::DOUBLE) AS max_x
+      |FROM embeddings, generate_series(1, 64) AS g(i)
+      |GROUP BY i ORDER BY dim""".stripMargin
+
   private def annOracle(sameLabel: Boolean): String = {
     val labelCond = if (sameLabel) " AND n.label = q.label" else ""
     s"""WITH e AS (

@@ -25,6 +25,11 @@ object ScaleStress {
       val pairs = Dedup.q29LshNearDup(spark, "/tmp/stress_sf").count()
       println(f"run$i pairs=$pairs t=${(System.nanoTime()-t0)/1e9}%.1fs")
     }
+    val t1 = System.nanoTime()
+    val clusters = Dedup.q42DedupClusters(spark, "/tmp/stress_sf")
+    val nNodes = clusters.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    println(f"cc nodes=$nNodes clusters=$nClusters t=${(System.nanoTime()-t1)/1e9}%.1fs")
     spark.stop()
   }
 }
