@@ -105,13 +105,19 @@ object TextOps {
     val punctRatio = punct.cast("double") / length(col("text")).cast("double")
     val stopCnt = size(filter(t, x => x.isInCollection(stopwords)))
     val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    // Rounding goes through DECIMAL: double `round` half-cases split the
+    // engines (Spark half-up vs DuckDB half-even — bit us at sf0.1 where a
+    // quality value landed exactly on 0.5203125); both engines round
+    // DECIMAL half-away-from-zero.
+    def r6(c: Column): Column =
+      round(c.cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6).cast("double")
     tokenized(spark, dir).select(
       col("doc_id"),
       nTok.cast("long").as("n_tok"),
-      round(meanLen, 6).as("mean_tok_len"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(lit(2.0) * stopRatio - lit(3.0) * punctRatio + lit(0.05) * meanLen, 6)
+      r6(meanLen).as("mean_tok_len"),
+      r6(punctRatio).as("punct_ratio"),
+      r6(stopRatio).as("stop_ratio"),
+      r6(lit(2.0) * stopRatio - lit(3.0) * punctRatio + lit(0.05) * meanLen)
         .as("quality"))
       .orderBy(col("doc_id"))
   }
@@ -120,10 +126,10 @@ object TextOps {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"""SELECT doc_id,
        |  CAST(len(t) AS BIGINT) AS n_tok,
-       |  round(mean_raw, 6) AS mean_tok_len,
-       |  round(punct_raw, 6) AS punct_ratio,
-       |  round(stop_raw, 6) AS stop_ratio,
-       |  round(2.0*stop_raw - 3.0*punct_raw + 0.05*mean_raw, 6) AS quality
+       |  CAST(round(CAST(mean_raw AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_tok_len,
+       |  CAST(round(CAST(punct_raw AS DECIMAL(28,12)), 6) AS DOUBLE) AS punct_ratio,
+       |  CAST(round(CAST(stop_raw AS DECIMAL(28,12)), 6) AS DOUBLE) AS stop_ratio,
+       |  CAST(round(CAST(2.0*stop_raw - 3.0*punct_raw + 0.05*mean_raw AS DECIMAL(28,12)), 6) AS DOUBLE) AS quality
        |FROM (SELECT doc_id, t,
        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_raw,
        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_raw,
