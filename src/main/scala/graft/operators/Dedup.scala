@@ -109,8 +109,12 @@ object Dedup {
     // Shingle sets re-attach only for the (small) candidate set.
     val sh = sig.select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val jac = round(inter.cast("double") /
-      (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"), 6)
+    // decimal-rounded: i/union is an exact half at 6dp whenever the union
+    // divides 10^7 (e.g. 65/128) — same cross-engine trap as q35
+    val jac = round((inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -129,8 +133,9 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
-       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-       |          CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       |    CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |          CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |          AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
@@ -290,8 +295,9 @@ object Dedup {
        |pairs AS (
        |  SELECT doc_a, doc_b FROM (
        |    SELECT doc_a, doc_b,
-       |      round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       |      CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |            AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
        |    FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |  WHERE jaccard >= 0.5),
        |edges AS (
