@@ -89,6 +89,33 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState ledger: balances accumulate across batches") {
+    import spark.implicits._
+    import graft.streaming.Ledger
+    implicit val sc = spark.sqlContext
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ledger.Entry]
+    val q = Ledger.balances(input.toDS())
+      .writeStream.format("memory").queryName("ledger")
+      .outputMode("update").start()
+    try {
+      input.addData(Ledger.Entry("alice", 10.0), Ledger.Entry("alice", -3.0),
+                    Ledger.Entry("bob", 5.0))
+      q.processAllAvailable()
+      input.addData(Ledger.Entry("alice", 1.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each update row; take the last
+      // per account
+      val last = spark.table("ledger").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+      assert(last("alice") === ("alice", 8.0, 3L))
+      assert(last("bob") === ("bob", 5.0, 1L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join decorates live rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
