@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_holdout_except"    -> (Corpus.q58HoldoutExcept _),
     "q59_dim_stats"         -> (Similarity.q59DimStats _),
     "q60_quartiles"         -> (Corpus.q60Quartiles _),
+    "q61_weighted_sample"   -> (Corpus.q61WeightedSample _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -288,5 +289,6 @@ object SparkEntry {
     "q58_holdout_except"     -> Corpus.holdoutExceptOracle,
     "q59_dim_stats"          -> Similarity.dimStatsOracle,
     "q60_quartiles"          -> Corpus.quartilesOracle,
+    "q61_weighted_sample"    -> Corpus.weightedSampleOracle,
   )
 }

@@ -223,6 +223,29 @@ object Corpus {
       |      FROM documents)
       |GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** q61 — weighted (importance) sampling: acceptance probability grows
+    * with doc length (`min(n_chars/500, 1)`), gated by a 16-bit md5 hash —
+    * reproducible across engines, runs, and cluster sizes; no RNG state.
+    * This is the data-mixing knob a curation pipeline turns per source. */
+  def q61WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val w = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    Tables.documents(spark, dir)
+      .filter(h4.cast("double") / 65536.0 < w)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val weightedSampleOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE CAST(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)} AS DOUBLE) / 65536.0
+       |      < least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val medianOracle: String =
     """SELECT lang, n_chars AS median_chars FROM (
       |  SELECT lang, n_chars, doc_id,
