@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_dim_stats"         -> (Similarity.q59DimStats _),
     "q60_quartiles"         -> (Corpus.q60Quartiles _),
     "q61_weighted_sample"   -> (Corpus.q61WeightedSample _),
+    "q62_session_window"    -> (Sessionize.q62SessionWindow _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -290,5 +291,6 @@ object SparkEntry {
     "q59_dim_stats"          -> Similarity.dimStatsOracle,
     "q60_quartiles"          -> Corpus.quartilesOracle,
     "q61_weighted_sample"    -> Corpus.weightedSampleOracle,
+    "q62_session_window"     -> Sessionize.sessionWindowOracle,
   )
 }

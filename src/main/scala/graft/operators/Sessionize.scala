@@ -40,6 +40,38 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q62 — the same sessions via Spark's BUILT-IN `session_window`
+    * (merging windows in one aggregation, the shape Structured Streaming
+    * uses natively). The DuckDB oracle is the MANUAL lag/cumsum
+    * construction — so this query cross-validates the two definitions
+    * against each other (they agree except at exact-gap boundaries, which
+    * micro-precision timestamps make measure-zero). */
+  def q62SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowOracle: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL $GapSeconds SECOND
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM g)
+       |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+       |  count(*) AS n_events
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val sessionizeOracle: String =
     s"""WITH g AS (
        |  SELECT user_id, ts,
