@@ -42,6 +42,8 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   server.createContext("/stats", (ex: HttpExchange) => handle(ex)(stats))
   server.createContext("/txs/account", (ex: HttpExchange) =>
     handle(ex)(accountHistory(ex.getRequestURI.getPath)))
+  server.createContext("/txs/tx", (ex: HttpExchange) =>
+    handle(ex)(txDetail(ex.getRequestURI.getPath)))
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
@@ -98,6 +100,18 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
   }
 
+  /** `/txs/tx/<requestkey>` — detail lookup (Server.hs:408-441); returns
+    * ALL fork copies (`/txs/txs` semantics — the orphan-tolerant contract,
+    * Server.hs:462-482); a client wanting one picks the first. */
+  private def txDetail(path: String)(p: Map[String, String]): (String, Map[String, String]) = {
+    val dir = tablesDir.getOrElse(
+      throw new IllegalStateException("no ingested tables configured"))
+    val rk = java.net.URLDecoder.decode(
+      path.stripPrefix("/txs/tx/"), StandardCharsets.UTF_8)
+    val rows = graft.operators.TxDetail.lookup(spark, dir, rk).collect()
+    (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
+  }
+
   /** Top-10 recent (O4 — Server.hs:621-631). */
   private def recent(p: Map[String, String]): (String, Map[String, String]) =
     (events.orderBy(col("event_id").desc).limit(10).collect()
@@ -112,16 +126,19 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (s"""{"transactionCount":$n,"maxHeight":$maxId}""", Map.empty)
   }
 
+  private def valueJson(v: Any): String = v match {
+    case null                          => "null"
+    case s: String                     => Api.jstr(s)
+    case b: Boolean                    => b.toString
+    case n: java.lang.Number           => n.toString
+    case r: Row                        => rowJson(r)
+    case xs: scala.collection.Seq[_]   => xs.map(valueJson).mkString("[", ",", "]")
+    case other                         => Api.jstr(String.valueOf(other))
+  }
+
   private def rowJson(r: Row): String =
     r.schema.fields.zipWithIndex.map { case (f, i) =>
-      val v = r.get(i) match {
-        case null                  => "null"
-        case s: String             => Api.jstr(s)
-        case b: Boolean            => b.toString
-        case n: java.lang.Number   => n.toString
-        case other                 => Api.jstr(String.valueOf(other))
-      }
-      s"${Api.jstr(f.name)}:$v"
+      s"${Api.jstr(f.name)}:${valueJson(r.get(i))}"
     }.mkString("{", ",", "}")
 }
 

@@ -81,6 +81,11 @@ class ApiSpec extends AnyFunSuite {
       assert(resp.statusCode() === 200)
       assert(resp.body().contains("\"requestkey\":\"rk1\""))
       assert(resp.body().contains("\"to_acct\":\"eve\"")) // x-chain resolved
+
+      val det = get(s"http://localhost:${api.boundPort}/txs/tx/rk1")
+      assert(det.statusCode() === 200)
+      assert(det.body().contains("\"qualname\":\"coin.TRANSFER\"")) // nested events
+      assert(det.body().contains("\"pubkey\":\"pkA\""))             // nested signers
     } finally api.stop()
   }
 }
