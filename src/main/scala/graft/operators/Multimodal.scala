@@ -58,6 +58,32 @@ object Multimodal {
       }.toDF()
   }
 
+  /** RESIZE STUB — deterministic downscale plumbing: emits the target
+    * geometry and a payload "thumbnail" (byte stride sample standing in
+    * for the pixel resample). Real codec swaps only the byte math. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = math.max(1, targetW * targetH / 8)
+        val stride = math.max(1, payload.length / n)
+        // ??? real resample goes here ??? — stride sample keeps shape real
+        val thumb = payload.indices.by(stride).map(payload(_)).toArray
+        (id, targetW, targetH, thumb)
+      })
+      .toDF("doc_id", "width", "height", "thumb")
+  }
+
+  /** FRAME-SAMPLE STUB — for video-typed rows: one "frame" offset every
+    * 256 payload bytes (the batch shape of a real GOP/keyframe sampler:
+    * explode fan-out, offsets computed without touching frame content). */
+  def frameSample(media: DataFrame): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0L), length(col("payload")).cast("long"),
+                            lit(256L))).as(Seq("frame_idx", "byte_offset")))
+
   /** q39 — multimodal metadata + stub-decoded feature. Every column is
     * plain arithmetic/hash so the DuckDB oracle checks the whole pipeline
     * shape end-to-end. */

@@ -121,4 +121,18 @@ class IngestSpec extends AnyFunSuite {
     assert(mb > 0.0 && mb < 256.0)
     assert(feats.count() === media.count())
   }
+
+  test("multimodal resize + frame-sample plumbing") {
+    val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val thumbs = graft.operators.Multimodal.resizeStub(media, 8, 8).collect()
+    assert(thumbs.length === media.count())
+    assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").nonEmpty))
+    val frames = graft.operators.Multimodal.frameSample(media)
+    val f = frames.collect()
+    assert(f.nonEmpty)
+    // offsets are 256-strided from zero per doc
+    assert(f.filter(_.getAs[Long]("doc_id") == f.head.getAs[Long]("doc_id"))
+            .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("byte_offset")))
+            .forall { case (i, off) => off == 256L * i })
+  }
 }
