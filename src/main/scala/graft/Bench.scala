@@ -17,19 +17,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+    // Success tracked explicitly: a throwing query must not masquerade as a
+    // normal steady-state timing in the bench JSON.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Long, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      System.nanoTime() - t0
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (System.nanoTime() - t0, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
-      name -> run(fn) / 1e9         // steady-state
+      val (ns, ok) = run(fn)        // steady-state
+      (name, ns / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

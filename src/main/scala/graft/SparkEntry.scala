@@ -80,6 +80,10 @@ object SparkEntry {
     "q60_quartiles"         -> (Corpus.q60Quartiles _),
     "q61_weighted_sample"   -> (Corpus.q61WeightedSample _),
     "q62_session_window"    -> (Sessionize.q62SessionWindow _),
+    "q63_search_chain_code" -> (TxSearch.q63SearchChainCode _),
+    "q64_coin_supply"       -> (Coins.q64CoinSupply _),
+    "q65_resize_stub"       -> (Multimodal.q65ResizeStub _),
+    "q66_frame_sample"      -> (Multimodal.q66FrameSample _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -292,5 +296,9 @@ object SparkEntry {
     "q60_quartiles"          -> Corpus.quartilesOracle,
     "q61_weighted_sample"    -> Corpus.weightedSampleOracle,
     "q62_session_window"     -> Sessionize.sessionWindowOracle,
+    "q63_search_chain_code"  -> TxSearch.searchChainCodeOracle,
+    "q64_coin_supply"        -> Coins.coinSupplyOracle,
+    "q65_resize_stub"        -> Multimodal.resizeStubOracle,
+    "q66_frame_sample"       -> Multimodal.frameSampleOracle,
   )
 }

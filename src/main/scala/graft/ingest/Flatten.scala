@@ -58,6 +58,14 @@ object Flatten {
        |coinbase STRUCT<gas: BIGINT, status: STRING, events: ARRAY<$eventDDL>>
        |""".stripMargin)
 
+  /** Decode a little-endian base64url numeric hash field (target/weight —
+    * chainweb-api BytesLE) to its exact integer. Driver-side test/audit
+    * utility: the engine stores these 80-digit values as strings
+    * (SURVEY §7.3.3); the reference's own parser test decodes block-25's
+    * target this way (test/Chainweb/Data/Test/Parser.hs:28-57). */
+  def bytesLEToBigInt(b64url: String): BigInt =
+    BigInt(1, java.util.Base64.getUrlDecoder.decode(b64url).reverse)
+
   /** Parse a DataFrame with a `value` JSON string column of headers. */
   def parseHeaders(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), headerSchema).as("h")).select("h.*")
@@ -80,7 +88,13 @@ object Flatten {
     col("height"),
     col("hash"),
     col("parent"),
-    col("powHash").as("powhash"),
+    // PowHeader hex: the base64url hash decoded, BYTE-reversed (the hash is
+    // little-endian on the wire), lowercase-hex encoded (Worker.hs:128-129
+    // `asPow` = B16.encode . B.reverse). The pair-swap regexp after a char
+    // reverse is exactly a byte reverse of the hex string — all codegen'd
+    // string ops, no UDF.
+    lower(regexp_replace(reverse(hex(unbase64(translate(col("powHash"), "-_", "+/")))),
+                         "(.)(.)", "$2$1")).as("powhash"),
     col("payloadHash").as("payload"),
     col("target"),
     col("weight"),
@@ -143,7 +157,15 @@ object Flatten {
     ev.getField("params").as("params"))
 
   /** `events` — tx events plus coinbase events under the `'cb'` request-key
-    * sentinel (Common.hs:31-51; Lookups.hs:336-376). */
+    * sentinel (Common.hs:31-51; Lookups.hs:336-376).
+    *
+    * INTENTIONAL DIVERGENCE: coinbase events get their real position as
+    * `idx`, while the reference hardcodes idx=0 for every coinbase event
+    * (Lookups.hs `mkCoinbaseEvents` placeholder). Under the events PK
+    * (block, idx, requestkey) the reference's choice makes a multi-event
+    * coinbase collide and silently drop rows via ON CONFLICT DO NOTHING;
+    * positional idx preserves them. Strict byte parity with a
+    * reference-populated table would require `lit(0)` here. */
   def events(hp: DataFrame): DataFrame = {
     val txEv = hp
       .select(col("hash").as("block"), col("chainId").as("chainid"),
@@ -161,12 +183,17 @@ object Flatten {
   }
 
   /** `signers` — signer × sig zip by index (Lookups.hs:267-279): a single
-    * `posexplode(arrays_zip(...))` generator, no UDTF. */
+    * `posexplode(arrays_zip(...))` generator, no UDTF. `arrays_zip` pads the
+    * shorter array with nulls; the reference's `zipWith3` truncates to the
+    * shorter side — the null-side filter below restores exactly that
+    * semantics (a tx with mismatched signer/sig counts emits min(n,m) rows,
+    * no phantom null-pubkey/null-sig rows). */
   def signers(hp: DataFrame): DataFrame = hp
     .select(explode(col("transactions")).as("tx"))
     .select(col("tx.requestKey").as("requestkey"),
             posexplode(arrays_zip(col("tx.cmd.signers"), col("tx.sigs")))
               .as(Seq("idx", "z")))
+    .filter(col("z.signers").isNotNull && col("z.sigs").isNotNull)
     .select(
       col("requestkey"),
       col("idx").cast("int").as("idx"),

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Account transfer history — the reference's `/txs/account/<acct>`
@@ -11,16 +12,29 @@ import org.apache.spark.sql.functions._
   * Runs over the six tables produced by [[graft.ingest.Flatten]] /
   * [[graft.ingest.Upsert]]. Scale: the two account scans prune on the
   * account clustering (SURVEY §4 — two sorted projections mirroring the
-  * reference's two indexes); the events join for x-chain resolution is an
-  * equi-join on the (block, requestkey, idx) PK prefix, and blocks
-  * decoration joins on hash — both co-keyed with the transfer row, no
+  * reference's two indexes); the events joins for x-chain resolution are
+  * equi-joins on the (block, requestkey[, idx]) PK prefix, and blocks
+  * decoration joins on hash — all co-keyed with the transfer row, no
   * fan-out.
   */
 object AccountHistory {
 
+  private def unq(c: Column): Column = regexp_replace(c, "^\"|\"$", "")
+
   /** History rows for one account, newest first (height DESC, requestkey
     * DESC, idx ASC — Queries.hs:238-242), decorated with block time and
-    * x-chain target resolution for empty counterparty accounts. */
+    * x-chain resolution for empty counterparty accounts, covering BOTH
+    * directions of the reference's lateral (Queries.hs:291-339):
+    *   - outbound send (empty `to_acct`): the adjacent `coin.TRANSFER_XCHAIN`
+    *     event (same block+requestkey, idx-1) carries
+    *     [sender, receiver, amount, targetChain] (Queries.hs:308-317);
+    *   - inbound receive (empty `from_acct`): the `pact.X_RESUME` event of
+    *     the same tx (any idx) carries [sourceChain, 'coin.transfer-crosschain',
+    *     [sender, receiver, amount]] (Queries.hs:318-328).
+    * The reference's `UNION ALL … LIMIT 1` branch priority is reproduced by
+    * the outbound-first `coalesce`; the branches are disjoint in practice
+    * (a row has exactly one empty side).
+    */
   def transfersOf(spark: SparkSession, tableDir: String, account: String,
                   token: String = "coin"): DataFrame = {
     val transfers = spark.read.parquet(s"$tableDir/transfers")
@@ -33,27 +47,50 @@ object AccountHistory {
     val scans = transfers.filter(col("from_acct") === account)
       .unionAll(transfers.filter(col("to_acct") === account))
 
-    // J3 — the adjacent TRANSFER_XCHAIN event (same block+requestkey,
-    // idx-1) carries [sender, receiver, amount, targetChain] for an
-    // outbound x-chain send whose TRANSFER row has an empty to_acct
-    // (Queries.hs:291-339's lateral, as a plain left join).
-    val xchain = events
-      .filter(col("qualname").endsWith("TRANSFER_XCHAIN"))
-      .select(col("block"), col("requestkey"), (col("idx") + 1).as("idx"),
-              regexp_replace(element_at(col("params"), 2), "^\"|\"$", "")
-                .as("x_target"),
-              element_at(col("params"), 4).cast("long").as("x_chainid"))
+    // J3 branch 1 (outbound): TRANSFER_XCHAIN at idx-1 of the same tx.
+    val outbound = events
+      .filter(col("qualname") === "coin.TRANSFER_XCHAIN")
+      .select(col("block").as("o_block"), col("requestkey").as("o_rk"),
+              (col("idx") + 1).as("o_idx"),
+              unq(element_at(col("params"), 1)).as("o_from"),
+              unq(element_at(col("params"), 2)).as("o_target"),
+              unq(element_at(col("params"), 4)).cast("long").as("o_chainid"))
+
+    // J3 branch 2 (inbound): the tx's pact.X_RESUME event; params[2] is a
+    // nested JSON array [sender, receiver, amount]. One row per tx (the
+    // reference's LIMIT 1): first by event idx.
+    val iw = Window.partitionBy(col("i_block"), col("i_rk")).orderBy(col("idx"))
+    val inbound = events
+      .filter(col("qualname") === "pact.X_RESUME" &&
+              unq(element_at(col("params"), 2)) === "coin.transfer-crosschain")
+      .select(col("block").as("i_block"), col("requestkey").as("i_rk"), col("idx"),
+              get_json_object(element_at(col("params"), 3), "$[0]").as("i_source"),
+              get_json_object(element_at(col("params"), 3), "$[1]").as("i_target"),
+              unq(element_at(col("params"), 1)).cast("long").as("i_chainid"))
+      .withColumn("i_rn", row_number().over(iw))
+      .filter(col("i_rn") === 1)
+      .drop("idx", "i_rn")
 
     scans
       .join(blocks, "block")
-      .join(xchain, Seq("block", "requestkey", "idx"), "left")
+      .join(outbound,
+            col("block") === col("o_block") && col("requestkey") === col("o_rk") &&
+            col("idx") === col("o_idx") && col("to_acct") === "" &&
+            col("o_from") === col("from_acct"), "left")
+      .join(inbound,
+            col("block") === col("i_block") && col("requestkey") === col("i_rk") &&
+            col("from_acct") === "" && col("requestkey") =!= "cb" &&
+            col("i_target") === col("to_acct"), "left")
       .select(
         col("requestkey"), col("chainid"), col("height"), col("idx"),
-        col("from_acct"),
-        when(col("to_acct") === "" && col("x_target").isNotNull, col("x_target"))
+        when(col("from_acct") === "" && col("i_source").isNotNull, col("i_source"))
+          .otherwise(col("from_acct")).as("from_acct"),
+        when(col("to_acct") === "" && col("o_target").isNotNull, col("o_target"))
           .otherwise(col("to_acct")).as("to_acct"),
-        (col("to_acct") === "").as("cross_chain"),
-        col("x_chainid").as("target_chainid"),
+        // Flagged from the ORIGINAL columns: either empty side marks the
+        // row as a cross-chain leg (outbound send or inbound receive).
+        (col("to_acct") === "" || col("from_acct") === "").as("cross_chain"),
+        coalesce(col("o_chainid"), col("i_chainid")).as("target_chainid"),
         col("amount"), col("block_time"))
       .orderBy(col("height").desc, col("requestkey").desc, col("idx").asc)
   }

@@ -24,15 +24,13 @@ object AsOfJoin {
 
   /** Cumulative step schedule over `part` (stand-in for the reward CSV —
     * same shape: ordered key + cumulative decimal-exact sum rendered to
-    * double). The window is single-partition BY DESIGN: it runs over the
-    * dimension only. */
-  def steps(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("p_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.part(spark, dir).select(
-      col("p_partkey").as("k"),
-      Relational.asMoney(sum(Relational.dec(col("p_retailprice"))).over(w)).as("cum"))
-  }
+    * double), built with the distributed [[PrefixSum]] so even the step
+    * construction carries no single-partition window. */
+  def steps(spark: SparkSession, dir: String): DataFrame =
+    PrefixSum.withRunningSum(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice")),
+        "p_partkey", Relational.dec(col("p_retailprice")), "cum")
+      .select(col("p_partkey").as("k"), Relational.asMoney(col("cum")).as("cum"))
 
   /** q40 — for each event, the cumulative supply as of its probe key
     * (`lookupLE`): broadcast binary search over the sorted step table. */

@@ -60,4 +60,39 @@ object ContHistory {
               col("chain_code"))
       .orderBy(col("requestkey"))
   }
+
+  /** Generic first-non-null-code ancestor walk over ANY edge relation
+    * `nodes(id, parent, code)` — the abstract shape of the reference's
+    * recursive continuation CTE (Queries.hs:112-137): from every node with a
+    * null code and a parent, follow parent links until a node with code (or
+    * a root) is reached; return `(id, chain_code)`. In the real schema the
+    * walk self-terminates because exec txs have no `pactid` — the loop here
+    * terminates the same way (a resolved or parentless frontier row leaves
+    * the frontier), with per-iteration `localCheckpoint` lineage cuts. */
+  def resolveCode(nodes: DataFrame, maxDepth: Int = 25): DataFrame = {
+    val n = nodes.select(col("id"), col("parent"), col("code")).localCheckpoint()
+    var frontier = n.filter(col("code").isNull && col("parent").isNotNull)
+      .select(col("id").as("seed"), col("parent").as("cur"))
+      .localCheckpoint()
+    var resolved = frontier.filter(lit(false))
+      .select(col("seed"), lit(null).cast("string").as("chain_code"))
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      val stepped = frontier
+        .join(n.select(col("id").as("cur"), col("parent").as("p2"),
+                       col("code").as("c2")),
+              Seq("cur"), "left")
+        .localCheckpoint()
+      // terminal: found a code, or hit a root / dangling parent
+      resolved = resolved.unionByName(
+        stepped.filter(col("c2").isNotNull || col("p2").isNull)
+          .select(col("seed"), col("c2").as("chain_code")))
+        .localCheckpoint()
+      frontier = stepped.filter(col("c2").isNull && col("p2").isNotNull)
+        .select(col("seed"), col("p2").as("cur"))
+        .localCheckpoint()
+      d += 1
+    }
+    resolved
+  }
 }

@@ -240,7 +240,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
-    while (!converged && iters < 20) {
+    // 50 min-propagation rounds cover graph diameter ≤ 50 — far beyond any
+    // real near-dup cluster; if a pathological graph still hasn't converged
+    // we FAIL (wrong cluster labels must never be returned silently).
+    val MaxIters = 50
+    while (!converged && iters < MaxIters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("cluster")).as("nbr_min"))
@@ -255,6 +259,10 @@ object Dedup {
       labels = next
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $MaxIters rounds " +
+        "(graph diameter too large) — refusing to emit wrong cluster labels")
     labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

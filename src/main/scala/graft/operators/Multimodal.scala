@@ -108,6 +108,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q65 — the RESIZE stub, oracle-checked: runs the real
+    * [[resizeStub]] partition-parallel stage (target 32×32 → 128-byte
+    * stride sample of the payload) and renders the thumbnail as comparable
+    * scalars (length + unsigned byte sum). The DuckDB oracle recomputes the
+    * stride sample positionally — documents text is ASCII, so byte values
+    * equal codepoints. */
+  def q65ResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeStub(mediaTable(spark, dir), 32, 32)
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, thumb) =>
+        (id, w.toLong, h.toLong, thumb.length.toLong,
+         thumb.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }
+      .toDF("doc_id", "width", "height", "n_thumb", "thumb_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeStubOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+      |    greatest(1, octet_length(encode(text)) // 128) AS stride
+      |  FROM documents)
+      |SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |  CAST((len - 1) // stride + 1 AS BIGINT) AS n_thumb,
+      |  CAST((SELECT sum(ascii(substr(m.text, CAST(p AS INT), 1)))
+      |        FROM unnest(generate_series(1, len, stride)) AS t(p)) AS BIGINT)
+      |    AS thumb_sum
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q66 — the FRAME-SAMPLE stub, oracle-checked: one offset row per 256
+    * payload bytes for video-typed media (explode fan-out with no payload
+    * decode). */
+  def q66FrameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+              col("byte_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val frameSampleOracle: String =
+    """SELECT doc_id, off // 256 AS frame_idx, off AS byte_offset
+      |FROM (SELECT doc_id, octet_length(encode(text)) AS len
+      |      FROM documents WHERE doc_id % 3 = 2),
+      |     unnest(generate_series(0, len, 256)) AS t(off)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val multimodalOracle: String =
     """SELECT doc_id,
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed two-phase prefix sum (running total over a global key order)
+  * — the scale-safe replacement for `Window.orderBy` with no PARTITION BY,
+  * which funnels the whole relation through one task.
+  *
+  * Phase plan:
+  *   1. bucket rows by fixed-width key ranges (bounds from one tiny min/max
+  *      aggregate — deterministic, unlike `repartitionByRange` sampling);
+  *   2. per-bucket partial sums — a |buckets|-row aggregate collected to the
+  *      driver, turned into exclusive prefix offsets, broadcast back;
+  *   3. per-bucket running-sum window + broadcast offset — every bucket
+  *      windows in parallel; no single-partition exchange anywhere.
+  *
+  * All arithmetic is decimal-exact, so the result is bit-identical to the
+  * single-task window at any parallelism. Cost: two extra small jobs; at
+  * 100 TB the alternative is a one-task sort of the table, so this is the
+  * only shape that survives (the reference's analog is a 1,435-row driver
+  * loop — chainweb-data exec/Chainweb/Coins.hs:152-158 — which stays valid
+  * for dimensions; this operator covers fact-sized inputs too).
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = running sum of `value` in `keyCol` order. `keyCol` must
+    * be integral and unique per row; `value` must be decimal with scale ≤ 6
+    * (exactness contract shared with the DuckDB oracles). */
+  def withRunningSum(df: DataFrame, keyCol: String, value: Column,
+                     outCol: String, numBuckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val sumType = DecimalType(38, 6)
+    val stats = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+      .collect().head
+    if (stats.isNullAt(0))
+      return df.withColumn(outCol, lit(null).cast(sumType))
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (mx - mn) / numBuckets + 1)
+
+    val bucketed = df
+      .withColumn("__bucket", ((col(keyCol).cast("long") - mn) / width).cast("long"))
+      .withColumn("__v", value.cast(sumType))
+
+    // Exclusive prefix offsets over the per-bucket partials (driver-side:
+    // |buckets| rows, the same dimension-scale control loop the reference
+    // runs for its reward schedule).
+    val partials = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("__v")).cast(sumType).as("__bsum"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).sortBy(_._1)
+    var acc = java.math.BigDecimal.ZERO.setScale(6)
+    val offsets = partials.map { case (b, s) =>
+      val o = acc; acc = acc.add(s); Row(b, o)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1),
+      StructType(Seq(StructField("__bucket", LongType, nullable = false),
+                     StructField("__off", sumType))))
+
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offDf), Seq("__bucket"))
+      .withColumn(outCol, (col("__off") + sum(col("__v")).over(w)).cast(sumType))
+      .drop("__bucket", "__v", "__off")
+  }
+}

@@ -86,17 +86,17 @@ object Relational {
     Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
 
   /** Cumulative supply prefix-sum (A5 — Coins.hs:118-158): running total
-    * over an ordered dimension. Single-partition window is intentional and
-    * safe: the reference's reward schedule is a 1,435-row embedded CSV — a
-    * broadcast-scale dimension, never the fact table. */
-  def q21CumulativeSupply(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("p_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.part(spark, dir)
-      .select(col("p_partkey"),
-        asMoney(sum(dec(col("p_retailprice"))).over(w)).as("cum_supply"))
+    * over a global key order, via the distributed two-phase prefix sum
+    * ([[PrefixSum]]) — bucketed partials + broadcast offsets + per-bucket
+    * windows. No single-partition window anywhere, so the same program
+    * holds when the input is a fact table, not a dimension
+    * (ScaleSpec asserts the plan has no `Exchange SinglePartition`). */
+  def q21CumulativeSupply(spark: SparkSession, dir: String): DataFrame =
+    PrefixSum.withRunningSum(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice")),
+        "p_partkey", dec(col("p_retailprice")), "cum")
+      .select(col("p_partkey"), asMoney(col("cum")).as("cum_supply"))
       .orderBy(col("p_partkey"))
-  }
 
   /** Rich list top-K (A6/J6 — RichList.hs:95-103): sum balances per account,
     * take top 100. groupBy+orderBy+limit = partial agg, shuffle of |accounts|,

@@ -43,9 +43,12 @@ object Sessionize {
   /** q62 — the same sessions via Spark's BUILT-IN `session_window`
     * (merging windows in one aggregation, the shape Structured Streaming
     * uses natively). The DuckDB oracle is the MANUAL lag/cumsum
-    * construction — so this query cross-validates the two definitions
-    * against each other (they agree except at exact-gap boundaries, which
-    * micro-precision timestamps make measure-zero). */
+    * construction with a `>=` boundary — `session_window`'s window is
+    * `[start, start+gap)`, so an event at EXACTLY gap distance starts a new
+    * session; the oracle encodes that same strict boundary, making the two
+    * definitions agree on every input (not just gap-tie-free data). q41
+    * keeps the `>` boundary on both sides — the two queries pin down both
+    * conventions. */
   def q62SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds"))
@@ -59,7 +62,7 @@ object Sessionize {
     s"""WITH g AS (
        |  SELECT user_id, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |           OR ts - lag(ts) OVER w > INTERVAL $GapSeconds SECOND
+       |           OR ts - lag(ts) OVER w >= INTERVAL $GapSeconds SECOND
        |         THEN 1 ELSE 0 END AS is_new
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

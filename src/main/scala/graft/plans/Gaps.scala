@@ -47,4 +47,59 @@ object Gaps {
            genesis: Map[Long, Long], chunk: Int = RangePlan.ChunkSize): Seq[RangePlan.Range] =
     missingIntervals(blocks, chainCol, heightCol, genesis)
       .flatMap(r => RangePlan.descChunks(r.chainId, r.lo, r.hi, chunk))
+
+  /** Coinbase-gap detection on the EVENTS table — the `fill-events` job
+    * (chainweb-data exec/Chainweb/FillEvents.hs:98-124 `getCoinbaseGaps`):
+    * every block has a coinbase event, so a height absent from `events` is a
+    * missing-events block. Same W1 lead window, but over the DISTINCT
+    * (chain, height) pairs (events are many-per-height; dedup first keeps
+    * the window input at block grain — the reference's window over raw
+    * events tolerates duplicates because lead() skips equal heights with
+    * gap 0, ours prunes them up front, shuffling block-grain rows only).
+    * The per-chain prefix below `min(height)` down to `startingHeight` (the
+    * events activation height) is included, as in `addStart`
+    * (FillEvents.hs:110-118). Intervals here are INCLUSIVE [lo,hi] — the
+    * reference's triples are exclusive bounds `(a, b)` whose fetch loop
+    * nevertheless re-reads the boundary blocks (FillEvents.hs:81-84), so
+    * the filled block set is identical. */
+  def coinbaseGaps(events: DataFrame, chainCol: String, heightCol: String,
+                   startingHeight: Long): Seq[RangePlan.Range] = {
+    val perBlock = events
+      .select(col(chainCol).as("cid"), col(heightCol).as("h"))
+      .distinct()
+    missingIntervals(perBlock, "cid", "h",
+      genesis = perBlock.groupBy(col("cid")).agg(min(col("h")))
+        .collect().map(r => r.getLong(0) -> startingHeight).toMap)
+  }
+
+  /** Transfers backfill plan — `backfill-transfers`
+    * (chainweb-data exec/Chainweb/BackfillTransfers.hs:62-99): from the
+    * events activation height up to the HIGHEST per-chain `min(height)` of
+    * the transfers table, in descending ≤`chunk`-height windows (each
+    * window is one multi-chain insert transaction in the reference; here,
+    * one batch partition). Fails fast unless every chain has transfers
+    * rows (BackfillTransfers.hs:64-67 `checkMinHeights`), and reports the
+    * effective total of TRANSFER events to fill (progress denominator,
+    * BackfillTransfers.hs:151-152).
+    */
+  final case class TransfersBackfill(windows: Seq[(Long, Long)], effectiveTotal: Long)
+
+  def transfersBackfillPlan(transfers: DataFrame, events: DataFrame,
+                            activationHeight: Long, numChains: Int,
+                            chunk: Int = 200): TransfersBackfill = {
+    val mins = transfers.groupBy(col("chainid"))
+      .agg(min(col("height")).as("mn")).collect()
+    require(mins.length == numChains,
+      s"transfers table must have an entry for every chain id " +
+      s"(${mins.length}/$numChains present)")
+    val maxMin = mins.map(_.getLong(1)).max
+    // rangeToDescGroupsOf chunkSize activation maxMin (Types.hs:94-99)
+    val windows = RangePlan.descChunks(0L, activationHeight, maxMin, chunk)
+      .map(r => (r.lo, r.hi))
+    val total = events
+      .filter(col("height") >= activationHeight && col("height") <= maxMin &&
+              col("name") === "TRANSFER")
+      .count()
+    TransfersBackfill(windows, total)
+  }
 }

@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Maintenance {
 
-  final case class Report(gapChunks: Int, richlistRows: Long, totalSupply: java.math.BigDecimal)
+  final case class Report(gapChunks: Int, richlistRows: Long,
+                          totalSupply: java.math.BigDecimal,
+                          txCount: Long = 0L, maxHeight: Long = 0L,
+                          scheduleSupply: java.math.BigDecimal = java.math.BigDecimal.ZERO)
 
   /** Account balances from the transfers ledger: credits − debits.
     * Two |accounts|-sized aggregates + one outer join — no window over the
@@ -49,6 +52,19 @@ object Maintenance {
       .agg(coalesce(sum(col("amount")), lit(0).cast(DecimalType(38, 12))))
       .collect().head.getDecimal(0)
 
-    Report(plan.size, top.count(), supply)
+    // Stats cache for the serving tier (/stats O(1) — the reference's
+    // reltuples-estimate semantics: refreshed once per maintenance cycle,
+    // never computed per request). The schedule supply is the REAL
+    // embedded-CSV computation (Coins.hs:118-120) at the current top.
+    val txCount = spark.read.parquet(s"$tableDir/transactions").count()
+    val maxH = blocks.agg(coalesce(max(col("height")), lit(0L)))
+      .collect().head.getLong(0)
+    val schedule = graft.operators.Coins.circulatingCoins(maxH)
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/stats.json"),
+      s"""{"transactionCount":$txCount,"maxHeight":$maxH,"circulatingCoins":$schedule}""")
+
+    Report(plan.size, top.count(), supply, txCount, maxH, schedule)
   }
 }

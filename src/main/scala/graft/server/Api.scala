@@ -2,44 +2,74 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.Tables
+import graft.operators.{Coins, TxSearch}
 import graft.plans.BoundedScan
 import graft.plans.BoundedScan.{Continuation, CursorSpec}
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Query-serving layer — the reference's `server` mode
   * (chainweb-data exec/Chainweb/Server.hs) over the Spark engine:
   * search endpoints run [[BoundedScan.performBoundedScan]] with the
   * reference's per-request budgets (scanLimit 50 000, resultLimit ≤ 250,
-  * default 10 — Server.hs:317-319) and hand back a resumable continuation
-  * in the `Graft-Next` response header (the `Chainweb-Next` contract,
-  * Server.hs:239-246).
+  * default 10 — Server.hs:317-319), LOAD-ADAPTIVELY throttled
+  * (Server.hs:123-150: budgets scale by 1/max(1, inflight/3)), and hand
+  * back a resumable continuation in the `Graft-Next` response header (the
+  * `Chainweb-Next` contract, Server.hs:239-246).
   *
   * Zero dependencies: JDK `com.sun.net.httpserver` + hand-rolled JSON —
   * the serving tier is deliberately thin; all query semantics live in the
   * engine. Endpoints:
+  *   - `GET /txs/search?search=S[&limit=N&minheight=&maxheight=&next=TOK&offset=O]`
+  *     — bounded tx code search incl. continuation-history code
+  *     (Server.hs:295-332)
   *   - `GET /txs/events?search=S&limit=N[&next=TOK]` — bounded event search
-  *   - `GET /txs/recent`                             — top-10 by recency
-  *   - `GET /stats`                                  — row-count stats
+  *   - `GET /txs/account/<acct>` / `GET /txs/tx/<rk>` — history / detail
+  *   - `GET /txs/recent`  — top-10 by recency
+  *   - `GET /richlist`    — the maintenance-written CSV (Server.hs:212-218)
+  *   - `GET /coins`       — circulating supply (Server.hs:227-231)
+  *   - `GET /stats`       — cached O(1) stats (Server.hs:633-641 estimate
+  *     semantics: counts come from the maintenance pass, not a live scan)
   */
 class Api(spark: SparkSession, dataDir: String, port: Int,
-          tablesDir: Option[String] = None) {
-
-  private val SCAN_LIMIT = 50000  // Server.hs:317
-  private val MAX_LIMIT = 250     // Server.hs:318
-  private val DEFAULT_LIMIT = 10  // Server.hs:319
+          tablesDir: Option[String] = None,
+          maintDir: Option[String] = None,
+          debugHoldMs: Long = 0) {
 
   private val spec = CursorSpec(Seq("user_id" -> true, "event_id" -> true))
   private def events = Tables.events(spark, dataDir)
     .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
 
+  /** Tx-search source pinned ONCE per server instance — the Spark analog of
+    * the reference's REPEATABLE READ transaction around the two bounded-scan
+    * phases (Server.hs:322): every request phase reads the same snapshot.
+    * (`localCheckpoint` also materializes the continuation-chain join so
+    * requests don't re-run the iterative resolver.) */
+  private lazy val txSearchSrc: DataFrame =
+    TxSearch.source(spark, tablesDir.getOrElse(
+      throw new IllegalStateException("no ingested tables configured")))
+      .localCheckpoint()
+
+  private val txSpec = CursorSpec(Seq("height" -> true, "requestkey" -> true))
+
+  // --- Load-adaptive throttling (Server.hs:123-132): in-flight requests
+  //     stand in for pool contention; budgets scale by the same factor.
+  private val inFlight = new AtomicInteger(0)
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Concurrent executor so overlapping requests actually overlap (the JDK
+  // default is a single-threaded dispatch, which would hide throttling).
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+  server.createContext("/txs/search", (ex: HttpExchange) => handle(ex)(searchTxs))
   server.createContext("/txs/events", (ex: HttpExchange) => handle(ex)(searchEvents))
   server.createContext("/txs/recent", (ex: HttpExchange) => handle(ex)(recent))
   server.createContext("/stats", (ex: HttpExchange) => handle(ex)(stats))
+  server.createContext("/coins", (ex: HttpExchange) => handle(ex)(coins))
+  server.createContext("/richlist", (ex: HttpExchange) => handle(ex)(richlist))
   server.createContext("/txs/account", (ex: HttpExchange) =>
     handle(ex)(accountHistory(ex.getRequestURI.getPath)))
   server.createContext("/txs/tx", (ex: HttpExchange) =>
@@ -49,7 +79,8 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
 
-  private def handle(ex: HttpExchange)(f: Map[String, String] => (String, Map[String, String])): Unit =
+  private def handle(ex: HttpExchange)(f: Map[String, String] => (String, Map[String, String])): Unit = {
+    inFlight.incrementAndGet()
     try {
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.contains("="))
@@ -57,6 +88,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
           val Array(k, v) = kv.split("=", 2)
           k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
         }.toMap
+      if (debugHoldMs > 0) Thread.sleep(debugHoldMs) // test-only overlap window
       val (body, headers) = f(params)
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
@@ -71,18 +103,47 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
         ex.sendResponseHeaders(500, msg.length)
         ex.getResponseBody.write(msg)
         ex.close()
-    }
+    } finally inFlight.decrementAndGet()
+  }
+
+  /** Scaled per-request budgets: (scanLimit, maxResultLimit). */
+  private def budgets(): (Int, Int) = {
+    val f = Api.throttlingFactor(inFlight.get)
+    (math.ceil(Api.BaseScanLimit * f).toInt, math.ceil(Api.BaseMaxLimit * f).toInt)
+  }
+
+  private def continuation(p: Map[String, String]): Option[Continuation] =
+    p.get("next").map(BoundedScan.decodeToken)
+      .orElse(p.get("offset").map(o => Continuation(None, o.toLong)))
+
+  /** `/txs/search` — the reference's flagship search (Server.hs:295-332):
+    * LIKE over `coalesce(tx.code, contHistory.code)`, bounded-scan paging,
+    * `Graft-Next` continuation. */
+  private def searchTxs(p: Map[String, String]): (String, Map[String, String]) = {
+    val search = p.getOrElse("search",
+      throw new IllegalArgumentException("You must specify a search string"))
+    val (scanLimit, maxLimit) = budgets()
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    val src = TxSearch.heightRange(txSearchSrc,
+      p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+    val (rows, next) = BoundedScan.performBoundedScan(
+      src, txSpec, TxSearch.matchCol(search), scanLimit, limit, continuation(p))
+    val body = rows.map(rowJson).mkString("[", ",", "]")
+    (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
+           next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
+  }
 
   /** Bounded event search with keyset continuation (Server.hs:568-619's
     * evHandler shape). */
   private def searchEvents(p: Map[String, String]): (String, Map[String, String]) = {
     val search = p.getOrElse("search", "")
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(DEFAULT_LIMIT), MAX_LIMIT)
-    val cont = p.get("next").map(BoundedScan.decodeToken)
+    val (scanLimit, maxLimit) = budgets()
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
     val (rows, next) = BoundedScan.performBoundedScan(
-      events, spec, col("event_type").contains(search), SCAN_LIMIT, limit, cont)
+      events, spec, col("event_type").contains(search), scanLimit, limit, continuation(p))
     val body = rows.map(rowJson).mkString("[", ",", "]")
-    (body, next.map(c => Map("Graft-Next" -> BoundedScan.encodeToken(c))).getOrElse(Map.empty))
+    (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
+           next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
 
   /** `/txs/account/<acct>` — the marquee endpoint (Server.hs account
@@ -93,7 +154,8 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
       throw new IllegalStateException("no ingested tables configured"))
     val acct = java.net.URLDecoder.decode(
       path.stripPrefix("/txs/account/"), StandardCharsets.UTF_8)
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(DEFAULT_LIMIT), MAX_LIMIT)
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit),
+                         Api.BaseMaxLimit)
     val rows = graft.operators.AccountHistory
       .transfersOf(spark, dir, acct)
       .limit(limit).collect()
@@ -118,12 +180,57 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
        .map(rowJson).mkString("[", ",", "]"),
      Map.empty)
 
-  /** Table stats (A2/A4 — Server.hs:396-406,633-641; the count comes from
-    * parquet footer metadata, the same O(1)-ish estimate semantics). */
+  /** `/richlist` — serves the CSV the maintenance pass wrote
+    * (Server.hs:212-218: read the file, 404 when absent). */
+  private def richlist(p: Map[String, String]): (String, Map[String, String]) = {
+    val dir = maintDir.getOrElse(
+      throw new IllegalStateException("no maintenance output configured"))
+    val files = Option(new java.io.File(s"$dir/richlist").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+    require(files.nonEmpty, "richlist not generated yet")
+    val csv = files.sortBy(_.getName).map { f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    }.mkString
+    (s"""{"csv":${Api.jstr(csv)}}""", Map.empty)
+  }
+
+  /** `/coins` (Server.hs:227-231): mining rewards at the current max block
+    * height + allocations as of NOW — the real embedded schedules. */
+  private def coins(p: Map[String, String]): (String, Map[String, String]) = {
+    val h = maxHeight()
+    val now = p.get("asof").map(_.toLong) // pin for tests; default wall clock
+      .getOrElse(System.currentTimeMillis() / 1000)
+    (s"""{"height":$h,"circulatingCoins":${Coins.circulatingCoins(h, now)}}""",
+     Map.empty)
+  }
+
+  private def maxHeight(): Long = tablesDir match {
+    case Some(dir) =>
+      spark.read.parquet(s"$dir/blocks").agg(max(col("height")))
+        .collect().head.getLong(0)
+    case None =>
+      events.agg(max(col("event_id"))).collect().head.getLong(0)
+  }
+
+  /** Table stats (A2/A4 — Server.hs:396-406,633-641). The count is the
+    * reference's ESTIMATE semantics (`pg_class.reltuples`): served from the
+    * maintenance-pass cache when available — O(1), no scan, possibly stale
+    * by one maintenance cycle, exactly like reltuples — falling back to a
+    * live metadata count only when no cache exists. */
   private def stats(p: Map[String, String]): (String, Map[String, String]) = {
-    val n = events.count()
-    val maxId = events.agg(max(col("event_id"))).collect().head.getLong(0)
-    (s"""{"transactionCount":$n,"maxHeight":$maxId}""", Map.empty)
+    val cached = maintDir.flatMap { dir =>
+      val f = java.nio.file.Paths.get(s"$dir/stats.json")
+      if (java.nio.file.Files.exists(f))
+        Some(new String(java.nio.file.Files.readAllBytes(f), StandardCharsets.UTF_8))
+      else None
+    }
+    cached match {
+      case Some(json) => (json, Map.empty)
+      case None =>
+        val n = events.count()
+        val maxId = events.agg(max(col("event_id"))).collect().head.getLong(0)
+        (s"""{"transactionCount":$n,"maxHeight":$maxId}""", Map.empty)
+    }
   }
 
   private def valueJson(v: Any): String = v match {
@@ -143,6 +250,17 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
 }
 
 object Api {
+  val BaseScanLimit = 50000 // Server.hs:317
+  val BaseMaxLimit = 250    // Server.hs:318
+  val DefaultLimit = 10     // Server.hs:319
+
+  /** Server.hs:128-132 `throttlingFactor`: capacity of 3 concurrent
+    * requests before budgets degrade proportionally. */
+  def throttlingFactor(load: Int): Double = {
+    val loadPerCap = load.toDouble / 3
+    if (loadPerCap <= 1) 1.0 else 1.0 / loadPerCap
+  }
+
   private[server] def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"'          => "\\\""

@@ -61,6 +61,48 @@ class AccountHistorySpec extends AnyFunSuite {
     assert(ch.head.getAs[String]("chain_code").startsWith("(coin.transfer"))
   }
 
+  test("inbound x-chain receive resolves sender via pact.X_RESUME") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xresume").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1, Fixtures.header2).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1, Fixtures.payload2).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+
+    // eve's history: only the inbound receive — the outbound leg (rk3,
+    // to_acct='') indexes under ALICE, exactly like the reference's
+    // from/to_acct scans (the lateral only decorates, Queries.hs:251-270).
+    val hist = AccountHistory.transfersOf(spark, dir, "eve").collect()
+    assert(hist.map(_.getAs[String]("requestkey")).toSeq === Seq("rk4"))
+
+    val rk4 = hist(0) // inbound: from_acct was '', resolved via X_RESUME
+    assert(rk4.getAs[String]("from_acct") === "alice")
+    assert(rk4.getAs[String]("to_acct") === "eve")
+    assert(rk4.getAs[Boolean]("cross_chain"))
+    assert(rk4.getAs[Long]("target_chainid") === 0L) // source chain
+
+    // the outbound leg decorates in alice's history (resolved to eve)
+    val alice = AccountHistory.transfersOf(spark, dir, "alice").collect()
+    val rk3 = alice.find(_.getAs[String]("requestkey") == "rk3").get
+    assert(rk3.getAs[Boolean]("cross_chain"))
+    assert(rk3.getAs[String]("to_acct") === "eve")
+    assert(rk3.getAs[Long]("target_chainid") === 3L)
+
+    // signer/sig count mismatch truncates to the shorter side (zipWith3):
+    // rk4 has 2 signers but 1 sig -> exactly one row, no null phantoms.
+    val sg = spark.read.parquet(s"$dir/signers")
+      .filter($"requestkey" === "rk4").collect()
+    assert(sg.length === 1)
+    assert(sg.head.getAs[String]("pubkey") === "pkE")
+    assert(sg.head.getAs[String]("sig") === "sigE")
+
+    // pow-hash byte-reverse (Worker.hs:128-129): base64url "pow1" decodes
+    // to bytes a6 8c 35 -> reversed lowercase hex.
+    val ph = spark.read.parquet(s"$dir/blocks")
+      .filter($"hash" === "blk1").select("powhash").collect().head.getString(0)
+    assert(ph === "358ca6")
+  }
+
   test("schema check + maintenance pass over ingested tables") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_maint").toString

@@ -65,6 +65,131 @@ class ApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/txs/search pages a code search over ingested tables to completion") {
+    import spark.implicits._
+    import graft.ingest.{Flatten, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_search").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1, Fixtures.header2).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1, Fixtures.payload2).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+
+    val api = new Api(spark, sf, 0, tablesDir = Some(dir))
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // "coin.transfer" appears in rk1's code AND — via the continuation
+      // chain — in rk2/rk4 (conts with null code inherit the initiating
+      // exec's); rk3's code is "(coin.transfer-crosschain)". Everything
+      // matches; page with limit=1 to force Graft-Next continuations.
+      val keys = scala.collection.mutable.ArrayBuffer[String]()
+      var url = s"$base/txs/search?search=coin.transfer&limit=1"
+      var pages = 0
+      var done = false
+      while (!done) {
+        val resp = get(url)
+        assert(resp.statusCode() === 200)
+        """"requestkey":"(rk\d)"""".r.findAllMatchIn(resp.body())
+          .foreach(m => keys += m.group(1))
+        val next = resp.headers().firstValue("Graft-Next")
+        if (next.isPresent) {
+          url = s"$base/txs/search?search=coin.transfer&limit=1&next=${next.get}"
+          pages += 1
+          assert(pages < 20, "runaway pagination")
+        } else done = true
+      }
+      // cursor order: height DESC, requestkey DESC
+      assert(keys.toSeq === Seq("rk4", "rk3", "rk2", "rk1"))
+      assert(pages >= 3) // limit=1 forced one match per page
+
+      // continuation decoration on a cont row: rk2 chains to rk1
+      val one = get(s"$base/txs/search?search=coin.transfer%20%22alice%22&limit=10")
+      assert(one.statusCode() === 200)
+      assert(one.body().contains("\"requestkey\":\"rk2\"")) // matched via chain code
+      assert(one.body().contains("\"initial_code\":\"(coin.transfer"))
+
+      // height-range guard prunes to block 2 only
+      val ranged = get(s"$base/txs/search?search=coin&minheight=101")
+      assert(""""requestkey":"(rk\d)"""".r.findAllMatchIn(ranged.body())
+        .map(_.group(1)).toSet === Set("rk4"))
+
+      // missing search string → error (Server.hs:308 throw404)
+      assert(get(s"$base/txs/search?limit=5").statusCode() === 500)
+    } finally api.stop()
+  }
+
+  test("load-adaptive throttling scales scan budgets under concurrency") {
+    // pure factor math (Server.hs:128-132)
+    assert(Api.throttlingFactor(0) === 1.0)
+    assert(Api.throttlingFactor(3) === 1.0)
+    assert(Api.throttlingFactor(6) === 0.5)
+    assert(Api.throttlingFactor(30) === 0.1)
+
+    // end-to-end: 12 concurrent requests against a held handler must
+    // observe a reduced Graft-Scan-Limit on some request (debugHoldMs keeps
+    // all 12 in flight while budgets are computed).
+    val api = new Api(spark, sf, 0, debugHoldMs = 300)
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (1 to 12).map { _ =>
+        scala.concurrent.Future(get(s"$base/txs/events?search=click&limit=5"))
+      }
+      val resps = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      val limits = resps.map(_.headers().firstValue("Graft-Scan-Limit").get.toInt)
+      assert(limits.min < Api.BaseScanLimit, s"no throttling observed: $limits")
+      assert(limits.min >= math.ceil(Api.BaseScanLimit / 4.0).toInt) // 12 in flight → ≥ f(12)
+      resps.foreach(r => assert(r.statusCode() === 200))
+    } finally api.stop()
+  }
+
+  test("/richlist, /coins and cached /stats serve maintenance outputs") {
+    import spark.implicits._
+    import graft.ingest.{Flatten, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_maint").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_api_maint_out").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+    val rep = graft.plans.Maintenance.run(spark, dir, out, genesis = Map(0L -> 100L))
+    assert(rep.txCount === 3L)
+    assert(rep.maxHeight === 100L)
+    // rewards(100) = 100 * 23.045230769230769231 (first schedule segment),
+    // allocations(genesis+3000s) = 0 (before the first grant)
+    assert(rep.scheduleSupply.doubleValue ===
+      graft.operators.Coins.miningRewards(100L).doubleValue)
+
+    val api = new Api(spark, sf, 0, tablesDir = Some(dir), maintDir = Some(out))
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val rich = get(s"$base/richlist")
+      assert(rich.statusCode() === 200)
+      assert(rich.body().contains("bob")) // top balance holders present
+
+      val stats = get(s"$base/stats")
+      assert(stats.statusCode() === 200)
+      assert(stats.body().contains("\"transactionCount\":3"))
+      assert(stats.body().contains("\"maxHeight\":100"))
+      assert(stats.body().contains("circulatingCoins"))
+
+      // /coins pinned to a deterministic time: height 100, asof genesis+30d
+      val asof = graft.operators.Coins.GenesisEpochSec + 86400L * 30
+      val coins = get(s"$base/coins?asof=$asof")
+      assert(coins.statusCode() === 200)
+      assert(coins.body().contains("\"height\":100"))
+      val expected = graft.operators.Coins.circulatingCoins(100L, asof)
+      assert(coins.body().contains(expected.toString))
+    } finally api.stop()
+  }
+
   test("account history endpoint serves ingested tables with x-chain resolution") {
     import spark.implicits._
     import graft.ingest.{Flatten, Upsert}

@@ -51,4 +51,35 @@ object Fixtures {
 
   /** header+payload drop-zone envelope (streaming ingest input). */
   val envelope1: String = s"""{"header":$header1,"payload":$payload1}"""
+
+  /** Second block, on the TARGET chain of rk3's cross-chain send: the
+    * inbound receive (rk4, a continuation of rk3) whose TRANSFER has an
+    * empty `from_acct`, resolved via the tx's `pact.X_RESUME` event
+    * (Queries.hs:318-328 — params [sourceChain, 'coin.transfer-crosschain',
+    * [sender, receiver, amount]]). rk4 also carries a signer/sig COUNT
+    * MISMATCH (2 signers, 1 sig) to pin the zipWith3 truncation semantics
+    * (Lookups.hs:267-279). */
+  val header2 =
+    """{"chainId":3,"height":101,"hash":"blk2","parent":"blk1x",
+      |"creationTime":1600000200000000,"payloadHash":"ph2","nonce":"777",
+      |"target":"123","weight":"2","epochStart":1599999000000000,
+      |"featureFlags":0,"powHash":"pow2"}""".stripMargin.replaceAll("\n", "")
+
+  val payload2 =
+    """{"payloadHash":"ph2",
+      |"minerData":{"account":"miner2","publicKeys":["k3"]},
+      |"transactions":[
+      | {"requestKey":"rk4",
+      |  "cmd":{"payload":{"cont":{"pactId":"rk3","rollback":false,"step":1,"data":{},"proof":"pf2"}},
+      |         "signers":[{"pubKey":"pkE","scheme":"ED25519","caps":[]},{"pubKey":"pkF","scheme":"ED25519","caps":[]}],
+      |         "nonce":"n4",
+      |         "meta":{"chainId":"3","sender":"eve","gasLimit":500,"gasPrice":1.0e-5,"ttl":600,"creationTime":1600000200}},
+      |  "sigs":[{"sig":"sigE"}],
+      |  "result":{"gas":4,"status":"success","data":"ok","txId":10,"logs":"lh4","continuation":null,
+      |    "events":[
+      |      {"name":"X_RESUME","module":{"namespace":null,"name":"pact"},"moduleHash":"mh3","params":["0","coin.transfer-crosschain",["alice","eve","4.5"]]},
+      |      {"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["","eve",{"decimal":"4.5"}]}]}}],
+      |"coinbase":{"gas":0,"status":"success",
+      |  "events":[{"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["","miner2",0.98]}]}}
+      |""".stripMargin.replaceAll("\n", "")
 }

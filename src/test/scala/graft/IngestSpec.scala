@@ -135,4 +135,55 @@ class IngestSpec extends AnyFunSuite {
             .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("byte_offset")))
             .forall { case (i, off) => off == 256L * i })
   }
+
+  test("block-25 header: target decodes to the exact 77-digit integer") {
+    import spark.implicits._
+    // The reference's own parser fixture (test/Chainweb/Data/Test/Parser.hs:
+    // 28-57) — a real mainnet01 chain-0 height-25 header.
+    val block25 =
+      """{"creationTime":1572404750770821,
+        |"parent":"tn-ntdNtsYYcnBfoh819vJL9ldz-qkIXf4MDO6Kd-fw","height":25,
+        |"hash":"N50q51qAGwKqugD4rK5fyvDQI5-9X-t3lK3c9V8WJI8","chainId":0,
+        |"weight":"JwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA","featureFlags":0,
+        |"epochStart":1572404743031832,
+        |"payloadHash":"G5olU5tYfqU7FYXw99vyqEnURagZB-f2pL9ux7gwYks",
+        |"target":"_________________________________________x8",
+        |"nonce":"15652723681697760986"}""".stripMargin.replaceAll("\n", "")
+    val h = Flatten.parseHeaders(Seq(block25).toDF("value")).collect().head
+    // exactness preserved: the engine stores the base64url string verbatim
+    assert(h.getAs[String]("target") === "_________________________________________x8")
+    assert(Flatten.bytesLEToBigInt(h.getAs[String]("target")).toString ===
+      "14474011154664524427946373126085988481658748083205070504932198000989141204991")
+    assert(Flatten.bytesLEToBigInt(h.getAs[String]("weight")) === BigInt(39))
+    assert(h.getAs[Long]("creationTime") === 1572404750770821L)
+  }
+
+  test("migration ledger: ordered checksummed steps, prefix + mismatch rules") {
+    import graft.ingest.Migrations
+    import graft.ingest.Migrations.Step
+    val dir = Files.createTempDirectory("graft_migr").toString
+    var applied = List.empty[String]
+    def step(n: String, body: String) = Step(n, body, _ => applied ::= n)
+    val s1 = step("1.0_init", "create tables")
+    val s2 = step("1.1_add_idx", "cluster transfers by acct")
+
+    // fresh run applies everything, in order, and records the ledger
+    assert(Migrations.run(spark, dir, Seq(s1, s2)) === Right(Seq("1.0_init", "1.1_add_idx")))
+    assert(applied.reverse === List("1.0_init", "1.1_add_idx"))
+    // re-run: prefix matches, nothing to do
+    assert(Migrations.run(spark, dir, Seq(s1, s2)) === Right(Seq.empty))
+    // new step appended: only the suffix runs
+    val s3 = step("1.2_backfill", "backfill transfers")
+    assert(Migrations.check(dir, Seq(s1, s2, s3)) === Right(Seq("1.2_backfill")))
+    assert(Migrations.run(spark, dir, Seq(s1, s2, s3)) === Right(Seq("1.2_backfill")))
+    // tampered body → checksum mismatch (Migration.hs rule 3)
+    val bad = Migrations.check(dir, Seq(s1, step("1.1_add_idx", "DIFFERENT"), s3))
+    assert(bad.isLeft && bad.left.exists(_.contains("Checksum mismatch")))
+    // removed step → ledger no longer a prefix (rule 1)
+    val short = Migrations.check(dir, Seq(s1))
+    assert(short.isLeft && short.left.exists(_.contains("Unexpected migrations")))
+    // duplicate order refused (matchSteps duplicate rule)
+    val dup = Migrations.check(dir, Seq(s1, step("1.0_other", "x")))
+    assert(dup.isLeft && dup.left.exists(_.contains("Duplicate step order")))
+  }
 }

@@ -68,6 +68,39 @@ class PlanningSpec extends AnyFunSuite {
     assert(plan.flatMap(r => r.lo to r.hi).sorted === ((0L to 4L) ++ (11L to 13L)))
   }
 
+  test("coinbase gap detection over events (fill-events)") {
+    import spark.implicits._
+    // events at block grain: chain 0 heights {60,61,64,65} (hole 62-63,
+    // prefix 50-59 from the activation height), chain 1 complete from 50;
+    // multiple events per height must not fake gaps.
+    val ev = (Seq(60L, 60L, 61L, 64L, 65L).map((0L, _)) ++
+              (50L to 55L).map((1L, _))).toDF("chainid", "height")
+    val gaps = Gaps.coinbaseGaps(ev, "chainid", "height", startingHeight = 50L)
+    assert(gaps === Seq(Range(0, 50, 59), Range(0, 62, 63)))
+  }
+
+  test("transfers backfill plan: desc windows + effective total") {
+    import spark.implicits._
+    val transfers = Seq((0L, 700L), (0L, 800L), (1L, 650L)).toDF("chainid", "height")
+    val events = ((100L to 700L by 50).map(h => (0L, h, "TRANSFER")) ++
+                  Seq((0L, 120L, "MINT"), (1L, 500L, "TRANSFER")))
+      .toDF("chainid", "height", "name")
+    val plan = Gaps.transfersBackfillPlan(transfers, events,
+      activationHeight = 100L, numChains = 2, chunk = 200)
+    // maxMin = max(min per chain) = max(700, 650) = 700; windows cover
+    // [100, 700] descending, ≤200 heights each, newest first.
+    assert(plan.windows.head._2 === 700L)
+    assert(plan.windows.flatMap { case (lo, hi) => lo to hi }.sorted === (100L to 700L))
+    assert(plan.windows.forall { case (lo, hi) => hi - lo + 1 <= 200 })
+    // TRANSFER events in [100,700]: 13 on chain 0 + 1 on chain 1
+    assert(plan.effectiveTotal === 14L)
+    // missing chain coverage fails fast (BackfillTransfers.hs:64-67)
+    assertThrows[IllegalArgumentException] {
+      Gaps.transfersBackfillPlan(transfers.filter($"chainid" === 0L), events,
+        activationHeight = 100L, numChains = 2, chunk = 200)
+    }
+  }
+
   test("richlist: latest-per-key, deep balance JSON, top-N, csv sink") {
     import spark.implicits._
     val rows = Seq(
