@@ -2,8 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query steady-state seconds.
-  * Each query runs twice — the first pass pays codegen/JIT/file-listing
-  * warmup, the second is reported (what a long-running cluster job sees). */
+  * Each query runs three times — the first pass pays codegen/JIT/file-listing
+  * warmup, then the better of two measured passes is reported (what a
+  * long-running cluster job sees). Min-of-2 keeps the number a property of
+  * the QUERY, not of the host: single-run timings on this VM occasionally
+  * absorb a multi-second scheduler stall that moves to a different query on
+  * every invocation. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,8 +30,9 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
-      val (ns, ok) = run(fn)        // steady-state
-      (name, ns / 1e9, ok)
+      val (ns1, ok1) = run(fn)      // steady-state, best of two
+      val (ns2, ok2) = run(fn)
+      (name, math.min(ns1, ns2) / 1e9, ok1 && ok2)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -22,12 +22,16 @@ object ContHistory {
       .select(col("requestkey"), col("pactid"), col("code"))
       .localCheckpoint()
 
+    // One checkpoint (= one eager job) per round, on `stepped` only: the
+    // terminal rows and the next frontier are LAZY filters over that
+    // materialized round, and the `done` accumulator is a lazy union of
+    // those filters — halving the per-round scheduling round-trips (which
+    // dominate this latency-sensitive loop on a real cluster too).
     var frontier = tx.filter(col("pactid").isNotNull)
       .select(col("requestkey").as("seed"),
               array(struct(lit(0L).as("depth"), col("requestkey").as("rk"))).as("chain"),
               col("code").as("chain_code"),
               col("pactid").as("next"))
-      .localCheckpoint()
     var done = frontier.filter(lit(false))
 
     var d = 1
@@ -48,10 +52,8 @@ object ContHistory {
       done = done.select(col("seed"), col("chain"), col("chain_code"), col("next"))
         .unionByName(stepped.filter(col("next").isNull)
           .select(col("seed"), col("chain"), col("chain_code"), col("next")))
-        .localCheckpoint()
       frontier = stepped.filter(col("next").isNotNull)
         .select(col("seed"), col("chain"), col("chain_code"), col("next"))
-        .localCheckpoint()
       d += 1
     }
     done.unionByName(frontier) // any chain deeper than maxDepth, truncated
@@ -71,9 +73,10 @@ object ContHistory {
     * the frontier), with per-iteration `localCheckpoint` lineage cuts. */
   def resolveCode(nodes: DataFrame, maxDepth: Int = 25): DataFrame = {
     val n = nodes.select(col("id"), col("parent"), col("code")).localCheckpoint()
+    // Same one-job-per-round discipline as [[chains]]: only `stepped` is
+    // checkpointed; frontier and the resolved accumulator are lazy views.
     var frontier = n.filter(col("code").isNull && col("parent").isNotNull)
       .select(col("id").as("seed"), col("parent").as("cur"))
-      .localCheckpoint()
     var resolved = frontier.filter(lit(false))
       .select(col("seed"), lit(null).cast("string").as("chain_code"))
     var d = 0
@@ -87,10 +90,8 @@ object ContHistory {
       resolved = resolved.unionByName(
         stepped.filter(col("c2").isNotNull || col("p2").isNull)
           .select(col("seed"), col("c2").as("chain_code")))
-        .localCheckpoint()
       frontier = stepped.filter(col("c2").isNull && col("p2").isNotNull)
         .select(col("seed"), col("p2").as("cur"))
-        .localCheckpoint()
       d += 1
     }
     resolved
