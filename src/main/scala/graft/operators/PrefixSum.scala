@@ -41,7 +41,10 @@ object PrefixSum {
     val width = math.max(1L, (mx - mn) / numBuckets + 1)
 
     val bucketed = df
-      .withColumn("__bucket", ((col(keyCol).cast("long") - mn) / width).cast("long"))
+      // `div`, not `/`: Spark's `/` is double division, which would
+      // mis-bucket key deltas beyond 2^53 at full key-space scale.
+      .withColumn("__bucket",
+        expr(s"(CAST(`$keyCol` AS BIGINT) - ${mn}L) DIV ${width}L"))
       .withColumn("__v", value.cast(sumType))
 
     // Exclusive prefix offsets over the per-bucket partials (driver-side:
