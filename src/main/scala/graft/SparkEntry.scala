@@ -84,6 +84,9 @@ object SparkEntry {
     "q64_coin_supply"       -> (Coins.q64CoinSupply _),
     "q65_resize_stub"       -> (Multimodal.q65ResizeStub _),
     "q66_frame_sample"      -> (Multimodal.q66FrameSample _),
+    "q67_decontaminate"     -> (Corpus.q67Decontaminate _),
+    "q68_pack_sequences"    -> (Corpus.q68PackSequences _),
+    "q69_repetition_ratio"  -> (TextOps.q69RepetitionRatio _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -300,5 +303,8 @@ object SparkEntry {
     "q64_coin_supply"        -> Coins.coinSupplyOracle,
     "q65_resize_stub"        -> Multimodal.resizeStubOracle,
     "q66_frame_sample"       -> Multimodal.frameSampleOracle,
+    "q67_decontaminate"      -> Corpus.decontaminateOracle,
+    "q68_pack_sequences"     -> Corpus.packSequencesOracle,
+    "q69_repetition_ratio"   -> TextOps.repetitionOracle,
   )
 }

@@ -253,4 +253,100 @@ object Corpus {
       |    count(*) OVER (PARTITION BY lang) AS cnt
       |  FROM documents)
       |WHERE rn = CAST((cnt + 1) // 2 AS INT) ORDER BY lang""".stripMargin
+
+  /** q67 — n-gram decontamination JOIN (the scale path q45's substring scan
+    * can't take): which training docs share ≥ `MinCommon` distinct 3-gram
+    * shingles with which held-out/benchmark docs, and what fraction of the
+    * benchmark's shingles that overlap covers. This is the canonical
+    * pretraining-decontamination shape (exploded n-gram equi-join), and its
+    * 100 TB plan is dictated by the asymmetry of the two sides: the
+    * benchmark suite is tiny and FIXED, so its exploded (shingle → doc)
+    * relation is broadcast and the training corpus streams through a
+    * map-side hash probe — the train-side n-gram fan-out (the big relation)
+    * is never shuffled; only the matched pairs reach the one groupBy. A
+    * frequent "stop-gram" can skew the probe's OUTPUT, not an exchange —
+    * and the degenerate case (a shingle in every doc) is bounded by the
+    * broadcast side's size, not the corpus. */
+  val DecontamMinCommon = 5
+
+  def q67Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+      .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"),
+              explode(col("sh")).as("g"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("g"))
+    train.join(broadcast(eval), Seq("g"))
+      .groupBy(col("train_doc"), col("eval_doc"), col("n_eval"))
+      .agg(count(lit(1)).as("n_common"))   // shingles are distinct per doc
+      .filter(col("n_common") >= DecontamMinCommon)
+      .select(col("train_doc"), col("eval_doc"), col("n_common"),
+        round((col("n_common").cast("double") / col("n_eval").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double").as("overlap_frac"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${TextOps.duckShingles} AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |ev AS (SELECT doc_id AS eval_doc, len(s) AS n_eval, unnest(s) AS g
+       |       FROM sh WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id AS train_doc, unnest(s) AS g
+       |       FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT train_doc, eval_doc, count(*) AS n_common,
+       |  CAST(round(CAST(CAST(count(*) AS DOUBLE) / CAST(n_eval AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS overlap_frac
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY train_doc, eval_doc, n_eval
+       |HAVING count(*) >= $DecontamMinCommon
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** q68 — sequence packing ("concat then chunk", the standard pretraining
+    * layout): lay every doc's tokens end-to-end in doc_id order and cut
+    * fixed `SeqLen`-token training sequences; emit each doc's pack id,
+    * offset within the pack, and whether it straddles a boundary. The
+    * global running token count is [[PrefixSum]] — this query exercises the
+    * distributed two-phase prefix sum on a CORPUS-sized relation (the q21
+    * shape generalized off the dimension table), so packing survives at
+    * 100 TB where a single-task window would serialize. */
+  val PackSeqLen = 2048L
+
+  def q68PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    PrefixSum.withRunningSum(docs, "doc_id", col("n_tokens")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)), "cum")
+      .select(col("doc_id"), col("n_tokens"),
+              (col("cum").cast("long") - col("n_tokens")).as("start_offset"))
+      .withColumn("pack_id", expr(s"start_offset DIV $PackSeqLen"))
+      .withColumn("pos_in_pack", expr(s"start_offset % $PackSeqLen"))
+      .withColumn("straddles",
+        expr(s"(start_offset + n_tokens - 1) DIV $PackSeqLen") > col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  start_offset // $PackSeqLen AS pack_id,
+       |  start_offset % $PackSeqLen AS pos_in_pack,
+       |  (start_offset + n_tokens - 1) // $PackSeqLen > start_offset // $PackSeqLen
+       |    AS straddles
+       |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -192,4 +192,53 @@ object TextOps {
   val duckShingles: String =
     "list_distinct(list_transform(range(1, greatest(len(t)-1, 1)), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  /** q69 — repetition ratio (quality gate): the fraction of a doc's word
+    * trigrams that are repeats (`1 − distinct/total`) — high values flag
+    * boilerplate/spam. Like the other text ops this is a pure in-row
+    * column program (trigrams never explode into rows), so at 100 TB it is
+    * one codegen'd scan with NO shuffle — the contrast to q67's join is
+    * deliberate: repetition is per-doc, contamination is cross-doc. */
+  def q69RepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    // multiplicity-preserving trigram list (shingles3 is the distinct set)
+    val tri = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2), i =>
+        concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+                  element_at(col("t"), i + 2))))
+      .otherwise(typedLit(Array.empty[String]))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("tri", tri)
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct"),
+        when(size(col("tri")) > 0,
+          round((lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+                 size(col("tri")).cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+            .cast("double"))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH tri AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t)-1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         ELSE CAST([] AS VARCHAR[]) END AS tri
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |        FROM documents))
+      |SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(len(tri) AS BIGINT) AS n_trigrams,
+      |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(tri) > 0
+      |       THEN CAST(round(CAST(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) /
+      |                 CAST(len(tri) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |       ELSE 0.0 END AS rep_ratio
+      |FROM tri ORDER BY doc_id""".stripMargin
 }
