@@ -23,12 +23,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Success tracked explicitly: a throwing query must not masquerade as a
     // normal steady-state timing in the bench JSON.
+    // Per-run block-manager hygiene, OUTSIDE the timed window: queries cut
+    // lineage with localCheckpoint, whose blocks stay persisted until the
+    // ContextCleaner happens to run — across 69 queries × 3 runs the stale
+    // blocks + deferred cleanup land as multi-second stalls on whichever
+    // query is executing when they drain (q43 absorbed 3s in round 2's
+    // recording this way). Eager unpersist + GC isolates each run.
+    def clean(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      clean()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (System.nanoTime() - t0, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter (the driver never sets this; full-run
+    // methodology is unchanged): comma-separated query names to time.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
       val (ns1, ok1) = run(fn)      // steady-state, best of two
       val (ns2, ok2) = run(fn)

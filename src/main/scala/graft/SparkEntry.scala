@@ -87,6 +87,10 @@ object SparkEntry {
     "q67_decontaminate"     -> (Corpus.q67Decontaminate _),
     "q68_pack_sequences"    -> (Corpus.q68PackSequences _),
     "q69_repetition_ratio"  -> (TextOps.q69RepetitionRatio _),
+    "q70_tfidf_terms"       -> (Corpus.q70TfidfTerms _),
+    "q71_kmeans_iter"       -> (Similarity.q71KmeansIter _),
+    "q72_ann_hyperplane"    -> (Similarity.q72AnnHyperplane _),
+    "q73_bigram_lm"         -> (Corpus.q73BigramLm _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -306,5 +310,9 @@ object SparkEntry {
     "q67_decontaminate"      -> Corpus.decontaminateOracle,
     "q68_pack_sequences"     -> Corpus.packSequencesOracle,
     "q69_repetition_ratio"   -> TextOps.repetitionOracle,
+    "q70_tfidf_terms"        -> Corpus.tfidfOracle,
+    "q71_kmeans_iter"        -> Similarity.kmeansIterOracle,
+    "q72_ann_hyperplane"     -> Similarity.annHyperplaneOracle,
+    "q73_bigram_lm"          -> Corpus.bigramLmOracle,
   )
 }

@@ -332,6 +332,106 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** q70 — TF-IDF top terms per document. IDF is the LINEAR rarity ratio
+    * `N/df` (log-free): `ln` is not correctly-rounded in every libm, so a
+    * log-based score could round differently across engines — the ranking
+    * it induces per document is identical (log is monotone in N/df).
+    * Scale shape: one (doc_id, token) shuffle for TF, one token-keyed
+    * aggregate for DF, one token-keyed join to combine — the corpus text
+    * itself never moves twice. The DF side of the join is vocabulary-sized
+    * and skewed toward stop-words; AQE skew-join splitting covers it (and
+    * a min-df/stop-list filter is the standard escape hatch). N arrives
+    * via one control-plane count, the same dimension-scale driver loop as
+    * [[PrefixSum]]. */
+  def q70TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // control scalar: |corpus|
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val score = round(
+      ((col("tf").cast("double") * n.toDouble) / col("df").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+              score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+              col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(round(CAST((CAST(tf AS DOUBLE) * n) / CAST(df AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, rank, token, tf, df, score FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |              ORDER BY score DESC, token) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** q73 — bigram language model: the most likely continuation of every
+    * head word with the conditional probability `P(w2|w1) = c12/c1` — the
+    * n-gram-LM estimation pass a data pipeline runs for quality filtering
+    * and perplexity proxies. Two keyed shuffles: (w1,w2) counts, then the
+    * head-word totals as a window over the (already tiny) bigram relation
+    * — the exploded corpus feeds exactly one exchange. */
+  def q73BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(posexplode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+               element_at(col("t"), i + 1).as("w2")))).as(Seq("pos", "bg")))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val headW = Window.partitionBy(col("w1"))
+    val rankW = headW.orderBy(col("c12").desc, col("w2"))
+    counts
+      .withColumn("c1", sum(col("c12")).over(headW))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round((col("c12").cast("double") / col("c1").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double").as("p"))
+      .orderBy(col("w1"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH bg AS (
+      |  SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |             i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+      |    FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+      |    WHERE len(t) >= 2)),
+      |counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |tot AS (
+      |  SELECT *, sum(c12) OVER (PARTITION BY w1) AS c1,
+      |    row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rn
+      |  FROM counts)
+      |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(round(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS p
+      |FROM tot WHERE rn = 1 ORDER BY w1""".stripMargin
+
   val packSequencesOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,

@@ -160,6 +160,129 @@ object Similarity {
       |FROM embeddings, generate_series(1, 64) AS g(i)
       |GROUP BY i ORDER BY dim""".stripMargin
 
+  private val KMEANS_K = 8
+  private val DIMS = 64
+
+  /** q71 — one deterministic Lloyd (k-means) iteration over the embedding
+    * corpus: assign every vector to its nearest seed centroid (squared L2,
+    * rounded to 4dp before the argmin, seed-id tiebreak), then recompute
+    * per-cluster means. The canonical distributed k-means step:
+    *   - seeds (K rows) BROADCAST — the corpus never shuffles for
+    *     assignment; |a−b|² = |a|² + |b|² − 2a·b runs on the codegen'd
+    *     [[graft.functions.DotProduct]] kernel;
+    *   - the only exchange carries (cluster, dim, partial-sum) — K×dims
+    *     partial aggregates per task, not vectors.
+    * Iterating = re-running with the emitted centroids as the next seeds
+    * (the assignment subframe is the reusable operator). */
+  def q71KmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val seeds = e.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"),
+              col("nrm").as("sn"))
+    val d2 = round((col("nrm") + col("sn")) - lit(2.0) * dot(col("v"), col("sv")), 4)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster_id"), col("v"))
+    assigned
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), (col("dim") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+           round(avg(col("x").cast("double")), 6).as("c"))
+      .orderBy(col("cluster_id"), col("dim"))
+  }
+
+  val kmeansIterOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn
+       |          FROM e WHERE vec_id < $KMEANS_K),
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cluster_id, v FROM (
+       |    SELECT n.vec_id, s.seed_id, n.v,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round((n.nrm + s.sn) - 2.0 * list_dot_product(n.v, s.sv), 4),
+       |        s.seed_id) AS rn
+       |    FROM e n CROSS JOIN seeds s)
+       |  WHERE rn = 1)
+       |SELECT cluster_id, CAST(i AS BIGINT) AS dim,
+       |  count(*) AS n_members, round(avg(v[i]), 6) AS c
+       |FROM assigned, generate_series(1, $DIMS) AS g(i)
+       |GROUP BY cluster_id, i ORDER BY cluster_id, dim""".stripMargin
+
+  private val N_PLANES = 8
+
+  /** Fixed random hyperplanes for q72, derived from md5 so they are a
+    * reproducible constant (not engine math): component (j, i) is
+    * `nibble(md5("h<j>:<i>"), 1) − 7.5` — exactly representable halves in
+    * [−7.5, 7.5]. Embedded as literals in both the Spark plan and the
+    * oracle SQL. */
+  lazy val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until N_PLANES).map { j =>
+      (1 to DIMS).map { i =>
+        val h = mdig.digest(s"h$j:$i".getBytes("UTF-8"))
+        val nib = (h(0) >> 4) & 0xf
+        nib - 7.5
+      }
+    }
+  }
+
+  /** q72 — LSH-bucketed ANN (random-hyperplane signatures): every vector's
+    * bucket is the 8-bit sign pattern of its projections onto fixed random
+    * hyperplanes; a query probes ONLY its own bucket, then exact cosine
+    * top-k runs inside it. The scale complement to IVF (q33/q53): no
+    * trained quantizer, buckets are content-addressed, and at 100 TB the
+    * bucket id is the physical partition key so probing = partition
+    * pruning. Projections are rounded to 6dp before the sign test so both
+    * engines agree on every bucket bit. */
+  def q72AnnHyperplane(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val bucket = (0 until N_PLANES).map { j =>
+      val h = typedLit(hyperplanes(j))
+      val proj = aggregate(
+        zip_with(col("v"), h, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, p) => acc + p)
+      when(round(proj, 6) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    topK(b.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+  }
+
+  val annHyperplaneOracle: String = {
+    val planes = hyperplanes.map(p => p.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+    val bits = (0 until N_PLANES).map { j =>
+      s"""CASE WHEN round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |      i -> v[i] * hp[${j + 1}][i])), 6) >= 0
+         |    THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH hp AS (SELECT $planes AS hp),
+       |e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm, ($bits) AS bucket
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings) CROSS JOIN hp)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |    FROM e q JOIN e n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+       |    WHERE q.vec_id < $N_QUERIES))
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
+  }
+
   private def annOracle(sameLabel: Boolean): String = {
     val labelCond = if (sameLabel) " AND n.label = q.label" else ""
     s"""WITH e AS (

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Corpus, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 operators: TF-IDF, k-means iteration, hyperplane-LSH ANN,
+  * bigram LM. Correctness is oracle-checked by the driver; these tests pin
+  * the INVARIANTS and the plan shapes that make the operators scale. */
+class Round3Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q70 TF-IDF: ≤3 terms per doc, scores consistent with tf·N/df") {
+    val rows = Corpus.q70TfidfTerms(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, dir).count().toDouble
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      rs.foreach { r =>
+        val expect = BigDecimal(
+          r.getAs[Long]("tf").toDouble * n / r.getAs[Long]("df").toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("score") - expect) < 1e-9)
+      }
+    }
+  }
+
+  test("q71 k-means: assignment is broadcast (corpus never shuffled for it)") {
+    val df = Similarity.q71KmeansIter(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast seed join in:\n$plan")
+    val rows = df.collect()
+    // every emitted cluster covers all 64 dims with one consistent count
+    rows.groupBy(_.getAs[Long]("cluster_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("dim")).sorted.sameElements(1L to 64L))
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length === 1)
+    }
+    // total membership = corpus size
+    val total = rows.filter(_.getAs[Long]("dim") == 1L)
+      .map(_.getAs[Long]("n_members")).sum
+    assert(total === Tables.embeddings(spark, dir).count())
+  }
+
+  test("q72 hyperplane ANN: probes only same-bucket candidates, top-k ranked") {
+    val rows = Similarity.q72AnnHyperplane(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      // ranks ordered by similarity desc
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val plan = Similarity.q72AnnHyperplane(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast query-side join in:\n$plan")
+  }
+
+  test("q73 bigram LM: one continuation per head word, probabilities in (0,1]") {
+    val rows = Corpus.q73BigramLm(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val heads = rows.map(_.getAs[String]("w1"))
+    assert(heads.distinct.length === heads.length) // top-1 per head
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("c1"))
+      val p = r.getAs[Double]("p")
+      assert(p > 0 && p <= 1.0)
+    }
+  }
+
+  test("hyperplanes are the pinned md5-derived constants") {
+    // regression pin: the oracle SQL embeds these literals — a drift here
+    // would silently break the cross-engine agreement
+    val h = Similarity.hyperplanes
+    assert(h.length === 8 && h.forall(_.length === 64))
+    assert(h.flatten.forall(x => x >= -7.5 && x <= 7.5 && (x * 2) == (x * 2).round))
+  }
+}
