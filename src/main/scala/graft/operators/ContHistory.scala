@@ -34,8 +34,13 @@ object ContHistory {
               col("pactid").as("next"))
     var done = frontier.filter(lit(false))
 
+    // ONE job per round: the checkpoint is LAZY and the frontier-count
+    // aggregate is the action that materializes it — the count both drives
+    // the loop exit and pays for the lineage cut, so no separate
+    // `isEmpty`/checkpoint jobs remain.
     var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
+    var frontierLive = !frontier.isEmpty
+    while (d <= maxDepth && frontierLive) {
       val stepped = frontier
         .join(tx.select(col("requestkey").as("next"), col("pactid").as("p2"),
                         col("code").as("c2")),
@@ -48,12 +53,14 @@ object ContHistory {
                 coalesce(col("chain_code"), col("c2")).as("chain_code"),
                 col("p2").as("next"),
                 (col("c2").isNotNull || col("p2").isNotNull).as("found"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      val nFrontier = stepped.filter(col("next").isNotNull).count()
       done = done.select(col("seed"), col("chain"), col("chain_code"), col("next"))
         .unionByName(stepped.filter(col("next").isNull)
           .select(col("seed"), col("chain"), col("chain_code"), col("next")))
       frontier = stepped.filter(col("next").isNotNull)
         .select(col("seed"), col("chain"), col("chain_code"), col("next"))
+      frontierLive = nFrontier > 0
       d += 1
     }
     done.unionByName(frontier) // any chain deeper than maxDepth, truncated
@@ -79,19 +86,25 @@ object ContHistory {
       .select(col("id").as("seed"), col("parent").as("cur"))
     var resolved = frontier.filter(lit(false))
       .select(col("seed"), lit(null).cast("string").as("chain_code"))
+    // Same one-JOB-per-round fusion as [[chains]]: lazy checkpoint,
+    // materialized by the frontier-count action.
     var d = 0
-    while (d < maxDepth && !frontier.isEmpty) {
+    var frontierLive = !frontier.isEmpty
+    while (d < maxDepth && frontierLive) {
       val stepped = frontier
         .join(n.select(col("id").as("cur"), col("parent").as("p2"),
                        col("code").as("c2")),
               Seq("cur"), "left")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      val nFrontier = stepped
+        .filter(col("c2").isNull && col("p2").isNotNull).count()
       // terminal: found a code, or hit a root / dangling parent
       resolved = resolved.unionByName(
         stepped.filter(col("c2").isNotNull || col("p2").isNull)
           .select(col("seed"), col("c2").as("chain_code")))
       frontier = stepped.filter(col("c2").isNull && col("p2").isNotNull)
         .select(col("seed"), col("p2").as("cur"))
+      frontierLive = nFrontier > 0
       d += 1
     }
     resolved

@@ -248,11 +248,13 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("cluster")).as("nbr_min"))
+      // lazy checkpoint: the labelSum aggregate is the materializing action,
+      // so each round costs exactly one job
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
                 least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
                   .as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

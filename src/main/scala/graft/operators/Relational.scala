@@ -275,7 +275,10 @@ object Relational {
       frontier = frontier
         .join(edges, col("cur") === col("id"))
         .select(col("seed_event_id"), col("parent_id").as("cur"))
-        .localCheckpoint()
+        // lazy: the plan barrier exists immediately (no fixpoint blowup);
+        // the blocks materialize inside the one final job instead of one
+        // eager job per level
+        .localCheckpoint(eager = false)
       val level = frontier.select(col("seed_event_id"), lit(d).as("depth"),
                                   col("cur").as("ancestor_id"))
       out = if (out == null) level else out.unionAll(level)
