@@ -60,6 +60,40 @@ object TextHashUtil {
     new GenericArrayData(
       shingleStrings(text.toString).map(UTF8String.fromString(_): Any))
 
+  /** 16-bit SimHash over the multiplicity-preserving token md5s — the
+    * kernel form of q30's declarative program (16 nibble-bit votes per
+    * token hash, bit b set iff its vote sum is positive; bit order
+    * MSB-first: bit b contributes `1 << (15-b)`). One md5 per token, one
+    * pass, instead of 16 interpreted `aggregate` HOFs per row. */
+  def simhash16(text: UTF8String): Long = {
+    val t = text.toString.toLowerCase(Locale.ROOT).split("\\s+", -1)
+    val votes = new Array[Int](16)
+    var j = 0
+    while (j < t.length) {
+      val h = md5Hex(t(j))
+      var b = 0
+      while (b < 16) {
+        val nib = Character.digit(h.charAt(b / 4), 16)
+        val bit = (b % 4: @annotation.switch) match {
+          case 0 => nib >= 8
+          case 1 => nib % 8 >= 4
+          case 2 => nib % 4 >= 2
+          case _ => nib % 2 == 1
+        }
+        votes(b) += (if (bit) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) out |= 1L << (15 - b)
+      b += 1
+    }
+    out
+  }
+
   def minhash(text: UTF8String, k: Int): ArrayData = {
     val sh = shingleStrings(text.toString)
     val mins = new Array[String](k)
@@ -94,6 +128,25 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextHashUtil.shingles($t)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(text)` → BIGINT: 16-bit SimHash of the token stream. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_simhash expects STRING")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashUtil.simhash16(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashUtil.simhash16($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
 

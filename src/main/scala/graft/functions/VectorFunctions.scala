@@ -88,6 +88,8 @@ object VectorFunctions {
       "graft_shingles", exprs => ShingleSet(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash16(exprs(0)), "built-in")
   }
 }
 
@@ -107,5 +109,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash16(exprs(0))))
   }
 }

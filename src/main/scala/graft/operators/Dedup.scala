@@ -139,10 +139,24 @@ object Dedup {
        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity).
-    * Nibble values come from `conv(hex,16,10)` on the Spark side and
-    * `strpos('0123456789abcdef', …)-1` in DuckDB — same integer. */
+  /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity),
+    * via the codegen'd [[graft.functions.SimHash16]] kernel: one compiled
+    * call per row instead of 16 interpreted `aggregate` HOF passes over
+    * the token-hash array. [[q30SimhashDeclarative]] keeps the pure
+    * column-program form; DedupSpec asserts kernel ≡ declarative. */
   def q30Simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              call_function("graft_simhash", col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The declarative (built-ins only) SimHash — semantics reference for
+    * the kernel. Nibble values come from `conv(hex,16,10)` on the Spark
+    * side and `strpos('0123456789abcdef', …)-1` in DuckDB — same
+    * integer. */
+  def q30SimhashDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val hashes = transform(col("t"), tok => md5(tok))
     def bitOf(h: Column, b: Int): Column = {
       val nib = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")

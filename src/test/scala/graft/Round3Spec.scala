@@ -81,6 +81,17 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("q30 simhash kernel ≡ declarative column program") {
+    val dir2 = "/root/testdata/sf0.001"
+    val kern = graft.operators.Dedup.q30Simhash(spark, dir2).collect()
+    val decl = graft.operators.Dedup.q30SimhashDeclarative(spark, dir2).collect()
+    assert(kern.length === decl.length && kern.nonEmpty)
+    kern.zip(decl).foreach { case (a, b) =>
+      assert(a.getAs[Long]("doc_id") === b.getAs[Long]("doc_id"))
+      assert(a.getAs[Long]("simhash") === b.getAs[Long]("simhash"))
+    }
+  }
+
   test("hyperplanes are the pinned md5-derived constants") {
     // regression pin: the oracle SQL embeds these literals — a drift here
     // would silently break the cross-engine agreement
