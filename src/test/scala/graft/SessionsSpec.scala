@@ -68,6 +68,33 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup: same-bucket docs surface against the anchor") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ts = (h: Long) => new java.sql.Timestamp(3600000L * h)
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val uniq = "completely different content with no overlap whatsoever here at all"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.NearDup.nearDupStream(
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // batch 1: the anchor + an unrelated doc — nothing emitted
+      input.addData((1L, dup, ts(1000)), (2L, uniq, ts(1000)))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() === 0)
+
+      // batch 2: an exact near-dup arrives later → candidates against doc 1
+      input.addData((3L, dup, ts(1001)))
+      q.processAllAvailable()
+      val cands = spark.table("neardup")
+        .select("doc_id", "anchor_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands === Set((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs headers with late-arriving payloads") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
