@@ -204,11 +204,34 @@ object Corpus {
 
   /** q60 — quartile assignment by doc length (curriculum bucketing):
     * ntile over a total order (unique doc_id tiebreak makes both engines
-    * assign identical quartiles), then per-quartile stats. */
+    * assign identical quartiles), then per-quartile stats.
+    *
+    * Scale shape: built-in `ntile` needs a NO-PARTITION window — the whole
+    * corpus through one task (the q21 scale-killer shape). Instead the
+    * global rank comes from the distributed two-phase [[PrefixSum]]
+    * (running count over a packed (n_chars, doc_id) order key), and ntile's
+    * tile assignment is its closed form over (rank, N): the first `N mod k`
+    * tiles take `N div k + 1` rows, the rest `N div k` — integer math,
+    * bit-identical to the oracle's ntile at any parallelism. Contract: the
+    * packed key needs doc_id < 10^12 (the loader's id space); a wider id
+    * would use a two-column range key instead. */
   def q60Quartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val n = docs.count() // control scalar, pairs with PrefixSum's min/max job
+    val packed = docs.withColumn("__k",
+      col("n_chars").cast("long") * lit(1000000000000L) + col("doc_id"))
+    val ranked = PrefixSum.withRunningSum(
+      packed, "__k", lit(1).cast(org.apache.spark.sql.types.DecimalType(38, 6)), "__rnk")
+      .withColumn("r", col("__rnk").cast("long"))
+    val qd = n / 4; val rem = n % 4; val thresh = rem * (qd + 1)
+    // ceil(a/b) over positive longs = (a + b - 1) DIV b — integer DIV, not
+    // `/` (double division mis-assigns past 2^53)
+    val quartile =
+      if (qd == 0) col("r") // fewer rows than tiles: rank = tile (ntile def)
+      else when(col("r") <= thresh, expr(s"(r + ${qd}L) DIV ${qd + 1}L"))
+        .otherwise(lit(rem) + expr(s"(r - ${thresh}L + ${qd - 1}L) DIV ${qd}L"))
+    ranked
+      .withColumn("quartile", quartile.cast("long"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
            min(col("n_chars")).as("min_chars"),

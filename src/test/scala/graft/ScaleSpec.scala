@@ -60,6 +60,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "expected per-bucket window in q21 plan")
   }
 
+  test("q60 distributed ntile plans without a single-partition exchange") {
+    // same scale contract as q21: the corpus-wide quartile assignment must
+    // come from the two-phase prefix rank, never a no-partition ntile window
+    val df = graft.operators.Corpus.q60Quartiles(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q60 plan:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
