@@ -34,4 +34,14 @@ object TxDetail {
       .join(signers, Seq("requestkey"), "left")
       .orderBy(col("block"))
   }
+
+  /** The single-row `/txs/tx` choice among fork copies: successful result
+    * first, then highest block (Server.hs:449-460's
+    * `ORDER BY (goodresult IS NOT NULL) DESC, height DESC LIMIT 1` — the
+    * O5 ordering applied to the detail row). */
+  def lookupOne(spark: SparkSession, tableDir: String, requestkey: String): DataFrame =
+    lookup(spark, tableDir, requestkey)
+      .orderBy(col("goodresult").isNotNull.desc, col("height").desc,
+               col("block"))
+      .limit(1)
 }

@@ -72,8 +72,10 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   server.createContext("/richlist", (ex: HttpExchange) => handle(ex)(richlist))
   server.createContext("/txs/account", (ex: HttpExchange) =>
     handle(ex)(accountHistory(ex.getRequestURI.getPath)))
+  server.createContext("/txs/txs", (ex: HttpExchange) =>
+    handle(ex)(txDetail(ex.getRequestURI.getPath, "/txs/txs/", one = false)))
   server.createContext("/txs/tx", (ex: HttpExchange) =>
-    handle(ex)(txDetail(ex.getRequestURI.getPath)))
+    handle(ex)(txDetail(ex.getRequestURI.getPath, "/txs/tx/", one = true)))
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
@@ -162,15 +164,18 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
   }
 
-  /** `/txs/tx/<requestkey>` — detail lookup (Server.hs:408-441); returns
-    * ALL fork copies (`/txs/txs` semantics — the orphan-tolerant contract,
-    * Server.hs:462-482); a client wanting one picks the first. */
-  private def txDetail(path: String)(p: Map[String, String]): (String, Map[String, String]) = {
+  /** `/txs/tx/<rk>` (one row, success-first pick — Server.hs:449-460) and
+    * `/txs/txs/<rk>` (ALL fork copies — the orphan-tolerant contract,
+    * Server.hs:462-482). */
+  private def txDetail(path: String, prefix: String, one: Boolean)
+                      (p: Map[String, String]): (String, Map[String, String]) = {
     val dir = tablesDir.getOrElse(
       throw new IllegalStateException("no ingested tables configured"))
     val rk = java.net.URLDecoder.decode(
-      path.stripPrefix("/txs/tx/"), StandardCharsets.UTF_8)
-    val rows = graft.operators.TxDetail.lookup(spark, dir, rk).collect()
+      path.stripPrefix(prefix), StandardCharsets.UTF_8)
+    val rows =
+      (if (one) graft.operators.TxDetail.lookupOne(spark, dir, rk)
+       else graft.operators.TxDetail.lookup(spark, dir, rk)).collect()
     (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
   }
 

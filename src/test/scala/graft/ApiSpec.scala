@@ -211,6 +211,13 @@ class ApiSpec extends AnyFunSuite {
       assert(det.statusCode() === 200)
       assert(det.body().contains("\"qualname\":\"coin.TRANSFER\"")) // nested events
       assert(det.body().contains("\"pubkey\":\"pkA\""))             // nested signers
+      // /txs/tx returns exactly one row even though the contract tolerates
+      // fork copies; /txs/txs returns the full (here: identical) set
+      assert(det.body().count(_ == '{') >= 1)
+      assert(det.body().startsWith("[") && !det.body().contains("},{\"chainid"))
+      val all = get(s"http://localhost:${api.boundPort}/txs/txs/rk1")
+      assert(all.statusCode() === 200)
+      assert(all.body().contains("\"requestkey\":\"rk1\""))
     } finally api.stop()
   }
 }
