@@ -91,6 +91,8 @@ object SparkEntry {
     "q71_kmeans_iter"       -> (Similarity.q71KmeansIter _),
     "q72_ann_hyperplane"    -> (Similarity.q72AnnHyperplane _),
     "q73_bigram_lm"         -> (Corpus.q73BigramLm _),
+    "q74_dedup_apply"       -> (Dedup.q74DedupApply _),
+    "q75_mixture_target"    -> (Corpus.q75MixtureTarget _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -314,5 +316,7 @@ object SparkEntry {
     "q71_kmeans_iter"        -> Similarity.kmeansIterOracle,
     "q72_ann_hyperplane"     -> Similarity.annHyperplaneOracle,
     "q73_bigram_lm"          -> Corpus.bigramLmOracle,
+    "q74_dedup_apply"        -> Dedup.dedupApplyOracle,
+    "q75_mixture_target"     -> Corpus.mixtureTargetOracle,
   )
 }

@@ -38,8 +38,11 @@ object ContHistory {
     // aggregate is the action that materializes it — the count both drives
     // the loop exit and pays for the lineage cut, so no separate
     // `isEmpty`/checkpoint jobs remain.
+    // frontierLive starts true without an isEmpty probe: a first round over
+    // an empty frontier costs what the probe itself would (a near-empty
+    // join job), so the probe is pure overhead.
     var d = 1
-    var frontierLive = !frontier.isEmpty
+    var frontierLive = true
     while (d <= maxDepth && frontierLive) {
       val stepped = frontier
         .join(tx.select(col("requestkey").as("next"), col("pactid").as("p2"),
@@ -89,7 +92,7 @@ object ContHistory {
     // Same one-JOB-per-round fusion as [[chains]]: lazy checkpoint,
     // materialized by the frontier-count action.
     var d = 0
-    var frontierLive = !frontier.isEmpty
+    var frontierLive = true // see [[chains]]: no isEmpty probe
     while (d < maxDepth && frontierLive) {
       val stepped = frontier
         .join(n.select(col("id").as("cur"), col("parent").as("p2"),

@@ -455,6 +455,53 @@ object Corpus {
       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS p
       |FROM tot WHERE rn = 1 ORDER BY w1""".stripMargin
 
+  /** q75 — mixture-TARGETING sampler: q47 measures the mixture, q61
+    * samples by importance; this op RESAMPLES the corpus toward target
+    * language weights (en 50%, every other language 12.5%) — the knob a
+    * pretraining run turns to hit a data recipe. Acceptance rate per
+    * stratum = min(1, target·N / n_lang) (downsampling only — a rate is a
+    * probability), rounded to 6dp through DECIMAL before the md5 hash
+    * gate so every engine and every cluster size makes the same
+    * keep/drop decision per document. Shape: one |langs| aggregate, a
+    * broadcast of the rate table, one gated scan — the corpus is read
+    * once and never shuffled. */
+  def q75MixtureTarget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // control scalar (|corpus|)
+    val target = when(col("lang") === "en", 0.5).otherwise(0.125)
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("rate",
+        least(lit(1.0), round(((target * n.toDouble) / col("n_src").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double")))
+    val h4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("accept", h4.cast("double") / 65536.0 < col("rate"))
+      .groupBy(col("lang"), col("n_src"), col("rate"))
+      .agg(sum(when(col("accept"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureTargetOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH c AS (SELECT lang, count(*) AS n_src FROM documents GROUP BY lang),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |r AS (
+       |  SELECT lang, n_src,
+       |    least(1.0, CAST(round(CAST(
+       |      ((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.125 END) * n) / CAST(n_src AS DOUBLE)
+       |      AS DECIMAL(28,12)), 6) AS DOUBLE)) AS rate
+       |  FROM c CROSS JOIN n)
+       |SELECT lang, n_src, rate,
+       |  CAST(sum(CASE WHEN CAST(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)} AS DOUBLE) / 65536.0 < rate
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents JOIN r USING (lang)
+       |GROUP BY lang, n_src, rate ORDER BY lang""".stripMargin
+  }
+
   val packSequencesOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,

@@ -308,8 +308,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $duckSignatures,
+  /** Shared CTE chain: signatures → bands → candidates → verified pairs →
+    * bidirectional edges → transitive reach (consumed by the q42 and q74
+    * oracles). */
+  private val clusterCtes: String =
+    s"""$duckSignatures,
        |bands AS (
        |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
        |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
@@ -330,9 +333,43 @@ object Dedup {
        |reach AS (
        |  SELECT src AS node, src AS m FROM edges
        |  UNION
-       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT node AS doc_id, min(m) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** q74 — dedup APPLY: the pass a curation pipeline actually ships —
+    * from the near-dup clusters (q42), keep the min-doc_id representative
+    * of every cluster and emit the surviving corpus (per-language counts +
+    * survivor list bound). Composition: q29 candidates → q42 components →
+    * anti-join against the non-keeper members — the corpus-side anti-join
+    * is a broadcast of the (tiny) drop list at any scale where near-dup
+    * families are rare, and a keyed shuffle otherwise; nothing new
+    * shuffles the text. */
+  def q74DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q42DedupClusters(spark, dir) // (doc_id, cluster_id=min member)
+    val drops = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           min(col("doc_id")).as("first_kept"),
+           max(col("doc_id")).as("last_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |clusters AS (
+       |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+       |drops AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+       |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_kept,
+       |  max(doc_id) AS last_kept
+       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val embeddingNearDupOracle: String =
     """WITH e AS (

@@ -65,7 +65,9 @@ object TxSearch {
                             .otherwise(col("props")))
       .withColumn("parent", when(col("event_type") === "purchase",
                                  lag(col("event_id"), 1).over(lagW)))
-      .localCheckpoint() // consumed twice (nodes + final projection)
+      // lazy: materialized inside the resolver's first job (its node
+      // checkpoint reads through this one), not as a separate eager job
+      .localCheckpoint(eager = false)
     val resolved = ContHistory.resolveCode(
       base.select(col("event_id").as("id"), col("parent"), col("code")))
     base.join(resolved, col("event_id") === col("seed"), "left")
