@@ -240,33 +240,49 @@ object Dedup {
   def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    if (pairs.count() <= DriverCCEdgeLimit) return driverCC(spark, pairs)
+    if (pairs.count() <= DriverCCEdgeLimit) driverCC(spark, pairs)
+    else distributedCC(pairs)
+  }
+
+  /** Distributed connected components: min-label propagation WITH pointer
+    * jumping — each round takes the min over (own label, neighbors'
+    * labels, label-of-own-label), so label information hops 2^r-ish per
+    * round and convergence scales with log(diameter), not diameter (the
+    * ADVICE-flagged failure mode of plain propagation: a 50-round cap on
+    * a >50-diameter path). Two keyed shuffles per round, both on node id.
+    * Convergence via the label-sum invariant: labels only decrease, so an
+    * unchanged sum ⇔ fixpoint — one cheap aggregate (which is also the
+    * action that materializes the round's lazy checkpoint). Emits min
+    * member id per component, identical to [[driverCC]]. */
+  private[graft] def distributedCC(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()
-    // Convergence via the label-sum invariant: labels only decrease under
-    // min-propagation, so an unchanged sum ⇔ a fixpoint — one cheap
-    // aggregate per iteration instead of a self-join diff.
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster"))).collect().head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
-    // 50 min-propagation rounds cover graph diameter ≤ 50 — far beyond any
-    // real near-dup cluster; if a pathological graph still hasn't converged
-    // we FAIL (wrong cluster labels must never be returned silently).
-    val MaxIters = 50
+    // log-diameter rounds: 60 covers any graph that fits in 2^60 nodes; a
+    // non-converged exit now indicates a bug, not a big graph — still FAIL
+    // rather than return wrong labels silently.
+    val MaxIters = 60
     while (!converged && iters < MaxIters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("cluster")).as("nbr_min"))
-      // lazy checkpoint: the labelSum aggregate is the materializing action,
-      // so each round costs exactly one job
+      // pointer jump: my label's current label (labels self-join)
+      val hop = labels.toDF("node0", "l0")
+        .join(labels.toDF("l0", "l0l"), Seq("l0"))
+        .select(col("node0").as("node"), col("l0l").as("hop_min"))
       val next = labels.join(nbrMin, Seq("node"), "left")
+        .join(hop, Seq("node"), "left")
         .select(col("node"),
-                least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+                least(col("cluster"),
+                      least(coalesce(col("nbr_min"), col("cluster")),
+                            coalesce(col("hop_min"), col("cluster"))))
                   .as("cluster"))
         .localCheckpoint(eager = false)
       val s = labelSum(next)
@@ -278,7 +294,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connected-components did not converge in $MaxIters rounds " +
-        "(graph diameter too large) — refusing to emit wrong cluster labels")
+        "— refusing to emit wrong cluster labels")
     labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -92,6 +92,64 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("distributed CC converges on a 300-diameter path (pointer jumping)") {
+    import spark.implicits._
+    // a single path 0-1-2-…-300: diameter 300 — plain min-propagation
+    // needs 300 rounds and previously failed the 50-round cap
+    val pairs = (0L until 300L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.distributedCC(pairs).collect()
+    assert(labels.length === 301)
+    assert(labels.forall(_.getAs[Long]("cluster_id") === 0L))
+  }
+
+  test("property: two-phase prefix sum ≡ single-task window on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 50 + rng.nextInt(400)
+      // sparse, unordered, possibly negative-valued input
+      val rows = scala.util.Random.shuffle(
+        (1 to n).map(i => (i.toLong * (1 + rng.nextInt(5)),
+                           BigDecimal(rng.nextInt(20001) - 10000, 2))).toList)
+      val df = rows.toDF("k", "v")
+        .withColumn("v", col("v").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      val got = graft.operators.PrefixSum
+        .withRunningSum(df, "k", col("v"), "cum", numBuckets = 7)
+        .select(col("k"), col("cum")).orderBy(col("k")).collect()
+      val want = df.withColumn("cum",
+          sum(col("v")).over(W.orderBy(col("k"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .select(col("k"), col("cum")).orderBy(col("k")).collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getDecimal(1) === w.getDecimal(1), s"trial $trial key ${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("property: closed-form quartile ≡ built-in ntile for awkward N") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 50, 101, 499)) {
+      val docs = (1 to n).map(i => (i.toLong, (i * 37 % 97).toLong))
+        .toDF("doc_id", "n_chars")
+      val w = W.orderBy(col("n_chars"), col("doc_id"))
+      val want = docs.withColumn("q", ntile(4).over(w).cast("long"))
+      val qd = n.toLong / 4; val rem = n.toLong % 4; val thresh = rem * (qd + 1)
+      val rw = W.orderBy(col("n_chars"), col("doc_id"))
+      val got = docs.withColumn("r", row_number().over(rw).cast("long"))
+        .withColumn("q",
+          if (qd == 0) col("r")
+          else when(col("r") <= thresh, expr(s"(r + ${qd}L) DIV ${qd + 1}L"))
+            .otherwise(lit(rem) + expr(s"(r - ${thresh}L + ${qd - 1}L) DIV ${qd}L")))
+      val diff = got.select(col("doc_id"), col("q"))
+        .except(want.select(col("doc_id"), col("q")))
+      assert(diff.isEmpty, s"closed-form ntile diverges at N=$n")
+    }
+  }
+
   test("hyperplanes are the pinned md5-derived constants") {
     // regression pin: the oracle SQL embeds these literals — a drift here
     // would silently break the cross-engine agreement
