@@ -369,9 +369,13 @@ object Corpus {
   def q70TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count() // control scalar: |corpus|
+    // TF feeds both the probe side and the DF aggregate — materialize once
+    // (else the corpus explode+count runs twice; at cluster scale this is
+    // the persisted (doc,token) intermediate a TF-IDF job would keep).
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val score = round(
       ((col("tf").cast("double") * n.toDouble) / col("df").cast("double"))

@@ -9,7 +9,8 @@ object ExplainAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q07_keyset_page", "q11_fk_join", "q17_search_predicate", "q32_ann_brute")) {
+    for (q <- sys.env.get("AUDIT_QUERIES").map(_.split(",").toSeq).getOrElse(
+           Seq("q07_keyset_page", "q11_fk_join", "q17_search_predicate", "q32_ann_brute"))) {
       println(s"=== $q ===")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
