@@ -136,13 +136,30 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   }
 
   /** Bounded event search with keyset continuation (Server.hs:568-619's
-    * evHandler shape). */
+    * evHandler). With ingested tables configured this is the reference
+    * contract — P4's optional predicates (search/qualname/param/
+    * modulename), P2 height bounds, events cursor (height DESC,
+    * requestkey DESC, idx ASC); without them it demos the same engine on
+    * the synthetic events table. */
+  private val evSpec = CursorSpec(
+    Seq("height" -> true, "requestkey" -> true, "idx" -> false))
+
   private def searchEvents(p: Map[String, String]): (String, Map[String, String]) = {
-    val search = p.getOrElse("search", "")
     val (scanLimit, maxLimit) = budgets()
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
-    val (rows, next) = BoundedScan.performBoundedScan(
-      events, spec, col("event_type").contains(search), scanLimit, limit, continuation(p))
+    val (rows, next) = tablesDir match {
+      case Some(dir) =>
+        val src = graft.operators.EventSearch.source(spark, dir,
+          p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+        val pred = graft.operators.EventSearch.predicate(
+          p.get("search"), p.get("qualname"), p.get("param"), p.get("modulename"))
+        BoundedScan.performBoundedScan(src, evSpec, pred, scanLimit, limit,
+          continuation(p))
+      case None =>
+        BoundedScan.performBoundedScan(events, spec,
+          col("event_type").contains(p.getOrElse("search", "")),
+          scanLimit, limit, continuation(p))
+    }
     val body = rows.map(rowJson).mkString("[", ",", "]")
     (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))

@@ -218,6 +218,23 @@ class ApiSpec extends AnyFunSuite {
       val all = get(s"http://localhost:${api.boundPort}/txs/txs/rk1")
       assert(all.statusCode() === 200)
       assert(all.body().contains("\"requestkey\":\"rk1\""))
+
+      // reference-contract event search over the ingested events table:
+      // search hits qualname, modulename narrows to the exact module
+      val ev = get(s"http://localhost:${api.boundPort}/txs/events?search=TRANSFER")
+      assert(ev.statusCode() === 200)
+      assert(ev.body().contains("\"qualname\":\"coin.TRANSFER\""))
+      assert(ev.body().contains("\"qualname\":\"ns1.tok.TRANSFER\""))
+      val evMod = get(
+        s"http://localhost:${api.boundPort}/txs/events?search=TRANSFER&modulename=tok")
+      assert(evMod.statusCode() === 200)
+      assert(evMod.body().contains("ns1.tok.TRANSFER"))
+      assert(!evMod.body().contains("\"qualname\":\"coin.TRANSFER\""))
+      // param predicate matches inside paramtext JSON
+      val evParam = get(
+        s"http://localhost:${api.boundPort}/txs/events?param=carol")
+      assert(evParam.statusCode() === 200)
+      assert(evParam.body().contains("ns1.tok.TRANSFER"))
     } finally api.stop()
   }
 }
