@@ -277,14 +277,21 @@ object Dedup {
       val hop = labels.toDF("node0", "l0")
         .join(labels.toDF("l0", "l0l"), Seq("l0"))
         .select(col("node0").as("node"), col("l0l").as("hop_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .join(hop, Seq("node"), "left")
         .select(col("node"),
                 least(col("cluster"),
                       least(coalesce(col("nbr_min"), col("cluster")),
                             coalesce(col("hop_min"), col("cluster"))))
                   .as("cluster"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
+      // REBUILD the loop-carried frame from the checkpointed RDD: the
+      // checkpoint's LogicalRDD inherits the join's SIZE ESTIMATE, and the
+      // self-join SQUARES it every round — by ~round 15 the planner is
+      // multiplying megabit BigIntegers and planning time dwarfs execution
+      // (observed as a CC stress hang). A fresh LogicalRDD resets stats to
+      // a constant; the blocks are reused, nothing recomputes.
+      val next = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -303,7 +310,6 @@ object Dedup {
     * reference's driver-side control loops (SURVEY §0.c). */
   private def driverCC(spark: SparkSession,
                        pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -318,9 +324,21 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label root
     }
-    parent.keys.toSeq.sorted
-      .map(n => (n, find(n)))
-      .toDF("doc_id", "cluster_id")
+    // parallelize, NOT toDF-on-Seq: a local Seq becomes a LocalRelation
+    // embedded in the logical plan, re-serialized into every subsequent
+    // action's tasks — at the 2M-edge limit that is a ~100 MB plan paid
+    // per action (observed: 6 min in the CC stress). parallelize ships the
+    // rows once as ordinary RDD partitions.
+    val rows = parent.keys.toArray.sorted.map(n =>
+      org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq,
+        math.max(1, math.min(32, rows.length / 65536))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
       .orderBy(col("doc_id"))
   }
 
