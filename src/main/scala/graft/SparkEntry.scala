@@ -93,6 +93,7 @@ object SparkEntry {
     "q73_bigram_lm"         -> (Corpus.q73BigramLm _),
     "q74_dedup_apply"       -> (Dedup.q74DedupApply _),
     "q75_mixture_target"    -> (Corpus.q75MixtureTarget _),
+    "q76_asof_big_join"     -> (AsOfJoin.q76AsofBigJoin _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -318,5 +319,6 @@ object SparkEntry {
     "q73_bigram_lm"          -> Corpus.bigramLmOracle,
     "q74_dedup_apply"        -> Dedup.dedupApplyOracle,
     "q75_mixture_target"     -> Corpus.mixtureTargetOracle,
+    "q76_asof_big_join"      -> AsOfJoin.asofBigJoinOracle,
   )
 }
