@@ -94,6 +94,11 @@ object SparkEntry {
     "q74_dedup_apply"       -> (Dedup.q74DedupApply _),
     "q75_mixture_target"    -> (Corpus.q75MixtureTarget _),
     "q76_asof_big_join"     -> (AsOfJoin.q76AsofBigJoin _),
+    "q77_attribution_window"-> (RangeJoin.q77AttributionWindow _),
+    "q78_boilerplate_ratio" -> (Corpus.q78BoilerplateRatio _),
+    "q79_chunk_windows"     -> (Corpus.q79ChunkWindows _),
+    "q80_stop_strip"        -> (TextOps.q80StopStrip _),
+    "q81_incremental_dedup" -> (Dedup.q81IncrementalDedup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -320,5 +325,10 @@ object SparkEntry {
     "q74_dedup_apply"        -> Dedup.dedupApplyOracle,
     "q75_mixture_target"     -> Corpus.mixtureTargetOracle,
     "q76_asof_big_join"      -> AsOfJoin.asofBigJoinOracle,
+    "q77_attribution_window" -> RangeJoin.attributionOracle,
+    "q78_boilerplate_ratio"  -> Corpus.boilerplateOracle,
+    "q79_chunk_windows"      -> Corpus.chunkWindowsOracle,
+    "q80_stop_strip"         -> TextOps.stopStripOracle,
+    "q81_incremental_dedup"  -> Dedup.incrementalDedupOracle,
   )
 }

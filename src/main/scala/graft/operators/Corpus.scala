@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -505,6 +505,98 @@ object Corpus {
        |FROM documents JOIN r USING (lang)
        |GROUP BY lang, n_src, rate ORDER BY lang""".stripMargin
   }
+
+  /** q78 — boilerplate-gram ratio (the C4/RefinedWeb cleanup signal): a
+    * word bigram is "boilerplate" when it appears in ≥ 5% of all documents;
+    * score each doc by the fraction of its distinct bigrams that are
+    * boilerplate. Scale shape: one (doc, gram) explode feeds both the
+    * doc-frequency aggregate (gram-keyed, vocabulary²-bounded) and the
+    * probe side of the gram-keyed recombine join — the q70 TF-IDF topology
+    * with n-grams, and the same stop-gram-skew note: AQE splits the hot
+    * probe partitions, and a max-df cut is the escape hatch. */
+  val BoilerDfPct = 5 // gram is boilerplate when df * (100/pct) >= N
+
+  private def bigrams(t: Column): Column =
+    when(size(t) >= 2,
+      array_distinct(transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1)))))
+      .otherwise(typedLit(Array.empty[String]))
+
+  def q78BoilerplateRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // control scalar: |corpus|
+    val g = docs
+      .select(col("doc_id"), explode(bigrams(TextOps.tokens(col("text")))).as("gram"))
+      .localCheckpoint(eager = false) // feeds DF agg + probe side once
+    val boiler = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * (100L / BoilerDfPct) >= n)
+      .select(col("gram"), lit(1).as("__b"))
+    g.join(boiler, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          round((col("n_boiler").cast("double") / col("n_grams").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+            .cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateOracle: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |           FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1]))) AS gram
+       |      FROM t WHERE len(t) >= 2),
+       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |b AS (SELECT gram FROM df CROSS JOIN n
+       |      WHERE df * ${100 / BoilerDfPct} >= n)
+       |SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(round(CAST(CAST(count(b.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS DECIMAL(28,12)), 6) AS DOUBLE) END AS boiler_frac
+       |FROM g LEFT JOIN b ON g.gram = b.gram
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** q79 — sliding token-window chunking (context-window preparation):
+    * cut every document into `ChunkLen`-token windows advancing by
+    * `ChunkStride` (50% overlap), emitting each chunk's offset, length,
+    * and content hash. Pure per-row fan-out — `sequence` + `posexplode` +
+    * `slice`, no shuffle at all; at 100 TB this is one codegen'd scan whose
+    * output is ~2× the input tokens (the overlap factor), streamed straight
+    * to the sink. */
+  val ChunkLen = 32
+  val ChunkStride = 16
+
+  def q79ChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(slice(col("t"), col("chunk_start") + 1, lit(ChunkLen)))
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("chunk_start") + 1, lit(ChunkLen))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkWindowsOracle: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |           FROM documents),
+       |c AS (SELECT doc_id, unnest(range(0, len(t), $ChunkStride)) AS chunk_start, t
+       |      FROM t)
+       |SELECT doc_id, CAST(chunk_start // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_start AS BIGINT) AS chunk_start,
+       |  CAST(len(list_slice(t, chunk_start + 1, chunk_start + $ChunkLen)) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(list_slice(t, chunk_start + 1, chunk_start + $ChunkLen), ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   val packSequencesOracle: String =
     s"""WITH d AS (

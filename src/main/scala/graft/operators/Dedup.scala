@@ -87,6 +87,16 @@ object Dedup {
     * then verify candidates with exact shingle Jaccard ≥ 0.5. Rounding to
     * 6 decimals happens BEFORE the threshold so both engines make the same
     * keep/drop decision. */
+  /** (doc_id, band_idx, band_hash) — bands carry ONLY these 3 small
+    * columns: the bucket join and the pair-dedup shuffle never move the
+    * shingle arrays (at 100 TB the arrays would otherwise dominate every
+    * exchange). */
+  private def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
+        md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
   def q29LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Three consumers (bands + two shingle re-attaches) read the signature
     // relation; higher-order-function trees are interpreted (no codegen),
@@ -94,13 +104,7 @@ object Dedup {
     // it once — at cluster scale this is a persisted intermediate table of
     // |docs| small rows, trivially cacheable.
     val sig = signatures(spark, dir).localCheckpoint()
-    // Bands carry ONLY (doc_id, band_idx, band_hash): the bucket join and
-    // the pair-dedup shuffle 3 small columns, never the shingle arrays —
-    // at 100 TB the arrays would otherwise dominate every exchange.
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
-        md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
-      .toDF("doc_id", "band_idx", "band_hash")
+    val bands = lshBands(sig)
     val cand = bands.toDF("doc_a", "band_idx", "band_hash")
       .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
@@ -415,4 +419,77 @@ object Dedup {
       |    round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS cos_sim
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q81 — INCREMENTAL dedup: a new batch (doc_id ≡ 4 mod 5, the arrivals)
+    * screened against the existing corpus (everything else) — the shape a
+    * continuously-ingesting pipeline runs per increment, instead of
+    * re-clustering the world (q42). Each new doc gets its best corpus
+    * near-dup (max verified Jaccard, min doc_id tiebreak) or `new` status.
+    *
+    * Scale shape: the corpus's band relation is a PRECOMPUTED artifact in
+    * steady state (written once by the batch pass, partitioned by
+    * band_hash), so the per-increment cost is banding the batch + one
+    * bucket join whose left side is |batch|-sized — corpus text and
+    * signatures are never rescanned; shingles re-attach only for candidate
+    * pairs, exactly as in q29. */
+  def q81IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).localCheckpoint()
+    val bands = lshBands(sig)
+    val isBatch = col("doc_id") % 5 === 4
+    val cand = bands.filter(isBatch).toDF("new_doc", "band_idx", "band_hash")
+      .join(bands.filter(!isBatch).toDF("dup_of", "band_idx", "band_hash"),
+            Seq("band_idx", "band_hash"))
+      .select("new_doc", "dup_of")
+      .dropDuplicates("new_doc", "dup_of")
+    val sh = sig.select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = round((inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
+      .select(col("new_doc"), col("dup_of"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_doc"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    sig.filter(isBatch).select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"), col("dup_of"), col("jaccard"),
+        when(col("dup_of").isNotNull, "dup").otherwise("new").as("status"))
+      .orderBy(col("new_doc"))
+  }
+
+  val incrementalDedupOracle: String =
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+       |verified AS (
+       |  SELECT new_doc, dup_of, jaccard FROM (
+       |    SELECT new_doc, dup_of,
+       |      CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |            AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |    FROM cand JOIN sig x ON x.doc_id = new_doc JOIN sig y ON y.doc_id = dup_of)
+       |  WHERE jaccard >= 0.5),
+       |best AS (
+       |  SELECT new_doc, dup_of, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_doc
+       |                ORDER BY jaccard DESC, dup_of) AS rn
+       |    FROM verified)
+       |  WHERE rn = 1)
+       |SELECT s.doc_id AS new_doc, b.dup_of, b.jaccard,
+       |  CASE WHEN b.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS status
+       |FROM sig s LEFT JOIN best b ON b.new_doc = s.doc_id
+       |WHERE s.doc_id % 5 = 4
+       |ORDER BY new_doc""".stripMargin
 }

@@ -241,4 +241,48 @@ object TextOps {
       |                 CAST(len(tri) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |       ELSE 0.0 END AS rep_ratio
       |FROM tri ORDER BY doc_id""".stripMargin
+
+  /** q80 — corpus-adaptive stop-list normalization (the cleanup pass before
+    * dedup/fingerprinting): the 10 most frequent corpus tokens become the
+    * stop list, and every document is re-emitted with them stripped. The
+    * stop list is a computed DIMENSION — a |vocab|-keyed aggregate reduced
+    * to 10 rows and collected (the q40-steps driver idiom) — so the corpus
+    * pass is a shuffle-free codegen'd scan with the list inlined as a
+    * literal; at 100 TB the cleanup costs one aggregate + one map. Content
+    * equality rides md5 (the only cross-engine hash). */
+  val StopK = 10
+
+  def q80StopStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stop = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(StopK)
+      .collect().map(_.getString(0)) // 10-row dimension, driver-inlined
+    val kept = filter(col("t"), x => !x.isin(stop.toSeq: _*))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(kept)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", kept)).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stopStripOracle: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |             FROM documents),
+       |freq AS (SELECT token, count(*) AS n
+       |         FROM (SELECT unnest(t) AS token FROM tok) GROUP BY token),
+       |stop AS (SELECT list(token ORDER BY n DESC, token) AS sl
+       |         FROM (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT $StopK)),
+       |cleaned AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    list_filter(t, x -> NOT list_contains(sl, x)) AS kept
+       |  FROM tok CROSS JOIN stop)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       |  md5(array_to_string(kept, ' ')) AS clean_hash
+       |FROM cleaned ORDER BY doc_id""".stripMargin
 }
