@@ -525,8 +525,13 @@ object Corpus {
   def q78BoilerplateRatio(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count() // control scalar: |corpus|
+    // tokens MUST be a bound column before the bigram HOF: an inlined
+    // split() re-tokenizes the doc inside every element_at of the
+    // interpreted lambda (~2 regex splits per bigram — measured 10× the
+    // whole query's cost at sf0.1)
     val g = docs
-      .select(col("doc_id"), explode(bigrams(TextOps.tokens(col("text")))).as("gram"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(bigrams(col("t"))).as("gram"))
       .localCheckpoint(eager = false) // feeds DF agg + probe side once
     val boiler = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") * (100L / BoilerDfPct) >= n)
