@@ -113,5 +113,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash16(exprs(0))))
+    // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
+    // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
+    ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)
   }
 }
