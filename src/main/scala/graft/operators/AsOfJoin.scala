@@ -22,22 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Cumulative step schedule over `part` (stand-in for the reward CSV —
-    * same shape: ordered key + cumulative decimal-exact sum rendered to
-    * double), built with the distributed [[PrefixSum]] so even the step
-    * construction carries no single-partition window. */
-  def steps(spark: SparkSession, dir: String): DataFrame =
-    PrefixSum.withRunningSum(
-        Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice")),
-        "p_partkey", Relational.dec(col("p_retailprice")), "cum")
-      .select(col("p_partkey").as("k"), Relational.asMoney(col("cum")).as("cum"))
+  /** Sorted cumulative step schedule over `part` (stand-in for the reward
+    * CSV — same shape: ordered key + cumulative decimal-exact sum rendered
+    * to double). The broadcast-binary-search contract already requires the
+    * schedule to fit on the driver, so the prefix sum runs THERE, on the
+    * collected dimension — one scan job, no windows (exactly the
+    * reference's 1,435-row driver loop, Coins.hs:152-158). Decimal
+    * semantics replicate `Relational.dec`/`asMoney` bit-for-bit:
+    * double → DECIMAL(18,6) HALF_UP, exact accumulation, render via
+    * DECIMAL(38,4) HALF_UP → double. Fact-sized inputs use the
+    * distributed [[PrefixSum]] (q21) / [[bucketed]] (q76) instead. */
+  private def collectSteps(spark: SparkSession, dir: String): (Array[Long], Array[Double]) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    var acc = JBD.ZERO
+    val ks = new Array[Long](rows.length)
+    val cums = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      acc = acc.add(JBD.valueOf(rows(i)._2).setScale(6, RoundingMode.HALF_UP))
+      ks(i) = rows(i)._1
+      cums(i) = acc.setScale(4, RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    (ks, cums)
+  }
 
   /** q40 — for each event, the cumulative supply as of its probe key
     * (`lookupLE`): broadcast binary search over the sorted step table. */
   def q40AsofSupply(spark: SparkSession, dir: String): DataFrame = {
-    val stepRows = steps(spark, dir).orderBy(col("k")).collect()
-    val ks = stepRows.map(_.getLong(0))
-    val cums = stepRows.map(_.getDouble(1))
+    val (ks, cums) = collectSteps(spark, dir)
     val bc = spark.sparkContext.broadcast((ks, cums))
     val lookupLE = udf { probe: Long =>
       val (keys, vals) = bc.value

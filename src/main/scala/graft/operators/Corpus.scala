@@ -217,12 +217,10 @@ object Corpus {
     * would use a two-column range key instead. */
   def q60Quartiles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-    val n = docs.count() // control scalar, pairs with PrefixSum's min/max job
     val packed = docs.withColumn("__k",
       col("n_chars").cast("long") * lit(1000000000000L) + col("doc_id"))
-    val ranked = PrefixSum.withRunningSum(
-      packed, "__k", lit(1).cast(org.apache.spark.sql.types.DecimalType(38, 6)), "__rnk")
-      .withColumn("r", col("__rnk").cast("long"))
+    val (ranked0, n) = PrefixSum.globalRank(packed, "__k", "r")
+    val ranked = ranked0
     val qd = n / 4; val rem = n % 4; val thresh = rem * (qd + 1)
     // ceil(a/b) over positive longs = (a + b - 1) DIV b — integer DIV, not
     // `/` (double division mis-assigns past 2^53)

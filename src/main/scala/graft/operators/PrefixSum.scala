@@ -69,4 +69,41 @@ object PrefixSum {
       .withColumn(outCol, (col("__off") + sum(col("__v")).over(w)).cast(sumType))
       .drop("__bucket", "__v", "__off")
   }
+
+  /** Adds `outCol` = global 1-based rank (dense row numbering) in `keyCol`
+    * order, plus the total row count — the prefix-sum-of-ones special case,
+    * done in long arithmetic with the count folded into the bounds job:
+    *   1. one aggregate for (min, max, count);
+    *   2. per-bucket counts → driver exclusive offsets → broadcast;
+    *   3. per-bucket `row_number` + offset.
+    * Same no-single-partition guarantee as [[withRunningSum]], one fewer
+    * control job and no decimal codec in the hot path. `keyCol` must be
+    * integral and unique per row. */
+  def globalRank(df: DataFrame, keyCol: String, outCol: String,
+                 numBuckets: Int = 64): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val stats = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"),
+                       count(lit(1)))
+      .collect().head
+    if (stats.isNullAt(0))
+      return (df.withColumn(outCol, lit(null).cast(LongType)), 0L)
+    val (mn, mx, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val width = math.max(1L, (mx - mn) / numBuckets + 1)
+    val bucketed = df.withColumn("__bucket",
+      expr(s"(CAST(`$keyCol` AS BIGINT) - ${mn}L) DIV ${width}L"))
+    val partials = bucketed.groupBy(col("__bucket")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = partials.map { case (b, c) => val o = acc; acc += c; Row(b, o) }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1),
+      StructType(Seq(StructField("__bucket", LongType, nullable = false),
+                     StructField("__off", LongType, nullable = false))))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    val ranked = bucketed
+      .join(broadcast(offDf), Seq("__bucket"))
+      .withColumn(outCol, col("__off") + row_number().over(w).cast("long"))
+      .drop("__bucket", "__off")
+    (ranked, n)
+  }
 }
