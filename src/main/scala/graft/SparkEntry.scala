@@ -99,6 +99,10 @@ object SparkEntry {
     "q79_chunk_windows"     -> (Corpus.q79ChunkWindows _),
     "q80_stop_strip"        -> (TextOps.q80StopStrip _),
     "q81_incremental_dedup" -> (Dedup.q81IncrementalDedup _),
+    "q82_jaccard_join"      -> (SimJoin.q82JaccardJoin _),
+    "q83_epoch_shuffle"     -> (TrainPrep.q83EpochShuffle _),
+    "q84_quantize_int8"     -> (TrainPrep.q84QuantizeInt8 _),
+    "q85_padding_waste"     -> (TrainPrep.q85PaddingWaste _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -330,5 +334,9 @@ object SparkEntry {
     "q79_chunk_windows"      -> Corpus.chunkWindowsOracle,
     "q80_stop_strip"         -> TextOps.stopStripOracle,
     "q81_incremental_dedup"  -> Dedup.incrementalDedupOracle,
+    "q82_jaccard_join"       -> SimJoin.jaccardJoinOracle,
+    "q83_epoch_shuffle"      -> TrainPrep.epochShuffleOracle,
+    "q84_quantize_int8"      -> TrainPrep.quantizeInt8Oracle,
+    "q85_padding_waste"      -> TrainPrep.paddingWasteOracle,
   )
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join with prefix + positional filtering — the
+  * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08,
+  * both public). Finds EVERY pair of documents whose 3-word-shingle sets
+  * have Jaccard ≥ 1/2 — the same contract as the MinHash-LSH pass (q29,
+  * `Dedup.q29LshNearDup`) but exact by construction: LSH trades recall
+  * for speed via banding probabilities; this operator's candidate set
+  * provably contains all qualifying pairs, so it doubles as the recall
+  * oracle for the approximate path (Round3cSpec pins LSH ⊆ exact, and on
+  * the synthetic corpus both emit the same pairs).
+  *
+  * Scale shape — NO array column ever enters ANY exchange (stronger than
+  * q29's re-attach discipline; every shuffled row here is a few longs +
+  * one shingle string):
+  *   1. one shuffle builds the shingle document-frequency relation over
+  *      the exploded posting relation (doc_id, shingle);
+  *   2. a per-doc window (partition bounded by a doc's shingle count)
+  *      ranks each doc's shingles rarest-first — ascending (df, shingle),
+  *      a global order realized without broadcasting the vocabulary or
+  *      materializing sorted arrays;
+  *   3. only each doc's PREFIX (n − ⌈t·n⌉ + 1 rarest shingles — the
+  *      smallest set whose exclusion would already disprove the
+  *      threshold) enters the inverted-index self-join;
+  *   4. candidates are pruned by the length filter (t·|b| ≤ |a|) and the
+  *      positional filter (remaining-overlap upper bound vs the required
+  *      ⌈t/(1+t)·(|a|+|b|)⌉) BEFORE the pair-dedup shuffle;
+  *   5. the exact intersection size is a COUNTING join — candidate pairs
+  *      pick up doc_a's postings, semi-match them against doc_b's, and a
+  *      per-pair count yields |∩| with no set materialization.
+  * All threshold tests are integer arithmetic (t = TN/TD is rational), so
+  * no float decides set membership on either engine; the reported
+  * `jaccard` column uses the shared DECIMAL(28,12)-then-round(6) render.
+  *
+  * The prefix posting list of a stop-shingle is the skew knob: df-ascending
+  * order puts frequent shingles LAST, so they only enter a prefix when a
+  * doc is nearly all stop-shingles; a max-df cut (drop postings with
+  * df > corpus fraction) is the documented escape hatch, same as q70/q78.
+  */
+object SimJoin {
+
+  /** Jaccard threshold TN/TD = 1/2 (matches q29). */
+  private val TN = 1
+  private val TD = 2
+
+  def q82JaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    // codegen'd shingle kernel, not the interpreted HOF form — same
+    // semantics (DedupSpec pins kernel ≡ declarative); the HOF tree is
+    // ~20× slower as the leaf of this many-consumer pipeline
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // narrow posting relation (doc_id, shingle) materialized once: the df
+    // aggregate and the rank join both consume it, and the kernel + explode
+    // would otherwise run per consumer (at cluster scale this is the
+    // persisted postings table every text-index pipeline keeps anyway)
+    val ex = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(call_function("graft_shingles", col("text"))).as("s"))
+      .localCheckpoint()
+    val dfRel = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first rank of every posting; ties break on the shingle text
+    // so the order (and the candidate set) is deterministic at any
+    // parallelism. Three consumers (prefix ×2 via self-join + the verify
+    // postings): materialize once.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(dfRel, "s")
+      .select(col("doc_id"), col("s"),
+              (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
+              count(lit(1)).over(wDoc).as("len"))
+      .localCheckpoint()
+    // prefix length = n − ⌈t·n⌉ + 1, in integers: ⌈n·TN/TD⌉ = (n·TN+TD−1) DIV TD
+    val pref = ranked.filter(
+      col("pos") < expr(s"len - ((len*$TN + ${TD - 1}) DIV $TD) + 1"))
+    val a = pref.select(col("s"), col("doc_id").as("doc_a"),
+                        col("len").as("la"), col("pos").as("pa"))
+    val b = pref.select(col("s"), col("doc_id").as("doc_b"),
+                        col("len").as("lb"), col("pos").as("pb"))
+    // required overlap o = ⌈t/(1+t)·(la+lb)⌉ = ⌈TN(la+lb)/(TN+TD)⌉
+    val reqOverlap = expr(s"($TN*(la+lb) + ${TN + TD - 1}) DIV ${TN + TD}")
+    val cand = a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(TD) * col("la") >= lit(TN) * col("lb") &&
+              lit(TD) * col("lb") >= lit(TN) * col("la"))
+      // positions are 0-based: min remaining tokens incl. the match
+      .filter(least(col("la") - col("pa"), col("lb") - col("pb")) >= reqOverlap)
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"))
+      .dropDuplicates("doc_a", "doc_b")
+    // counting verify: |∩| = #(pair, shingle) rows where doc_a's posting
+    // also appears in doc_b — an inner join + per-pair count; rows stay
+    // narrow, the arrays never exist
+    val postings = ranked.select(col("doc_id"), col("s"))
+    val interCnt = cand
+      .join(postings.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(postings.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("i"))
+    val uni = col("la") + col("lb") - col("i")
+    val jac = round((col("i").cast("double") / uni.cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    interCnt
+      // the DECIDING test is integral: TD·∩ ≥ TN·∪ ⇔ Jaccard ≥ TN/TD
+      .filter(lit(TD) * col("i") >= lit(TN) * uni)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The oracle is the naive SPEC, not the algorithm: every doc pair
+    * (length-filtered — implied by the threshold), exact intersection,
+    * integral threshold. Divergence between the prefix-filtered plan and
+    * this brute force is exactly what the check exists to catch. */
+  val jaccardJoinOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, ${TextOps.duckShingles} AS sh
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |          FROM documents))
+       |  WHERE len(sh) > 0)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(CAST(CAST(i AS DOUBLE) / CAST(u AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+       |  FROM d a JOIN d b
+       |    ON a.doc_id < b.doc_id
+       |   AND $TD*len(a.sh) >= $TN*len(b.sh) AND $TD*len(b.sh) >= $TN*len(a.sh))
+       |WHERE $TD*i >= $TN*u
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-run preparation operators — the last mile between a curated
+  * corpus and a tokenizer/dataloader: deterministic epoch shuffling into
+  * shards, integer quantization of embedding payloads, and padding-waste
+  * accounting for static batch shapes. Shared discipline with the rest of
+  * the corpus ops: md5 is the only randomness (reproducible at any
+  * parallelism, across engines and epochs), and nothing ever windows or
+  * sorts globally — every order is established within a shard/bucket
+  * partition whose size is a knob, not a function of corpus size.
+  */
+object TrainPrep {
+
+  /** Shard count. Local fixture value; at 100 TB this scales with the
+    * fleet (shards ≈ writers × files-per-writer) — the plan shape is
+    * unchanged: one hash shuffle, per-shard windows bounded by
+    * corpus/NSHARDS rows. */
+  private val NShards = 64
+  private val Epoch = 1
+
+  /** q83 — deterministic epoch shuffle: every document gets a pseudorandom
+    * but reproducible (shard, pos) slot for epoch N. The shuffle key is
+    * md5(epoch:doc_id) — changing the epoch literal reshuffles the whole
+    * corpus with zero state; re-running any subset of the cluster
+    * reproduces identical slots (no RNG, no sampling, no collect). The
+    * dataloader contract: readers consume shard files in `pos` order.
+    * Fixed-width hex compares as its numeric value, so ordering by the
+    * digest string IS ordering by the 128-bit integer. */
+  def q83EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit(s"$Epoch:"), col("doc_id").cast("string")))
+    val shard = conv(substring(h, 1, 4), 16, 10).cast("long") % NShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val epochShuffleOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id, h,
+       |        CAST(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)} AS BIGINT) % $NShards AS shard
+       |      FROM (SELECT doc_id, md5('$Epoch:' || CAST(doc_id AS VARCHAR)) AS h
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q84 — symmetric int8 quantization of the embedding column (the
+    * serving/training compression step: 4× smaller payload, dot products
+    * in integer SIMD). Per vector: scale = max |x_i|; q_i =
+    * floor(x_i·127/scale + 0.5) ∈ [−127,127]. `floor(t+0.5)` is the
+    * cross-engine round-half-up (plain round() diverges: Spark HALF_UP,
+    * DuckDB half-even — and quantization lands on exact halves
+    * constantly). Emitted checks: the integer sum of |q_i| (exact on both
+    * engines) and the reconstruction MSE (long-expansion double, safe to
+    * round directly per the float convention). Pure per-row map — no
+    * shuffle, whole-stage codegen, the 100 TB cost is one scan. */
+  def q84QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(col("v"), x => abs(x)))
+    val q = transform(col("v"), x =>
+      floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("long"))
+    val dq = transform(col("q"), qi =>
+      qi.cast("double") * col("scale") / lit(127.0))
+    val se = aggregate(zip_with(col("v"), col("dq"), (a, b) => (a - b) * (a - b)),
+                       lit(0.0), (acc, e) => acc + e)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xd.as("v"))
+      .withColumn("scale", scale)
+      .filter(col("scale") > 0)
+      .withColumn("q", q)
+      .withColumn("dq", dq)
+      .select(col("vec_id"),
+              col("scale"),
+              aggregate(col("q"), lit(0L), (acc, qi) => acc + abs(qi)).as("sum_absq"),
+              round(se / size(col("v")), 6).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val quantizeInt8Oracle: String =
+    """SELECT vec_id, scale, sum_absq,
+      |  round(list_reduce(list_prepend(0.0,
+      |          list_transform(range(1, len(v)+1),
+      |            i -> (v[i] - dq[i]) * (v[i] - dq[i]))),
+      |        (acc, e) -> acc + e) / len(v), 6) AS mse
+      |FROM (
+      |  SELECT vec_id, v, scale,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(q, qi -> abs(qi))), (a, b) -> a + b) AS sum_absq,
+      |    list_transform(q, qi -> CAST(qi AS DOUBLE) * scale / 127.0) AS dq
+      |  FROM (
+      |    SELECT vec_id, v, scale,
+      |      list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q
+      |    FROM (
+      |      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings))
+      |    WHERE scale > 0))
+      |ORDER BY vec_id""".stripMargin
+
+  /** Static batch shapes a dataloader actually allocates. */
+  private val PadBuckets = Seq(16L, 32L, 64L, 128L)
+
+  /** q85 — padding-waste accounting: assign each doc to the smallest
+    * static sequence-length bucket that fits (long docs truncate into the
+    * largest), then measure what fraction of every batch bucket is padding
+    * vs truncation — the number that decides bucket boundaries for a
+    * packing-free dataloader (q68 packs; this prices NOT packing). Integer
+    * everywhere except the final ratio. One shuffle, |buckets| groups. */
+  def q85PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(TextOps.tokens(col("text"))).cast("long")
+    val bucket = PadBuckets.reverse.tail
+      .foldLeft(lit(PadBuckets.last): Column) { (acc, b) =>
+        when(n <= b, lit(b)).otherwise(acc)
+      }
+    val pad = when(bucket >= n, bucket - n).otherwise(lit(0L))
+    val trunc = when(n > bucket, n - bucket).otherwise(lit(0L))
+    Tables.documents(spark, dir)
+      .select(bucket.as("bucket"), n.as("n"), pad.as("pad"), trunc.as("trunc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("pad")).as("pad_tokens"),
+           sum(col("trunc")).as("trunc_tokens"))
+      .withColumn("pad_ratio",
+        // ratio of small integers: route through DECIMAL(28,12) before
+        // round(…,6) — the half-case trap (Spark HALF_UP vs DuckDB
+        // half-even) is reachable when bucket·n_docs has factors of 2^k·5^m
+        round((col("pad_tokens").cast("double") /
+               (col("bucket") * col("n_docs")).cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  val paddingWasteOracle: String = {
+    val bucketSql = PadBuckets.init.reverse
+      .foldLeft(s"CAST(${PadBuckets.last} AS BIGINT)") { (acc, b) =>
+        s"CASE WHEN n <= $b THEN CAST($b AS BIGINT) ELSE $acc END"
+      }
+    s"""SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN bucket >= n THEN bucket - n ELSE 0 END) AS BIGINT) AS pad_tokens,
+       |  CAST(sum(CASE WHEN n > bucket THEN n - bucket ELSE 0 END) AS BIGINT) AS trunc_tokens,
+       |  CAST(round(CAST(CAST(sum(CASE WHEN bucket >= n THEN bucket - n ELSE 0 END) AS DOUBLE)
+       |        / CAST(bucket * count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pad_ratio
+       |FROM (
+       |  SELECT $bucketSql AS bucket, n
+       |  FROM (SELECT CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n
+       |        FROM documents))
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{SimJoin, TextOps, TrainPrep}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 additions, third batch: exact similarity join (PPJoin family)
+  * and the training-prep trio (epoch shuffle, int8 quantization, padding
+  * waste). Oracle-checked by the driver; these tests pin the lossless-
+  * filtering property, determinism, and value-range invariants. */
+class Round3cSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q82 prefix-filtered join ≡ naive all-pairs (lossless filtering)") {
+    // The PPJoin candidate set must provably contain every qualifying
+    // pair; this recomputes the answer with a plain cross join + exact
+    // Jaccard and demands set equality, pair for pair.
+    val fast = SimJoin.q82JaccardJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = TextOps.tokenized(spark, dir)
+      .select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
+    val naive = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("u", size(col("sh_a")) + size(col("sh_b")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(fast == naive,
+      s"missed=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+  }
+
+  test("q82 matches the LSH pass on the planted near-dups (recall oracle)") {
+    val exact = SimJoin.q82JaccardJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Dedup.q29LshNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH can only MISS pairs (banding), never invent them: its verified
+    // output must be a subset of the exact join's.
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+  }
+
+  test("q83 epoch shuffle is deterministic, dense, and bounded") {
+    val a = TrainPrep.q83EpochShuffle(spark, dir).collect()
+    val b = TrainPrep.q83EpochShuffle(spark, dir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "not deterministic")
+    val byShard = a.groupBy(_.getLong(1))
+    assert(byShard.keys.forall(s => s >= 0 && s < 64))
+    // positions within a shard are exactly 1..count (a reader can stream
+    // the shard file in pos order with no gaps)
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.sameElements(1L to rows.length.toLong), s"holes in shard $s")
+    }
+  }
+
+  test("q84 quantization stays in int8 range and reconstructs tightly") {
+    val rows = TrainPrep.q84QuantizeInt8(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val sumAbsQ = r.getLong(2); val mse = r.getDouble(3)
+      assert(scale > 0)
+      // 64 dims × |q| ≤ 127 each
+      assert(sumAbsQ >= 0 && sumAbsQ <= 127L * 64, s"row $r out of int8 range")
+      // max per-element error is scale/254 (half a quantization step), so
+      // mse ≤ (scale/254)^2; allow double dust
+      val bound = (scale / 254.0) * (scale / 254.0) * 1.000001 + 1e-12
+      assert(mse >= 0 && mse <= bound, s"mse $mse exceeds step bound $bound")
+    }
+  }
+
+  test("q85 padding waste partitions the corpus and bounds the ratio") {
+    val rows = TrainPrep.q85PaddingWaste(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = Tables.documents(spark, dir).count()
+    assert(total == docs, s"bucket partition lost docs: $total != $docs")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("pad_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      // only the largest bucket may truncate
+      if (r.getAs[Long]("bucket") < 128L)
+        assert(r.getAs[Long]("trunc_tokens") == 0L)
+    }
+  }
+}
