@@ -112,4 +112,73 @@ object ContHistory {
     }
     resolved
   }
+
+  /** [[resolveCode]] by POINTER DOUBLING — identical contract (same
+    * `maxDepth` cutoff semantics, proven equivalent in Round3cSpec), but
+    * rounds scale with log2(chain length) instead of chain length: every
+    * node carries a segment summary `(ptr, acc, dist, foundd)` — jump
+    * target, first non-null code in the examined segment, segment length,
+    * and the 1-based distance the code was found at — and each round
+    * composes a node's summary with its jump target's (the associative
+    * combine of the parallel list-ranking formulation). ⌈log2(maxDepth)⌉
+    * rounds always suffice: a segment either ends, finds a code, or grows
+    * to 2^r ≥ maxDepth, after which the depth filter decides. Per round:
+    * one self-join shuffle on node id over the narrow state relation; the
+    * count that drives the exit also materializes the round's lazy
+    * checkpoint (the [[chains]] one-job-per-round discipline).
+    *
+    * The loop variant's cost model wins when chains are short (pact
+    * multi-steps: ≤ ~10) and walkers are a minority — its frontier
+    * shrinks per round while this walks ALL nodes every round; measured
+    * at the fixture scale the loop is ~20% faster, so it stays the
+    * default (q63). Doubling is the escape hatch the loop lacks: chain
+    * length enters only as log2, so a pathological deep-chain workload
+    * (or a latency budget counted in scheduling round-trips on a busy
+    * cluster) flips the choice. */
+  def resolveCodeDoubling(nodes: DataFrame, maxDepth: Int = 25): DataFrame = {
+    val n = nodes.select(col("id"), col("parent"), col("code")).localCheckpoint()
+    // state(u) summarizes the segment of ancestors (u exclusive] … [ptr
+    // exclusive): acc = first code among them, foundd = its distance from
+    // u (parent = 1), dist = segment length, ptr = next unexamined node.
+    // Init = the one-step segment {parent}… realized lazily: state over
+    // ALL nodes with the self-segment {u}, consumed via the parent join at
+    // the end (seed's answer = its parent's state).
+    var state = n.select(
+      col("id"),
+      when(col("code").isNull, col("parent")).as("ptr"), // found ⇒ stop
+      col("code").as("acc"),
+      lit(1L).as("dist"),
+      when(col("code").isNotNull, lit(1L)).as("foundd"))
+    var r = 0
+    var live = 1L
+    val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(maxDepth - 1)) // ⌈log2⌉
+    while (r < rounds && live > 0) {
+      val hop = state.select(col("id").as("ptr"), col("acc").as("acc2"),
+                             col("dist").as("dist2"), col("foundd").as("foundd2"),
+                             col("ptr").as("ptr2"))
+      val stepped = state.join(hop, Seq("ptr"), "left")
+        .select(
+          col("id"),
+          // join miss (dangling parent / end of relation) ⇒ path ends
+          when(col("acc").isNull && col("dist2").isNotNull, col("ptr2")).as("ptr"),
+          coalesce(col("acc"), col("acc2")).as("acc"),
+          when(col("dist2").isNotNull, col("dist") + col("dist2"))
+            .otherwise(col("dist")).as("dist"),
+          coalesce(col("foundd"),
+                   col("dist") + col("foundd2")).as("foundd"))
+        .localCheckpoint(eager = false)
+      live = stepped.filter(col("ptr").isNotNull && col("acc").isNull
+                            && col("dist") < maxDepth).count()
+      state = stepped
+      r += 1
+    }
+    // a seed's walk starts at its parent; distances beyond maxDepth are
+    // invisible to the bounded walk (reference recursion cap)
+    n.filter(col("code").isNull && col("parent").isNotNull)
+      .select(col("id").as("seed"), col("parent"))
+      .join(state.select(col("id").as("parent"),
+                         when(col("foundd") <= maxDepth, col("acc")).as("chain_code")),
+            Seq("parent"), "left")
+      .select(col("seed"), col("chain_code"))
+  }
 }

@@ -79,6 +79,30 @@ class Round3cSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveCodeDoubling ≡ resolveCode loop, incl. beyond-cap chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random forest: long parent chains (some > the 25-depth cap), sparse
+    // codes, dangling parents, roots — every terminal case of the walk
+    val nodes = (0 until 400).map { i =>
+      val parent: java.lang.Long =
+        if (i == 0 || rnd.nextInt(10) == 0) null          // root
+        else if (rnd.nextInt(50) == 0) java.lang.Long.valueOf(9999L + i) // dangling
+        else java.lang.Long.valueOf((i - 1 - rnd.nextInt(math.min(i, 3))).toLong)
+      val code: String =
+        if (rnd.nextInt(30) == 0) s"code$i" else null     // sparse ⇒ deep walks
+      (i.toLong, parent, code)
+    }
+    val df = nodes.toDF("id", "parent", "code")
+    def canon(out: org.apache.spark.sql.DataFrame): Map[Long, String] = out
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .filter(_._2 != null).toMap
+    val loop = canon(graft.operators.ContHistory.resolveCode(df))
+    val dbl = canon(graft.operators.ContHistory.resolveCodeDoubling(df))
+    assert(loop == dbl,
+      s"only-loop=${(loop.toSet -- dbl.toSet).take(5)} only-dbl=${(dbl.toSet -- loop.toSet).take(5)}")
+  }
+
   test("q85 padding waste partitions the corpus and bounds the ratio") {
     val rows = TrainPrep.q85PaddingWaste(spark, dir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
