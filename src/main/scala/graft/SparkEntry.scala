@@ -103,6 +103,7 @@ object SparkEntry {
     "q83_epoch_shuffle"     -> (TrainPrep.q83EpochShuffle _),
     "q84_quantize_int8"     -> (TrainPrep.q84QuantizeInt8 _),
     "q85_padding_waste"     -> (TrainPrep.q85PaddingWaste _),
+    "q86_hll_distinct"      -> (Sketches.q86HllDistinct _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -338,5 +339,6 @@ object SparkEntry {
     "q83_epoch_shuffle"      -> TrainPrep.epochShuffleOracle,
     "q84_quantize_int8"      -> TrainPrep.quantizeInt8Oracle,
     "q85_padding_waste"      -> TrainPrep.paddingWasteOracle,
+    "q86_hll_distinct"       -> Sketches.hllDistinctOracle,
   )
 }

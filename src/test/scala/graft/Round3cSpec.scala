@@ -103,6 +103,41 @@ class Round3cSpec extends AnyFunSuite {
       s"only-loop=${(loop.toSet -- dbl.toSet).take(5)} only-dbl=${(dbl.toSet -- loop.toSet).take(5)}")
   }
 
+  test("q82/q83 plan shapes: no cartesian, no single-partition window") {
+    // q82's whole point is never degenerating to all-pairs: the plan must
+    // contain only equi-joins (hash/sort-merge), no nested-loop/cartesian
+    val q82 = SimJoin.q82JaccardJoin(spark, dir)
+    q82.collect() // force AQE-final plan
+    val p82 = q82.queryExecution.executedPlan.toString
+    assert(!p82.contains("CartesianProduct") && !p82.contains("BroadcastNestedLoop"),
+      s"non-equi join in q82 plan:\n$p82")
+    // q83's per-shard windows must never collapse to one partition
+    val q83 = TrainPrep.q83EpochShuffle(spark, dir)
+    q83.collect()
+    val p83 = q83.queryExecution.executedPlan.toString
+    assert(!p83.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q83 plan:\n$p83")
+  }
+
+  test("q86 HLL estimate lands within the published error envelope") {
+    // sf0.01, not the usual sf0.001: the raw estimator's contract is the
+    // saturated regime n ≫ m (the scaladoc's stated operating point) —
+    // at 15 distinct/group the omitted linear-counting branch would own
+    // the estimate and the envelope doesn't apply
+    val rows = graft.operators.Sketches.q86HllDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(3)
+      // 1.04/√64 ≈ 13% standard error; allow 3σ
+      assert(math.abs(est / exact - 1.0) < 3 * 1.04 / 8,
+        s"estimate $est too far from exact $exact")
+    }
+    // determinism: a re-run produces identical estimates
+    val again = graft.operators.Sketches.q86HllDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("q85 padding waste partitions the corpus and bounds the ratio") {
     val rows = TrainPrep.q85PaddingWaste(spark, dir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
