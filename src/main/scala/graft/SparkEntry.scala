@@ -104,6 +104,7 @@ object SparkEntry {
     "q84_quantize_int8"     -> (TrainPrep.q84QuantizeInt8 _),
     "q85_padding_waste"     -> (TrainPrep.q85PaddingWaste _),
     "q86_hll_distinct"      -> (Sketches.q86HllDistinct _),
+    "q87_simhash_pairs"     -> (Dedup.q87SimhashPairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -340,5 +341,6 @@ object SparkEntry {
     "q84_quantize_int8"      -> TrainPrep.quantizeInt8Oracle,
     "q85_padding_waste"      -> TrainPrep.paddingWasteOracle,
     "q86_hll_distinct"       -> Sketches.hllDistinctOracle,
+    "q87_simhash_pairs"      -> Dedup.simhashPairsOracle,
   )
 }

@@ -143,6 +143,54 @@ object Dedup {
        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q87 — SimHash near-dup PAIRING by pigeonhole blocks: every pair of
+    * docs whose fingerprints differ in ≤ 1 bit, found WITHOUT an
+    * all-pairs comparison. Hamming ≤ d pairs must agree exactly on at
+    * least one of d+1 disjoint bit blocks (pigeonhole), so the candidate
+    * join is an equi-join on (block_idx, block_value) — at 100 TB the
+    * shuffle carries 3 small integers per posting and bucket sizes are
+    * |corpus| / 2^(width/(d+1)) — the skew/recall knob is the fingerprint
+    * WIDTH (production: 64/128 bits ⇒ more, bigger blocks; the compiled
+    * 16-bit kernel keeps the fixture corpus meaningful), not the plan
+    * shape. Verification is one integer xor+popcount per candidate.
+    * Complements q29/q82 (shingle Jaccard): SimHash pairing needs no
+    * shingle re-attach at all — the whole pipeline moves fixed-width
+    * integers. */
+  def q87SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              call_function("graft_simhash", col("text")).as("simhash"))
+    // d=1 ⇒ 2 blocks of 8 bits
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((col("simhash") / 256).cast("int").cast("long"),
+                       col("simhash") % 256)).as(Seq("blk", "v")))
+    val cand = blocks.select(col("blk"), col("v"),
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(blocks.select(col("blk"), col("v"),
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("blk", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Naive spec: every pair, exact popcount distance ([[simhashOracle]]
+    * supplies the fingerprint CTE; `def` because that val initializes
+    * later in the object). */
+  def simhashPairsOracle: String =
+    s"""WITH sh AS (
+       |  ${simhashOracle.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity),
     * via the codegen'd [[graft.functions.SimHash16]] kernel: one compiled
     * call per row instead of 16 interpreted `aggregate` HOF passes over

@@ -119,6 +119,22 @@ class Round3cSpec extends AnyFunSuite {
       s"single-partition exchange in q83 plan:\n$p83")
   }
 
+  test("q87 pigeonhole pairing ≡ naive all-pairs popcount") {
+    val fast = graft.operators.Dedup.q87SimhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("s"))
+    val naive = sig.select(col("doc_id").as("a"), col("s").as("sa"))
+      .crossJoin(sig.select(col("doc_id").as("b"), col("s").as("sb")))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 1)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive,
+      s"missed=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+  }
+
   test("q86 HLL estimate lands within the published error envelope") {
     // sf0.01, not the usual sf0.001: the raw estimator's contract is the
     // saturated regime n ≫ m (the scaladoc's stated operating point) —
