@@ -160,4 +160,42 @@ class SessionsSpec extends AnyFunSuite {
       assert(got === Map(1L -> "gold", 2L -> "basic", 3L -> null))
     } finally q.stop()
   }
+
+  test("streaming HLL converges to EXACTLY the batch estimate") {
+    import graft.streaming.Cardinality
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the same rows the batch operator sketches, split across three
+    // micro-batches with replayed duplicates (max-merge must absorb them)
+    val obs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("user_id").cast("string"))
+      .collect().map(r => Cardinality.Obs(r.getString(0), r.getString(1)))
+    val input = MemoryStream[Cardinality.Obs]
+    val q = Cardinality.estimates(input.toDS())
+      .writeStream.format("memory").queryName("hll")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = obs.splitAt(obs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData((b3 ++ b1.take(50)).toSeq); q.processAllAvailable() // replay
+      // registers only grow, so occupied/estimate are monotone — the max
+      // per group is the converged sketch (collect order is unspecified)
+      val got = spark.table("hll").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(v => (v._2, v._3)) }
+      val want = graft.operators.Sketches
+        .q86HllDistinct(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (g, (occ, est)) =>
+        assert(got(g)._2 == occ, s"occupied mismatch for $g")
+        assert(got(g)._3 == est, s"estimate mismatch for $g: ${got(g)._3} vs $est")
+      }
+    } finally q.stop()
+  }
 }
