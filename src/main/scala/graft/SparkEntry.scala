@@ -105,6 +105,7 @@ object SparkEntry {
     "q85_padding_waste"     -> (TrainPrep.q85PaddingWaste _),
     "q86_hll_distinct"      -> (Sketches.q86HllDistinct _),
     "q87_simhash_pairs"     -> (Dedup.q87SimhashPairs _),
+    "q88_minhash_estimate"  -> (Dedup.q88MinhashEstimate _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -342,5 +343,6 @@ object SparkEntry {
     "q85_padding_waste"      -> TrainPrep.paddingWasteOracle,
     "q86_hll_distinct"       -> Sketches.hllDistinctOracle,
     "q87_simhash_pairs"      -> Dedup.simhashPairsOracle,
+    "q88_minhash_estimate"   -> Dedup.minhashEstimateOracle,
   )
 }

@@ -143,6 +143,68 @@ object Dedup {
        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q88 — MinHash ESTIMATOR audit: for every LSH candidate pair (q29's
+    * pre-verification set), the signature-estimated Jaccard (fraction of
+    * agreeing minhash components — the estimator LSH banding is built on)
+    * side by side with the exact shingle Jaccard. This is the operator a
+    * pipeline runs to TUNE the sketch (width K, band shape) on its own
+    * corpus before trusting the approximate pass: the agreement count is
+    * pure integer (portable), the estimate an exact K-denominator
+    * rational. Cost shape: candidates carry the K-slot signature arrays
+    * (K·32 bytes), shingles re-attach only for the exact column — q29's
+    * discipline unchanged. */
+  def q88MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).localCheckpoint()
+    val bands = lshBands(sig)
+    val cand = bands.toDF("doc_a", "band_idx", "band_hash")
+      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val matches = (1 to K_HASHES).map(k =>
+        when(element_at(col("m_a"), k) === element_at(col("m_b"), k), 1L)
+          .otherwise(0L))
+      .reduce(_ + _)
+    val estJac = round((col("matches").cast("double") / K_HASHES)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = round((inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("m").as("m_a"),
+                       col("sh").as("sh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("m").as("m_b"),
+                       col("sh").as("sh_b")), "doc_b")
+      .withColumn("matches", matches)
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+              estJac.as("est_jaccard"), jac.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashEstimateOracle: String = {
+    val matchSql = (1 to K_HASHES)
+      .map(k => s"CASE WHEN x.m[$k] = y.m[$k] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($matchSql AS BIGINT) AS matches,
+       |  CAST(round(CAST(CAST($matchSql AS DOUBLE) / $K_HASHES
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS est_jaccard,
+       |  CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |       CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q87 — SimHash near-dup PAIRING by pigeonhole blocks: every pair of
     * docs whose fingerprints differ in ≤ 1 bit, found WITHOUT an
     * all-pairs comparison. Hamming ≤ d pairs must agree exactly on at
