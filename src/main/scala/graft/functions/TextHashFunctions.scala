@@ -43,7 +43,16 @@ object TextHashUtil {
   }
 
   /** Distinct 3-word shingles; limit -1 matches Spark split's
-    * trailing-empty behavior. */
+    * trailing-empty behavior.
+    *
+    * Locale.ROOT deliberately: the kernels must be deterministic across
+    * JVMs, and ROOT matches DuckDB's locale-independent lower(). Spark's
+    * own `lower()` falls back to the DEFAULT JVM locale for non-ASCII
+    * (UTF8String → String.toLowerCase), so on an exotic-locale JVM
+    * (tr_TR dotless-i) the DECLARATIVE reference forms can diverge from
+    * the kernels on non-ASCII text — the kernels are the contract; the
+    * declarative forms exist as semantics documentation and are compared
+    * on ASCII fixtures. */
   def shingleStrings(text: String): Array[String] = {
     val t = text.toLowerCase(Locale.ROOT).split("\\s+", -1)
     if (t.length < 3) return Array.empty

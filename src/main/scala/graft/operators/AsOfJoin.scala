@@ -151,8 +151,16 @@ object AsOfJoin {
     val carrySide = carry.select(col(key), col("__b"), lit(0).as("__k1"),
       lit(0L).as("__t"), lit(0).as("__k3"),
       col("__carry").as("__pay"), lit(null).cast(rowType).as("__row"))
+    // final __pay sort key: among several BUILD rows at the same (key,
+    // time), the ascending payload order makes the LAST tied row — the one
+    // `last()` resolves to — the lexicographically greatest payload, which
+    // is the documented tie contract and what the carry path's
+    // `max(struct)` already does; without it the winner is whatever the
+    // shuffle happened to sort last (nondeterministic across runs).
+    // Probe/carry rows carry null __pay and are untouched (they are
+    // already totally ordered by (__k1, __t, __k3)).
     val wIn = Window.partitionBy(col(key), col("__b"))
-      .orderBy(col("__k1"), col("__t"), col("__k3"))
+      .orderBy(col("__k1"), col("__t"), col("__k3"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carrySide.unionByName(buildSide).unionByName(probeSide)
       .withColumn("__res", last(col("__pay"), ignoreNulls = true).over(wIn))

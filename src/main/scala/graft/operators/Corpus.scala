@@ -219,8 +219,7 @@ object Corpus {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val packed = docs.withColumn("__k",
       col("n_chars").cast("long") * lit(1000000000000L) + col("doc_id"))
-    val (ranked0, n) = PrefixSum.globalRank(packed, "__k", "r")
-    val ranked = ranked0
+    val (ranked, n) = PrefixSum.globalRank(packed, "__k", "r")
     val qd = n / 4; val rem = n % 4; val thresh = rem * (qd + 1)
     // ceil(a/b) over positive longs = (a + b - 1) DIV b — integer DIV, not
     // `/` (double division mis-assigns past 2^53)

@@ -97,6 +97,17 @@ object Dedup {
         md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
       .toDF("doc_id", "band_idx", "band_hash")
 
+  /** Distinct same-bucket (doc_a < doc_b) candidate pairs — the one
+    * candidate-generation discipline all LSH consumers share (q29, q88;
+    * q81 keeps its asymmetric batch×corpus variant), so a banding change
+    * (e.g. the bucket-cap escape hatch) lands everywhere at once. */
+  private def lshCandidates(bands: DataFrame): DataFrame =
+    bands.toDF("doc_a", "band_idx", "band_hash")
+      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
   def q29LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Three consumers (bands + two shingle re-attaches) read the signature
     // relation; higher-order-function trees are interpreted (no codegen),
@@ -104,12 +115,7 @@ object Dedup {
     // it once — at cluster scale this is a persisted intermediate table of
     // |docs| small rows, trivially cacheable.
     val sig = signatures(spark, dir).localCheckpoint()
-    val bands = lshBands(sig)
-    val cand = bands.toDF("doc_a", "band_idx", "band_hash")
-      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = lshCandidates(lshBands(sig))
     // Shingle sets re-attach only for the (small) candidate set.
     val sh = sig.select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -155,12 +161,7 @@ object Dedup {
     * discipline unchanged. */
   def q88MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir).localCheckpoint()
-    val bands = lshBands(sig)
-    val cand = bands.toDF("doc_a", "band_idx", "band_hash")
-      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = lshCandidates(lshBands(sig))
     val matches = (1 to K_HASHES).map(k =>
         when(element_at(col("m_a"), k) === element_at(col("m_b"), k), 1L)
           .otherwise(0L))

@@ -179,7 +179,13 @@ object Similarity {
     val seeds = e.filter(col("vec_id") < KMEANS_K)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"),
               col("nrm").as("sn"))
-    val d2 = round((col("nrm") + col("sn")) - lit(2.0) * dot(col("v"), col("sv")), 4)
+    // DECIMAL-routed rounds: d2 DECIDES the assignment and c is the
+    // output — a dyadic double can terminate with a 5 exactly at the
+    // rounding digit (65/128 = 0.5078125), where Spark HALF_UP and
+    // DuckDB half-even diverge
+    val d2 = round(((col("nrm") + col("sn")) - lit(2.0) * dot(col("v"), col("sv")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+      .cast("double")
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("seed_id"))
     val assigned = e.crossJoin(broadcast(seeds))
       .withColumn("d2", d2)
@@ -190,7 +196,9 @@ object Similarity {
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster_id"), (col("dim") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_members"),
-           round(avg(col("x").cast("double")), 6).as("c"))
+           round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
       .orderBy(col("cluster_id"), col("dim"))
   }
 
@@ -205,12 +213,14 @@ object Similarity {
        |  SELECT vec_id, seed_id AS cluster_id, v FROM (
        |    SELECT n.vec_id, s.seed_id, n.v,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        round((n.nrm + s.sn) - 2.0 * list_dot_product(n.v, s.sv), 4),
+       |        CAST(round(CAST((n.nrm + s.sn) - 2.0 * list_dot_product(n.v, s.sv)
+       |             AS DECIMAL(28,12)), 4) AS DOUBLE),
        |        s.seed_id) AS rn
        |    FROM e n CROSS JOIN seeds s)
        |  WHERE rn = 1)
        |SELECT cluster_id, CAST(i AS BIGINT) AS dim,
-       |  count(*) AS n_members, round(avg(v[i]), 6) AS c
+       |  count(*) AS n_members,
+       |  CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
        |FROM assigned, generate_series(1, $DIMS) AS g(i)
        |GROUP BY cluster_id, i ORDER BY cluster_id, dim""".stripMargin
 

@@ -30,7 +30,6 @@ object NearDup {
   final case class Candidate(doc_id: Long, anchor_id: Long, bucket: String)
 
   private val N_BANDS = 4 // 2 rows per band over the k=8 signature (= q29)
-  private val HorizonMs = 2L * 24 * 3600 * 1000 // state retention (= default watermark)
 
   /** Stateless prefix: doc stream → (bucket, doc_id, ts) band rows via the
     * compiled [[graft.functions.MinHashSig]] kernel — identical banding to
@@ -48,8 +47,11 @@ object NearDup {
   }
 
   /** One bucket's update: the first-seen doc (event-time, doc_id tiebreak)
-    * anchors; everything after it emits a candidate pair. */
-  def update(bucket: String, rows: Iterator[BandRow],
+    * anchors; everything after it emits a candidate pair. `horizonMs` is
+    * the SAME duration as the stream's watermark — eviction and lateness
+    * must share one clock or state outlives (or undercuts) the advertised
+    * bound. */
+  def update(horizonMs: Long)(bucket: String, rows: Iterator[BandRow],
              state: GroupState[Anchor]): Iterator[Candidate] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val out = Vector.newBuilder[Candidate]
@@ -67,12 +69,21 @@ object NearDup {
       // evict once the watermark passes the anchor's own horizon (must stay
       // strictly ahead of the current watermark or Spark rejects it)
       state.setTimeoutTimestamp(
-        math.max(a.ts_ms + HorizonMs, state.getCurrentWatermarkMs() + 1))
+        math.max(a.ts_ms + horizonMs, state.getCurrentWatermarkMs() + 1))
     }
     out.result().iterator
   }
 
-  /** Wire the stateful op over a doc stream `(doc_id, text, ts)`. */
+  /** Parse a watermark-style duration ("2 days", "1 hour") to millis. */
+  private[streaming] def horizonMillis(horizon: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    require(iv.months == 0, s"month-based horizons are ambiguous: $horizon")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** Wire the stateful op over a doc stream `(doc_id, text, ts)`. The one
+    * `horizon` value drives BOTH the watermark and state eviction. */
   def nearDupStream(docs: DataFrame, horizon: String = "2 days"): Dataset[Candidate] = {
     implicit val bandEnc = Encoders.product[BandRow]
     implicit val anchorEnc = Encoders.product[Anchor]
@@ -83,6 +94,6 @@ object NearDup {
       .as[BandRow]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout())(update)
+        GroupStateTimeout.EventTimeTimeout())(update(horizonMillis(horizon)))
   }
 }

@@ -65,6 +65,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("equal-time build ties resolve to the greatest payload, any input order") {
+    import spark.implicits._
+    // three build rows on the SAME (key, time), deliberately unsorted and
+    // scattered across partitions: the winner must be the max(struct)
+    // payload (9), not whichever row the shuffle sorts last
+    val buildDf = Seq((1L, 10L, 5L, 0.5), (1L, 10L, 9L, 0.9), (1L, 10L, 3L, 0.3))
+      .toDF("k", "t", "pay_id", "pay_v").repartition(3)
+    val probeDf = Seq((0L, 1L, 15L), (1L, 1L, 10L)).toDF("event_id", "k", "t")
+    for (width <- Seq(4L, 1000L)) { // in-bucket path AND carry path
+      val got = AsOfJoin.bucketed(probeDf, buildDf, "k", "t",
+          Seq("pay_id", "pay_v"), width)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("pay_id")).toMap
+      assert(got === Map(0L -> 9L, 1L -> 9L), s"width=$width")
+    }
+  }
+
   test("q76 plan: no single-partition exchange, no broadcast of the build side") {
     val df = AsOfJoin.q76AsofBigJoin(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
