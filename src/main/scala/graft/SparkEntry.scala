@@ -106,6 +106,7 @@ object SparkEntry {
     "q86_hll_distinct"      -> (Sketches.q86HllDistinct _),
     "q87_simhash_pairs"     -> (Dedup.q87SimhashPairs _),
     "q88_minhash_estimate"  -> (Dedup.q88MinhashEstimate _),
+    "q89_ann_recall"        -> (Similarity.q89AnnRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -344,5 +345,6 @@ object SparkEntry {
     "q86_hll_distinct"       -> Sketches.hllDistinctOracle,
     "q87_simhash_pairs"      -> Dedup.simhashPairsOracle,
     "q88_minhash_estimate"   -> Dedup.minhashEstimateOracle,
+    "q89_ann_recall"         -> Similarity.annRecallOracle,
   )
 }

@@ -88,7 +88,11 @@ object Similarity {
     val cent = e
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      // DECIMAL-routed like q71's centroids: a dyadic avg can terminate
+      // with a 5 exactly at the 6th decimal (HALF_UP vs half-even trap)
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
       .groupBy(col("label"))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
                      _.getField("c")).as("cv"))
@@ -117,7 +121,7 @@ object Similarity {
        |        FROM embeddings)),
        |cent AS (
        |  SELECT label, list(c ORDER BY i) AS cv FROM (
-       |    SELECT label, i, round(avg(v[i]), 6) AS c
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
        |    FROM e, generate_series(1, 64) AS g(i) GROUP BY label, i)
        |  GROUP BY label),
        |probes AS (
@@ -311,4 +315,51 @@ object Similarity {
 
   val annBruteOracle: String = annOracle(sameLabel = false)
   val annIvfOracle: String = annOracle(sameLabel = true)
+
+  /** q89 — ANN RECALL audit: recall@k of the IVF index (q33) against the
+    * brute-force ground truth (q32), per query. The tuning readout every
+    * ANN deployment watches (probe more cells? re-train the quantizer?),
+    * and the third leg of the approximation-audit family (q82 exact vs
+    * q29 LSH; q88 estimated vs exact Jaccard). hits is an integer
+    * semi-join count; recall = hits/k is the same double in any engine
+    * (one division of small exact ints). Cost: both top-k plans + one
+    * k·|queries|-row semi join — negligible next to the searches
+    * themselves. */
+  def q89AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q32AnnBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = q33AnnIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = truth.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              (coalesce(col("hits"), lit(0L)).cast("double") / TOP_K)
+                .as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallOracle: String = {
+    def topkCte(labelCond: String): String =
+      s"""SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |        round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+         |      FROM e q JOIN e n ON q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id$labelCond))
+         |  WHERE rank <= $TOP_K""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |truth AS (
+       |  ${topkCte("")}),
+       |approx AS (
+       |  ${topkCte(" AND n.label = q.label")})
+       |SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+       |  CAST(count(a.n_id) AS DOUBLE) / $TOP_K AS recall_at_k
+       |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
 }
