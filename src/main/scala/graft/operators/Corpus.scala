@@ -95,14 +95,20 @@ object Corpus {
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
     counts
       .withColumn("pct",
-        round(col("n").cast("double") /
-              sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+        // DECIMAL-routed: n/total is a small-int rational (the half-case
+        // trap) — benign at the fixture totals (2^a·5^b terminate early)
+        // but not for an arbitrary corpus size
+        round((col("n").cast("double") /
+               sum(col("n")).over(Window.partitionBy()).cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double"))
       .orderBy(col("lang"), col("source"))
   }
 
   val mixtureOracle: String =
     """SELECT lang, source, n,
-      |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+      |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+      |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
       |FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
       |ORDER BY lang, source""".stripMargin
 
