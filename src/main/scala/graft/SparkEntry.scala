@@ -107,6 +107,7 @@ object SparkEntry {
     "q87_simhash_pairs"     -> (Dedup.q87SimhashPairs _),
     "q88_minhash_estimate"  -> (Dedup.q88MinhashEstimate _),
     "q89_ann_recall"        -> (Similarity.q89AnnRecall _),
+    "q90_hll_rollup"        -> (Sketches.q90HllRollup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -346,5 +347,6 @@ object SparkEntry {
     "q87_simhash_pairs"      -> Dedup.simhashPairsOracle,
     "q88_minhash_estimate"   -> Dedup.minhashEstimateOracle,
     "q89_ann_recall"         -> Similarity.annRecallOracle,
+    "q90_hll_rollup"         -> Sketches.hllRollupOracle,
   )
 }

@@ -90,25 +90,52 @@ object ContHistory {
     var resolved = frontier.filter(lit(false))
       .select(col("seed"), lit(null).cast("string").as("chain_code"))
     // Same one-JOB-per-round fusion as [[chains]]: lazy checkpoint,
-    // materialized by the frontier-count action.
+    // materialized by the frontier-count action. TWO ancestor hops fuse
+    // into each round (two in-plan joins, one scheduled job): the loop is
+    // latency-bound by scheduling round-trips, not data, so halving the
+    // rounds halves its cost while keeping the shrinking-frontier cost
+    // model (contrast [[resolveCodeDoubling]], which walks the full node
+    // set to get log-depth). An odd maxDepth tail runs a 1-hop round, so
+    // the depth-cutoff contract is unchanged.
     var d = 0
     var frontierLive = true // see [[chains]]: no isEmpty probe
     while (d < maxDepth && frontierLive) {
-      val stepped = frontier
+      val hops = math.min(2, maxDepth - d)
+      val hop1 = frontier
         .join(n.select(col("id").as("cur"), col("parent").as("p2"),
                        col("code").as("c2")),
               Seq("cur"), "left")
+      val stepped = (if (hops == 2)
+        hop1.join(n.select(col("id").as("p2"), col("parent").as("p3"),
+                           col("code").as("c3")),
+                  Seq("p2"), "left")
+      else
+        hop1.withColumn("p3", lit(null).cast(hop1.schema("p2").dataType))
+            .withColumn("c3", lit(null).cast("string")))
         .localCheckpoint(eager = false)
+      val cont1 = col("c2").isNull && col("p2").isNotNull // hop1 didn't end it
+      val cont2 = col("c3").isNull && col("p3").isNotNull // hop2 didn't either
       val nFrontier = stepped
-        .filter(col("c2").isNull && col("p2").isNotNull).count()
-      // terminal: found a code, or hit a root / dangling parent
-      resolved = resolved.unionByName(
-        stepped.filter(col("c2").isNotNull || col("p2").isNull)
-          .select(col("seed"), col("c2").as("chain_code")))
-      frontier = stepped.filter(col("c2").isNull && col("p2").isNotNull)
-        .select(col("seed"), col("p2").as("cur"))
+        .filter(if (hops == 2) cont1 && cont2 else cont1).count()
+      // terminal: found a code, or hit a root / dangling parent — at
+      // either hop (c2/c3 is null in the root/dangling case, matching the
+      // single-hop semantics exactly)
+      resolved =
+        if (hops == 2) resolved
+          .unionByName(stepped.filter(!cont1)
+            .select(col("seed"), col("c2").as("chain_code")))
+          .unionByName(stepped.filter(cont1 && !cont2)
+            .select(col("seed"), col("c3").as("chain_code")))
+        else resolved
+          .unionByName(stepped.filter(!cont1)
+            .select(col("seed"), col("c2").as("chain_code")))
+      frontier =
+        if (hops == 2) stepped.filter(cont1 && cont2)
+          .select(col("seed"), col("p3").as("cur"))
+        else stepped.filter(cont1)
+          .select(col("seed"), col("p2").as("cur"))
       frontierLive = nFrontier > 0
-      d += 1
+      d += hops
     }
     resolved
   }

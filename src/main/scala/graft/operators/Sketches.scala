@@ -67,6 +67,58 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  /** q90 — HLL MERGE/rollup: the property that justifies sketching at
+    * all — per-group register vectors combine by bucket-wise max into the
+    * EXACT sketch of the union, without touching the raw data again. Here:
+    * per-event_type registers (the q86 partials, in steady state a
+    * persisted m-rows-per-group artifact) merge into the all-types
+    * estimate, and the oracle checks it equals the estimate a from-scratch
+    * global sketch would give — the merge loses nothing, by construction.
+    * At 100 TB this is the daily/weekly rollup: re-aggregate m·|groups|
+    * register rows, never the corpus. */
+  def q90HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val h32 = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+              (h32 % lit(1L << RankBits)).as("w"),
+              (h32 / lit(1L << RankBits)).cast("long").as("bucket"))
+      .withColumn("rank", lit(RankBits + 1) - bitLen(col("w")))
+    // per-group registers (q86's partial), then the bucket-wise max merge
+    val regs = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val merged = regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    merged.agg(
+        sum(pow(lit(0.5), col("reg"))).as("s_occ"),
+        count(lit(1)).as("occupied"))
+      .withColumn("s", col("s_occ") + (lit(M) - col("occupied")).cast("double"))
+      .select(lit("all").as("scope"), col("occupied"),
+              round(lit(Alpha64 * M * M) / col("s"), 4).as("hll_estimate"))
+  }
+
+  val hllRollupOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val h32Sql = (1 to 8)
+      .map(i => s"${nib(i)}::BIGINT * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    val bitLenSql = (0 until RankBits)
+      .map(k => s"CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    // the oracle builds the GLOBAL sketch directly — the merge must equal it
+    s"""WITH hashed AS (
+       |  SELECT h32 % ${1L << RankBits} AS w, h32 // ${1L << RankBits} AS bucket
+       |  FROM (SELECT $h32Sql AS h32
+       |        FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events))),
+       |regs AS (
+       |  SELECT bucket, max(${RankBits + 1} - ($bitLenSql)) AS reg
+       |  FROM hashed GROUP BY bucket)
+       |SELECT 'all' AS scope, CAST(count(*) AS BIGINT) AS occupied,
+       |  round(${Alpha64 * M * M} /
+       |        (sum(power(0.5, reg)) + ($M - count(*))), 4) AS hll_estimate
+       |FROM regs""".stripMargin
+  }
+
   val hllDistinctOracle: String = {
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
