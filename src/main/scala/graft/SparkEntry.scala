@@ -108,6 +108,7 @@ object SparkEntry {
     "q88_minhash_estimate"  -> (Dedup.q88MinhashEstimate _),
     "q89_ann_recall"        -> (Similarity.q89AnnRecall _),
     "q90_hll_rollup"        -> (Sketches.q90HllRollup _),
+    "q91_simhash64_pairs"   -> (Dedup.q91Simhash64Pairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -348,5 +349,6 @@ object SparkEntry {
     "q88_minhash_estimate"   -> Dedup.minhashEstimateOracle,
     "q89_ann_recall"         -> Similarity.annRecallOracle,
     "q90_hll_rollup"         -> Sketches.hllRollupOracle,
+    "q91_simhash64_pairs"    -> Dedup.simhash64PairsOracle,
   )
 }

@@ -103,6 +103,40 @@ object TextHashUtil {
     out
   }
 
+
+  /** 64-bit SimHash — [[simhash16]] widened to the production fingerprint
+    * width (first 16 md5 hex chars, MSB-first). Bit 0 maps to the sign
+    * bit: ORing `1L << 63` is the same two's-complement value the oracle
+    * builds by adding Long.MinValue — the bit patterns are identical. */
+  def simhash64(text: UTF8String): Long = {
+    val t = text.toString.toLowerCase(Locale.ROOT).split("\\s+", -1)
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < t.length) {
+      val h = md5Hex(t(j))
+      var b = 0
+      while (b < 64) {
+        val nib = Character.digit(h.charAt(b / 4), 16)
+        val bit = (b % 4: @annotation.switch) match {
+          case 0 => nib >= 8
+          case 1 => nib % 8 >= 4
+          case 2 => nib % 4 >= 2
+          case _ => nib % 2 == 1
+        }
+        votes(b) += (if (bit) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= 1L << (63 - b)
+      b += 1
+    }
+    out
+  }
+
   def minhash(text: UTF8String, k: Int): ArrayData = {
     val sh = shingleStrings(text.toString)
     val mins = new Array[String](k)
@@ -156,6 +190,26 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextHashUtil.simhash16($t)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+
+/** `graft_simhash64(text)` → BIGINT: 64-bit SimHash of the token stream. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_simhash64 expects STRING")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashUtil.simhash64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashUtil.simhash64($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

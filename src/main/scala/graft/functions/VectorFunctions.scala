@@ -90,6 +90,8 @@ object VectorFunctions {
       "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }
 
@@ -113,6 +115,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash16(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
     // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
     // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)

@@ -254,6 +254,69 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q91 — q87 at the PRODUCTION fingerprint width: 64-bit SimHash
+    * (`graft_simhash64` kernel), hamming ≤ 3, 4 pigeonhole blocks of 16
+    * bits. At 64 bits random collisions vanish (16-bit q87 surfaces
+    * ~birthday-paradox noise on a big corpus — that is its documented
+    * width trade), so every emitted pair is a genuine token-distribution
+    * near-dup. Same plan shape as q87: equi-join on (block, value),
+    * integer xor+popcount verify, nothing but fixed-width integers in
+    * any exchange. */
+  def q91Simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              call_function("graft_simhash64", col("text")).as("simhash"))
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), 16 * (3 - i))
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "v")))
+    val cand = blocks.select(col("blk"), col("v"),
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(blocks.select(col("blk"), col("v"),
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("blk", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Naive spec over the 64-bit fingerprint; the bit-b term adds
+    * `1 << (63-b)` — for b = 0 that is Long.MinValue, the same
+    * two's-complement pattern the kernel ORs in. */
+  def simhash64PairsOracle: String = {
+    def bitSql(b: Int): String = {
+      val nib = s"(strpos('0123456789abcdef', substr(x, ${b / 4 + 1}, 1)) - 1)"
+      b % 4 match {
+        case 0 => s"$nib >= 8"
+        case 1 => s"$nib % 8 >= 4"
+        case 2 => s"$nib % 4 >= 2"
+        case _ => s"$nib % 2 = 1"
+      }
+    }
+    val terms = (0 until 64).map { b =>
+      val w = if (b == 0) "CAST(-9223372036854775808 AS BIGINT)"
+              else s"CAST(${1L << (63 - b)} AS BIGINT)"
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |    x -> CASE WHEN ${bitSql(b)} THEN 1 ELSE -1 END)) > 0
+         |  THEN $w ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ($terms) AS simhash
+       |  FROM (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\\s+'),
+       |               tok -> md5(tok)) AS hs
+       |        FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity),
     * via the codegen'd [[graft.functions.SimHash16]] kernel: one compiled
     * call per row instead of 16 interpreted `aggregate` HOF passes over

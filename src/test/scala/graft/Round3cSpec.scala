@@ -135,6 +135,24 @@ class Round3cSpec extends AnyFunSuite {
       s"missed=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
   }
 
+  test("q91 64-bit pigeonhole pairing ≡ naive popcount (incl. sign bit)") {
+    val fast = graft.operators.Dedup.q91Simhash64Pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("s"))
+    // fingerprints with the sign bit set must round-trip the block split
+    assert(sig.filter(col("s") < 0).count() > 0, "fixture never sets bit 0")
+    val naive = sig.select(col("doc_id").as("a"), col("s").as("sa"))
+      .crossJoin(sig.select(col("doc_id").as("b"), col("s").as("sb")))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive,
+      s"missed=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+  }
+
   test("q86 HLL estimate lands within the published error envelope") {
     // sf0.01, not the usual sf0.001: the raw estimator's contract is the
     // saturated regime n ≫ m (the scaladoc's stated operating point) —
