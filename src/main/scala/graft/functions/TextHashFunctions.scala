@@ -42,6 +42,17 @@ object TextHashUtil {
     new String(out)
   }
 
+  /** Top 32 bits of md5(s) as an unsigned long — the value
+    * `Long.parseLong(md5Hex(s).take(8), 16)` would give, without the hex
+    * round-trip. Per-row hot paths (streaming HLL) use this. */
+  def md5Top32(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+  }
+
   /** Distinct 3-word shingles; limit -1 matches Spark split's
     * trailing-empty behavior.
     *

@@ -77,7 +77,9 @@ object ContHistory {
     * `nodes(id, parent, code)` — the abstract shape of the reference's
     * recursive continuation CTE (Queries.hs:112-137): from every node with a
     * null code and a parent, follow parent links until a node with code (or
-    * a root) is reached; return `(id, chain_code)`. In the real schema the
+    * a root) is reached; return `(id, chain_code)` — one row per seed,
+    * with a null `chain_code` when the walk ends unresolved (root,
+    * dangling parent, or the `maxDepth` cap). In the real schema the
     * walk self-terminates because exec txs have no `pactid` — the loop here
     * terminates the same way (a resolved or parentless frontier row leaves
     * the frontier), with per-iteration `localCheckpoint` lineage cuts. */
@@ -137,7 +139,12 @@ object ContHistory {
       frontierLive = nFrontier > 0
       d += hops
     }
-    resolved
+    // cap-truncated seeds (still walking at maxDepth) emit as unresolved —
+    // ONE row per seed, null chain_code, the same total contract the
+    // doubling variant's left join produces (Round3cSpec compares the
+    // FULL row sets of both variants, nulls included)
+    resolved.unionByName(
+      frontier.select(col("seed"), lit(null).cast("string").as("chain_code")))
   }
 
   /** [[resolveCode]] by POINTER DOUBLING — identical contract (same

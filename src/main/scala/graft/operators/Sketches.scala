@@ -10,62 +10,103 @@ import org.apache.spark.sql.functions._
   * produce the SAME estimate, bit for bit:
   *
   *   - the hash is md5 (the engine's one portable hash): the top 8 hex
-  *     chars give a 32-bit value → 6 bucket bits (m = 64 registers) +
-  *     26 rank bits;
+  *     chars give a 32-bit value → `b` bucket bits (m = 2^b registers) +
+  *     (32−b) rank bits;
   *   - the rank (leading-zero count) is an integer comparison ladder
   *     (Σ [w ≥ 2^k]), not float log2 — no libm anywhere;
   *   - a register is `max(rank)` — an algebraic aggregate with map-side
   *     partials: the 100 TB shuffle is m rows per group, nothing else;
-  *   - the harmonic denominator Σ 2^−M_j is a sum of 64 binary fractions
-  *     spanning ≤ 33 mantissa bits — EXACT in a double in any summation
-  *     order, so parallel aggregation cannot perturb it;
-  *   - the raw estimate α_64·m²/S is one multiply-divide. The
+  *   - the harmonic denominator Σ 2^−M_j is a sum of m binary fractions
+  *     spanning ≤ b + (32−b) + 1 = 33 mantissa bits FOR EVERY m —
+  *     EXACT in a double in any summation order, so parallel aggregation
+  *     cannot perturb it;
+  *   - the raw estimate α_m·m²/S is one multiply-divide. The
   *     linear-counting small-range branch is deliberately omitted: it
   *     needs ln() (libm, not bit-portable) and only matters when
-  *     n ≲ 2.5m — a sketch sized m = 64 against fact-scale groups
-  *     operates in the raw regime; size m up, not the correction, at
-  *     100 TB (the estimator's contract here is determinism first).
+  *     n ≲ 2.5m — size m to the group cardinality regime (that is what
+  *     the `bucketBits` parameter is for), not the correction (the
+  *     estimator's contract here is determinism first).
   *
-  * The exact distinct count rides along per group: the operator's check
-  * is |estimate/exact − 1| within HLL's published error (≈1.04/√m ≈ 13%),
-  * pinned in Round3cSpec; the oracle pins cross-engine equality.
+  * Accuracy scales as the published 1.04/√m: m = 64 ⇒ ≈13%, m = 1024 ⇒
+  * ≈3.25%, m = 16384 ⇒ ≈0.8%. Round3cSpec pins the m = 64 envelope;
+  * SketchesSpec pins the m = 1024 envelope AND that growing m tightens
+  * the observed error on the same data. q86/q90 declare the m = 64
+  * configuration (small enough that the fixture groups exercise the raw
+  * regime); production distinct-counts at 100 TB should run b = 10–14.
+  *
+  * Null keys are dropped before hashing (both here and in the oracles) —
+  * the same null contract as COUNT(DISTINCT …).
   */
 object Sketches {
 
-  private val B = 6              // bucket bits → m = 64 registers
-  private val M = 1 << B
-  private val RankBits = 32 - B  // 26
-  private val Alpha64 = 0.709    // α_m for m = 64 (Flajolet et al., Fig. 3)
+  /** α_m bias constant (Flajolet et al. 2007, Fig. 3): tabulated for the
+    * small registers counts, the closed form 0.7213/(1 + 1.079/m) for
+    * m ≥ 128. */
+  def alphaM(bucketBits: Int): Double = (1 << bucketBits) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m  => 0.7213 / (1.0 + 1.079 / m)
+  }
 
   /** Integer bit-length of `w` (0 → 0) as Σ_{k} [w ≥ 2^k]. */
-  private def bitLen(w: Column): Column =
-    (0 until RankBits).map(k => when(w >= (1L << k), 1).otherwise(0))
+  private def bitLen(w: Column, rankBits: Int): Column =
+    (0 until rankBits).map(k => when(w >= (1L << k), 1).otherwise(0))
       .reduce(_ + _)
+
+  /** Per-(group, bucket) HLL registers of `key` over `df` — the
+    * persistable/mergeable sketch artifact: m rows per group, nothing
+    * else shuffles. Null keys are dropped (COUNT DISTINCT contract). */
+  def registers(df: DataFrame, groupCols: Seq[String], key: Column,
+                bucketBits: Int): DataFrame = {
+    val rankBits = 32 - bucketBits
+    val h32 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ (h32 % lit(1L << rankBits)).as("w")
+                :+ (h32 / lit(1L << rankBits)).cast("long").as("bucket"): _*)
+      .withColumn("rank", lit(rankBits + 1) - bitLen(col("w"), rankBits))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** Estimate from a register relation (the output of [[registers]], or
+    * any bucket-wise-max merge of such relations): the exact
+    * binary-fraction harmonic sum and the α_m·m²/S estimate, rendered at
+    * 4 decimals. */
+  def estimate(regs: DataFrame, groupCols: Seq[String],
+               bucketBits: Int): DataFrame = {
+    val m = 1 << bucketBits
+    val harm =
+      (if (groupCols.isEmpty) regs.groupBy() else regs.groupBy(groupCols.map(col): _*))
+        .agg(sum(pow(lit(0.5), col("reg"))).as("s_occ"),
+             count(lit(1)).as("occupied"))
+        // empty registers contribute 2^0 = 1 each
+        .withColumn("s", col("s_occ") + (lit(m) - col("occupied")).cast("double"))
+    harm.select(groupCols.map(col) :+ col("occupied")
+                  :+ round(lit(alphaM(bucketBits) * m.toDouble * m) / col("s"), 4)
+                       .as("hll_estimate"): _*)
+  }
+
+  /** Distinct `key` per group: exact count + deterministic HLL estimate
+    * at 2^bucketBits registers — the generic operator behind q86. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  bucketBits: Int): DataFrame = {
+    val est = estimate(registers(df, groupCols, key, bucketBits),
+                       groupCols, bucketBits)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(key).as("n_exact"))
+    exact.join(est, groupCols)
+      .select(groupCols.map(col) :+ col("n_exact") :+ col("occupied")
+                :+ col("hll_estimate"): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
 
   /** q86 — distinct users per event type: exact count + deterministic
     * HLL-64 estimate. */
-  def q86HllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val h32 = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id"),
-              (h32 % lit(1L << RankBits)).as("w"),
-              (h32 / lit(1L << RankBits)).cast("long").as("bucket"))
-      .withColumn("rank", lit(RankBits + 1) - bitLen(col("w")))
-    val regs = ev.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rank")).as("reg"))
-    val harm = regs.groupBy(col("event_type"))
-      .agg(sum(pow(lit(0.5), col("reg"))).as("s_occ"),
-           count(lit(1)).as("occupied"))
-      // empty registers contribute 2^0 = 1 each
-      .withColumn("s", col("s_occ") + (lit(M) - col("occupied")).cast("double"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    exact.join(harm, "event_type")
-      .select(col("event_type"), col("n_exact"), col("occupied"),
-              round(lit(Alpha64 * M * M) / col("s"), 4).as("hll_estimate"))
-      .orderBy(col("event_type"))
-  }
+  def q86HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(spark, dir), Seq("event_type"), col("user_id"),
+                bucketBits = 6)
 
   /** q90 — HLL MERGE/rollup: the property that justifies sketching at
     * all — per-group register vectors combine by bucket-wise max into the
@@ -77,24 +118,16 @@ object Sketches {
     * At 100 TB this is the daily/weekly rollup: re-aggregate m·|groups|
     * register rows, never the corpus. */
   def q90HllRollup(spark: SparkSession, dir: String): DataFrame = {
-    val h32 = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id"),
-              (h32 % lit(1L << RankBits)).as("w"),
-              (h32 / lit(1L << RankBits)).cast("long").as("bucket"))
-      .withColumn("rank", lit(RankBits + 1) - bitLen(col("w")))
-    // per-group registers (q86's partial), then the bucket-wise max merge
-    val regs = ev.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rank")).as("reg"))
+    val regs = registers(Tables.events(spark, dir), Seq("event_type"),
+                         col("user_id"), bucketBits = 6)
     val merged = regs.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
-    merged.agg(
-        sum(pow(lit(0.5), col("reg"))).as("s_occ"),
-        count(lit(1)).as("occupied"))
-      .withColumn("s", col("s_occ") + (lit(M) - col("occupied")).cast("double"))
-      .select(lit("all").as("scope"), col("occupied"),
-              round(lit(Alpha64 * M * M) / col("s"), 4).as("hll_estimate"))
+    estimate(merged, Seq.empty, bucketBits = 6)
+      .select(lit("all").as("scope"), col("occupied"), col("hll_estimate"))
   }
+
+  private val B = 6 // q86/q90's declared configuration
+  private val M = 1 << B
+  private val RankBits = 32 - B
 
   val hllRollupOracle: String = {
     val nib = (i: Int) =>
@@ -109,12 +142,13 @@ object Sketches {
     s"""WITH hashed AS (
        |  SELECT h32 % ${1L << RankBits} AS w, h32 // ${1L << RankBits} AS bucket
        |  FROM (SELECT $h32Sql AS h32
-       |        FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events))),
+       |        FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+       |              WHERE user_id IS NOT NULL))),
        |regs AS (
        |  SELECT bucket, max(${RankBits + 1} - ($bitLenSql)) AS reg
        |  FROM hashed GROUP BY bucket)
        |SELECT 'all' AS scope, CAST(count(*) AS BIGINT) AS occupied,
-       |  round(${Alpha64 * M * M} /
+       |  round(${alphaM(B) * M * M} /
        |        (sum(power(0.5, reg)) + ($M - count(*))), 4) AS hll_estimate
        |FROM regs""".stripMargin
   }
@@ -135,7 +169,7 @@ object Sketches {
        |  FROM (SELECT event_type, user_id, $h32Sql AS h32
        |        FROM (SELECT event_type, user_id,
        |                     md5(CAST(user_id AS VARCHAR)) AS h
-       |              FROM events))),
+       |              FROM events WHERE user_id IS NOT NULL))),
        |ranked AS (
        |  SELECT event_type, bucket, ${RankBits + 1} - ($bitLenSql) AS rank
        |  FROM hashed),
@@ -151,7 +185,7 @@ object Sketches {
        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
        |  FROM events GROUP BY event_type)
        |SELECT e.event_type, e.n_exact, h.occupied,
-       |       round(${Alpha64 * M * M} / h.s, 4) AS hll_estimate
+       |       round(${alphaM(B) * M * M} / h.s, 4) AS hll_estimate
        |FROM exact e JOIN harm h ON e.event_type = h.event_type
        |ORDER BY e.event_type""".stripMargin
   }

@@ -29,12 +29,10 @@ object Cardinality {
   final case class Estimate(group: String, occupied: Long, estimate: Double)
 
   /** Same hash→(bucket, rank) mapping as the batch operator: top 32 bits
-    * of md5(member), 6 bucket bits, integer leading-rank. */
+    * of md5(member), 6 bucket bits, integer leading-rank. Thread-local
+    * digest (TextHashUtil) — no per-event allocation in the hot path. */
   private[streaming] def bucketRank(member: String): (Int, Int) = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(member.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    val h32 = java.lang.Long.parseLong(hex, 16)
+    val h32 = graft.functions.TextHashUtil.md5Top32(member)
     val bucket = (h32 >>> RankBits).toInt
     val w = h32 & ((1L << RankBits) - 1)
     var len = 0

@@ -94,9 +94,11 @@ class Round3cSpec extends AnyFunSuite {
       (i.toLong, parent, code)
     }
     val df = nodes.toDF("id", "parent", "code")
+    // FULL row-set compare, nulls included: both variants must emit one
+    // row per seed, null chain_code when unresolved (root/dangling/cap)
     def canon(out: org.apache.spark.sql.DataFrame): Map[Long, String] = out
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
-      .filter(_._2 != null).toMap
+      .toMap
     val loop = canon(graft.operators.ContHistory.resolveCode(df))
     val dbl = canon(graft.operators.ContHistory.resolveCodeDoubling(df))
     assert(loop == dbl,

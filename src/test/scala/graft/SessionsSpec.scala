@@ -165,7 +165,9 @@ class SessionsSpec extends AnyFunSuite {
     import graft.streaming.Cardinality
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // the same rows the batch operator sketches, split across three
     // micro-batches with replayed duplicates (max-merge must absorb them)
@@ -196,6 +198,13 @@ class SessionsSpec extends AnyFunSuite {
         assert(got(g)._2 == occ, s"occupied mismatch for $g")
         assert(got(g)._3 == est, s"estimate mismatch for $g: ${got(g)._3} vs $est")
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // restore: don't leak RocksDB provider into later stateful tests
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parameterized-HLL properties: the α_m table, the published 1.04/√m
+  * error envelope at a production register count (m = 1024), and the
+  * tighten-with-m property on the same data. The q86/q90 m = 64
+  * configuration is oracle-checked by the driver; this spec is what
+  * justifies turning the `bucketBits` knob at 100 TB. */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("alphaM matches Flajolet's table and closed form") {
+    assert(Sketches.alphaM(4) == 0.673)
+    assert(Sketches.alphaM(5) == 0.697)
+    assert(Sketches.alphaM(6) == 0.709)
+    // m >= 128: 0.7213/(1 + 1.079/m), monotone toward 0.7213
+    assert(math.abs(Sketches.alphaM(7) - 0.7213 / (1 + 1.079 / 128.0)) < 1e-12)
+    assert(Sketches.alphaM(10) > Sketches.alphaM(7))
+    assert(Sketches.alphaM(14) < 0.7213)
+  }
+
+  test("m=1024 estimate lands inside the 1.04/sqrt(m) envelope and " +
+       "tightens vs m=64 on the same keys") {
+    import spark.implicits._
+    // 20k distinct synthetic keys across 4 groups of different sizes —
+    // all well past the ~2.5m raw-regime floor for both m values
+    val df = (0 until 20000)
+      .map(i => (s"g${i % 4}", s"user-${i}"))
+      .toDF("g", "k")
+    def errs(bits: Int): Map[String, Double] =
+      Sketches.hllDistinct(df, Seq("g"), col("k"), bits)
+        .collect()
+        .map(r => r.getString(0) ->
+          math.abs(r.getDouble(3) / r.getLong(1).toDouble - 1.0))
+        .toMap
+    val e64 = errs(6)
+    val e1024 = errs(10)
+    val env1024 = 3 * 1.04 / math.sqrt(1024) // 3σ ≈ 9.75%
+    e1024.foreach { case (g, e) =>
+      assert(e <= env1024, s"group $g: m=1024 error $e exceeds 3σ $env1024")
+    }
+    // the tightening property: mean |error| must drop when m grows 16× —
+    // averaged over groups so a single lucky m=64 draw can't flip it
+    val m64mean = e64.values.sum / e64.size
+    val m1024mean = e1024.values.sum / e1024.size
+    assert(m1024mean < m64mean,
+      s"m=1024 mean error $m1024mean not tighter than m=64 $m64mean")
+  }
+
+  test("register merge at m=1024 equals the from-scratch union sketch") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (s"g${i % 2}", s"k$i")).toDF("g", "k")
+    val perGroup = Sketches.registers(df, Seq("g"), col("k"), 10)
+    val merged = perGroup.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    val viaMerge = Sketches.estimate(merged, Seq.empty, 10)
+      .collect().head.getDouble(1)
+    val scratch = Sketches.estimate(
+        Sketches.registers(df, Seq.empty, col("k"), 10), Seq.empty, 10)
+      .collect().head.getDouble(1)
+    assert(viaMerge == scratch, s"merge $viaMerge != scratch $scratch")
+  }
+
+  test("null keys are dropped like COUNT(DISTINCT ...)") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("a", null), ("b", null), ("b", "z"))
+      .toDF("g", "k")
+    val out = Sketches.hllDistinct(df, Seq("g"), col("k"), 6).collect()
+    val byG = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byG("a")._1 == 2 && byG("b")._1 == 1)
+    // occupied counts only real-key registers — a null key creates none
+    assert(byG("a")._2 == 2 && byG("b")._2 == 1)
+  }
+}
