@@ -3,15 +3,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** CLI dispatcher mirroring the reference's subcommands
-  * (chainweb-data exec/Main.hs:51-105: listen, server, fill, richlist,
-  * check-schema — the deprecated/variant fills share the `fill`
-  * machinery here). A chainweb-data operator maps 1:1:
+  * (chainweb-data exec/Main.hs:51-105 + lib/ChainwebData/Env.hs:384-402:
+  * listen, server, fill — with the deprecated backfill/gaps aliases —
+  * single, fill-events, backfill-transfers, migrate, richlist,
+  * check-schema). A chainweb-data operator maps 1:1:
   *
   *   graft listen  <dropZone> <tableDir> <checkpoint>   — streaming ingest
   *   graft serve   <dataDir> <port> [tableDir]          — query API
   *   graft fill    <tableDir> (chain=genesis)*          — gap repair plan
+  *   graft single  <tableDir> <chainId> <height>        — one-block plan
+  *   graft fill-events <tableDir> <startHeight>         — events gap plan
+  *   graft backfill-transfers <tableDir> <activation> <numChains> [chunk]
+  *   graft migrate <tableDir> [--check]                 — ordered migrations
   *   graft richlist <tableDir> <outDir>                 — maintenance pass
   *   graft check-schema <tableDir>                      — schema contract
+  *
+  * `server`, `gaps` and `backfill` are accepted as aliases (the reference
+  * marks the latter two DEPRECATED; their work is the `fill` plan here —
+  * missingIntervals covers both the interior holes and the pre-start
+  * prefix the Backfill worker repaired).
+  *
+  * Handlers are session-in/lines-out so the spec can exercise every path
+  * on fixture tables without owning JVM lifecycle; `main` only wires the
+  * session, stdout, and exit codes.
   */
 object Main {
 
@@ -22,26 +36,104 @@ object Main {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
+  /** `fill` — repair plan over the blocks table (one line per chunked
+    * fetch request, newest-first per chain). */
+  def fillCmd(spark: SparkSession, tables: String,
+              genesis: Map[Long, Long]): Seq[String] =
+    plans.Gaps.plan(spark.read.parquet(s"$tables/blocks"),
+                    "chainid", "height", genesis)
+      .map(r => s"${r.chainId}\t${r.lo}\t${r.hi}")
+
+  /** `single` — the one-block fetch request of exec/Main.hs `Single cid h`
+    * (Worker.hs writeBlocks at a single chain/height), plus whether the
+    * block is already present (the reference logs the overwrite). */
+  def singleCmd(spark: SparkSession, tables: String, chainId: Long,
+                height: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val present = spark.read.parquet(s"$tables/blocks")
+      .filter(col("chainid") === chainId && col("height") === height)
+      .limit(1).count() > 0
+    Seq(s"$chainId\t$height\t$height\t" +
+        (if (present) "present(rewrite)" else "missing"))
+  }
+
+  /** `fill-events` — coinbase-gap plan over the events table
+    * (FillEvents.hs:98-124), chunked into node-sized requests. */
+  def fillEventsCmd(spark: SparkSession, tables: String,
+                    startHeight: Long): Seq[String] =
+    plans.Gaps.coinbaseGaps(spark.read.parquet(s"$tables/events"),
+                            "chainid", "height", startHeight)
+      .flatMap(r => plans.RangePlan.descChunks(r.chainId, r.lo, r.hi))
+      .map(r => s"${r.chainId}\t${r.lo}\t${r.hi}")
+
+  /** `backfill-transfers` — descending insert windows + the effective
+    * TRANSFER total (the reference's progress denominator,
+    * BackfillTransfers.hs:62-99,151-152). */
+  def backfillTransfersCmd(spark: SparkSession, tables: String,
+                           activation: Long, numChains: Int,
+                           chunk: Int): Seq[String] = {
+    val p = plans.Gaps.transfersBackfillPlan(
+      spark.read.parquet(s"$tables/transfers"),
+      spark.read.parquet(s"$tables/events"),
+      activation, numChains, chunk)
+    s"effective_total\t${p.effectiveTotal}" +:
+      p.windows.map { case (lo, hi) => s"window\t$lo\t$hi" }
+  }
+
+  /** `migrate [--check]` — the reference's MigrateOnly path
+    * (Migration.hs RunMigrations/CheckMigrations) over the default step
+    * list. Left = ledger inconsistency (exit 1 in main). */
+  def migrateCmd(spark: SparkSession, tables: String,
+                 checkOnly: Boolean): Either[String, Seq[String]] = {
+    val steps = ingest.Migrations.defaultSteps(spark, tables)
+    if (checkOnly) ingest.Migrations.check(tables, steps)
+    else ingest.Migrations.run(spark, tables, steps)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
       val q = streaming.Listen.stream(session(), zone, tables, ckpt)
       q.awaitTermination()
 
-    case "serve" :: dataDir :: port :: rest =>
+    case ("serve" | "server") :: dataDir :: port :: rest =>
       val api = new server.Api(session(), dataDir, port.toInt, rest.headOption)
       api.start()
       println(s"serving on :${api.boundPort}")
       Thread.currentThread.join()
 
-    case "fill" :: tables :: genesis =>
+    case ("fill" | "gaps" | "backfill") :: tables :: genesis =>
       val g = genesis.map { kv =>
         val Array(c, h) = kv.split("="); c.toLong -> h.toLong
       }.toMap
       val spark = session()
-      val plan = plans.Gaps.plan(
-        spark.read.parquet(s"$tables/blocks"), "chainid", "height", g)
-      plan.foreach(r => println(s"${r.chainId}\t${r.lo}\t${r.hi}"))
+      fillCmd(spark, tables, g).foreach(println)
       spark.stop()
+
+    case "single" :: tables :: cid :: height :: Nil =>
+      val spark = session()
+      singleCmd(spark, tables, cid.toLong, height.toLong).foreach(println)
+      spark.stop()
+
+    case "fill-events" :: tables :: start :: Nil =>
+      val spark = session()
+      fillEventsCmd(spark, tables, start.toLong).foreach(println)
+      spark.stop()
+
+    case "backfill-transfers" :: tables :: activation :: chains :: rest =>
+      val spark = session()
+      backfillTransfersCmd(spark, tables, activation.toLong, chains.toInt,
+                           rest.headOption.map(_.toInt).getOrElse(200))
+        .foreach(println)
+      spark.stop()
+
+    case "migrate" :: tables :: rest =>
+      val spark = session()
+      val out = migrateCmd(spark, tables, rest.contains("--check"))
+      spark.stop()
+      out match {
+        case Left(err)   => System.err.println(err); sys.exit(1)
+        case Right(done) => done.foreach(n => println(s"applied\t$n"))
+      }
 
     case "richlist" :: tables :: out :: Nil =>
       val spark = session()
@@ -59,7 +151,8 @@ object Main {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: listen|serve|fill|richlist|check-schema (see scaladoc)""".stripMargin)
+           |usage: listen|serve|fill|single|fill-events|backfill-transfers|
+           |       migrate|richlist|check-schema (see scaladoc)""".stripMargin)
       sys.exit(2)
   }
 }

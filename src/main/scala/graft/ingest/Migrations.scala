@@ -77,6 +77,30 @@ object Migrations {
   def check(tableDir: String, steps: Seq[Step]): Either[String, Seq[String]] =
     matchSteps(steps, ledger(tableDir)).map(_.map(_.name))
 
+  /** The default step list the `migrate` CLI runs — the analog of the
+    * reference's numbered migration scripts (its `1.0.0_*.sql` series
+    * creates the tables). One real step: materialize every canonical
+    * table as an empty parquet relation when absent. The body is the
+    * canonical DDL text, so the checksum pins the schema: evolving
+    * [[Flatten]]'s output after this step was applied surfaces as the
+    * reference's checksum-mismatch error — schema changes must arrive as
+    * NEW steps, never edits to applied ones. Declaring the body requires
+    * deriving the schemas, hence the SparkSession argument. */
+  def defaultSteps(spark: SparkSession, tables: String): Seq[Step] = {
+    val schemas = Schemas.expected(spark).toSeq.sortBy(_._1)
+    val ddl = schemas.map { case (n, s) => s"CREATE TABLE $n (${s.toDDL})" }
+      .mkString(";\n")
+    Seq(Step("1.0_create_tables", ddl, { sp =>
+      schemas.foreach { case (name, schema) =>
+        val path = java.nio.file.Paths.get(s"$tables/$name")
+        if (!java.nio.file.Files.exists(path))
+          sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                             schema)
+            .write.parquet(path.toString)
+      }
+    }))
+  }
+
   /** Apply the missing suffix in order, appending each applied step to the
     * ledger (RunMigrations). */
   def run(spark: SparkSession, tableDir: String, steps: Seq[Step]): Either[String, Seq[String]] =

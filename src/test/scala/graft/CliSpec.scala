@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI dispatch parity (exec/Main.hs:51-105): every subcommand handler is
+  * exercised on fixture tables — fill, single, fill-events,
+  * backfill-transfers, migrate run/check. `Main.main` itself only wires
+  * stdout/exit codes around these handlers. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTables(): String =
+    Files.createTempDirectory("graft-cli").toString
+
+  test("fill: interior hole + genesis prefix, chunked newest-first") {
+    import spark.implicits._
+    val dir = tmpTables()
+    // chain 0: heights 2..5 and 9..10 present → hole 6..8, prefix 0..1
+    (Seq(2L, 3L, 4L, 5L, 9L, 10L).map((0L, _)))
+      .toDF("chainid", "height").write.parquet(s"$dir/blocks")
+    // intervals are (chain, lo)-sorted; descChunks orders WITHIN a range
+    val lines = Main.fillCmd(spark, dir, genesis = Map(0L -> 0L))
+    assert(lines == Seq("0\t0\t1", "0\t6\t8"))
+  }
+
+  test("single: present vs missing") {
+    import spark.implicits._
+    val dir = tmpTables()
+    Seq((0L, 7L)).toDF("chainid", "height").write.parquet(s"$dir/blocks")
+    assert(Main.singleCmd(spark, dir, 0L, 7L) == Seq("0\t7\t7\tpresent(rewrite)"))
+    assert(Main.singleCmd(spark, dir, 0L, 8L) == Seq("0\t8\t8\tmissing"))
+    assert(Main.singleCmd(spark, dir, 1L, 7L) == Seq("1\t7\t7\tmissing"))
+  }
+
+  test("fill-events: coinbase gaps from the events table, with start prefix") {
+    import spark.implicits._
+    val dir = tmpTables()
+    // chain 0 events at heights 3,4,4,7 (dupes = multiple events per
+    // block) → hole 5..6 and prefix 1..2 from startingHeight=1
+    Seq((0L, 3L), (0L, 4L), (0L, 4L), (0L, 7L))
+      .toDF("chainid", "height").write.parquet(s"$dir/events")
+    val lines = Main.fillEventsCmd(spark, dir, startHeight = 1L)
+    assert(lines == Seq("0\t1\t2", "0\t5\t6"))
+  }
+
+  test("backfill-transfers: windows + effective TRANSFER total; fails " +
+       "fast when a chain has no transfers") {
+    import spark.implicits._
+    val dir = tmpTables()
+    // transfers exist down to min height 6 (chain 0) / 9 (chain 1)
+    Seq((0L, 6L), (0L, 8L), (1L, 9L))
+      .toDF("chainid", "height").write.parquet(s"$dir/transfers")
+    // events in [activation=2, maxMin=9]: 3 TRANSFER + 1 other
+    Seq((0L, 2L, "TRANSFER"), (0L, 5L, "TRANSFER"), (1L, 9L, "TRANSFER"),
+        (0L, 4L, "other"), (0L, 12L, "TRANSFER"))
+      .toDF("chainid", "height", "name").write.parquet(s"$dir/events")
+    val lines = Main.backfillTransfersCmd(spark, dir, activation = 2L,
+                                          numChains = 2, chunk = 5)
+    assert(lines.head == "effective_total\t3")
+    // rangeToDescGroupsOf 5 over [2,9]: (5..9),(2..4) descending
+    assert(lines.tail == Seq("window\t5\t9", "window\t2\t4"))
+    val err = intercept[IllegalArgumentException] {
+      Main.backfillTransfersCmd(spark, dir, 2L, numChains = 3, chunk = 5)
+    }
+    assert(err.getMessage.contains("every chain"))
+  }
+
+  test("migrate: run creates canonical tables, check is then clean, " +
+       "rerun is a no-op") {
+    val dir = tmpTables()
+    val applied = Main.migrateCmd(spark, dir, checkOnly = false)
+    assert(applied == Right(Seq("1.0_create_tables")))
+    // the created empties satisfy the schema contract
+    assert(ingest.Schemas.check(spark, dir).isEmpty)
+    // check-only now reports nothing to run; rerun applies nothing
+    assert(Main.migrateCmd(spark, dir, checkOnly = true) == Right(Seq.empty))
+    assert(Main.migrateCmd(spark, dir, checkOnly = false) == Right(Seq.empty))
+  }
+}
