@@ -135,6 +135,18 @@ object Main {
         case Right(done) => done.foreach(n => println(s"applied\t$n"))
       }
 
+    // JDBC mode (S7): url is a template with a {chain} placeholder, e.g.
+    // jdbc:sqlite:/db/pact-v1-chain-{chain}.sqlite — one DB per chain,
+    // like the reference's per-chain sqlite files (RichList.hs:35-78)
+    case "richlist" :: url :: out :: chains :: Nil if url.startsWith("jdbc:") =>
+      val spark = session()
+      val urls = (0L until chains.toLong)
+        .map(c => c -> url.replace("{chain}", c.toString)).toMap
+      val top = operators.RichList.topBalancesJdbc(spark, urls)
+      operators.RichList.writeCsv(top, out)
+      println(s"richlist=${top.count()}")
+      spark.stop()
+
     case "richlist" :: tables :: out :: Nil =>
       val spark = session()
       val rep = plans.Maintenance.run(spark, tables, out, genesis = Map.empty)

@@ -109,6 +109,7 @@ object SparkEntry {
     "q89_ann_recall"        -> (Similarity.q89AnnRecall _),
     "q90_hll_rollup"        -> (Sketches.q90HllRollup _),
     "q91_simhash64_pairs"   -> (Dedup.q91Simhash64Pairs _),
+    "q92_jaccard_join_maxdf"-> (SimJoin.q92JaccardJoinMaxDf _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -350,5 +351,8 @@ object SparkEntry {
     "q89_ann_recall"         -> Similarity.annRecallOracle,
     "q90_hll_rollup"         -> Sketches.hllRollupOracle,
     "q91_simhash64_pairs"    -> Dedup.simhash64PairsOracle,
+    // q92's oracle is q82's naive spec VERBATIM: the cut configuration
+    // must lose nothing on this corpus — equality IS the check
+    "q92_jaccard_join_maxdf" -> SimJoin.jaccardJoinOracle,
   )
 }

@@ -55,4 +55,47 @@ object RichList {
   /** S8 — CSV sink (RichList.hs:95-103 writes richlist.csv). */
   def writeCsv(top: DataFrame, path: String): Unit =
     top.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** The reference's per-chain SQL (RichList.hs:110-120
+    * `richListQueryStmt`): latest row per account key, computed INSIDE the
+    * chain database. Lower-case quoted aliases keep column names stable
+    * across dialects (Derby/H2 upper-case unquoted labels; sqlite does
+    * not). */
+  def latestRowsSql(table: String): String =
+    s"""SELECT coin.rowkey AS "rowkey", coin.txid AS "txid",
+       |       coin.rowdata AS "data"
+       |FROM $table coin
+       |INNER JOIN (SELECT rowkey AS acct_id, max(txid) AS last_txid
+       |            FROM $table GROUP BY rowkey) latest
+       |ON coin.rowkey = latest.acct_id AND coin.txid = latest.last_txid""".stripMargin
+
+  /** S7 — per-chain JDBC scan (RichList.hs:35-78 iterates the node's
+    * per-chain `pact-v1-chain-<cid>.sqlite` files; here each chain is one
+    * JDBC url, e.g. `jdbc:sqlite:/…/pact-v1-chain-0.sqlite`). The
+    * latest-row-per-key aggregation is PUSHED DOWN as the JDBC query —
+    * only the per-account latest rows ever cross the wire, exactly the
+    * rows the reference's sqlite query returns. Chains union into the
+    * `(chainid, rowkey, txid, data)` relation [[topBalances]] consumes;
+    * each chain's read is an independent JDBC partition, so 20 chains
+    * load with 20-way parallelism without any cross-DB coordination. */
+  def coinRowsJdbc(spark: org.apache.spark.sql.SparkSession,
+                   chainUrls: Map[Long, String],
+                   table: String = "\"coin_coin-table\""): DataFrame = {
+    require(chainUrls.nonEmpty, "no chain databases given")
+    chainUrls.toSeq.sortBy(_._1).map { case (cid, url) =>
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", latestRowsSql(table))
+        .load()
+        .select(lit(cid).as("chainid"), col("rowkey"),
+                col("txid"), col("data"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** End-to-end JDBC richlist: per-chain pushdown scan → [[topBalances]]. */
+  def topBalancesJdbc(spark: org.apache.spark.sql.SparkSession,
+                      chainUrls: Map[Long, String],
+                      table: String = "\"coin_coin-table\"",
+                      n: Int = 100): DataFrame =
+    topBalances(coinRowsJdbc(spark, chainUrls, table), n)
 }

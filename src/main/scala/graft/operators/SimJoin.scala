@@ -38,8 +38,21 @@ import org.apache.spark.sql.functions._
   *
   * The prefix posting list of a stop-shingle is the skew knob: df-ascending
   * order puts frequent shingles LAST, so they only enter a prefix when a
-  * doc is nearly all stop-shingles; a max-df cut (drop postings with
-  * df > corpus fraction) is the documented escape hatch, same as q70/q78.
+  * doc is nearly all stop-shingles; the opt-in `maxDf` cut drops postings
+  * with df > maxDf from the INVERTED INDEX (before any candidate pair —
+  * and so before the pair-dedup shuffle — exists), bounding every posting
+  * list and with it the worst-case candidate volume at maxDf² per
+  * shingle. The verify stage still sees FULL postings, so:
+  *   - everything emitted is a genuinely qualifying pair (no false
+  *     positives, ever);
+  *   - a qualifying pair can be MISSED only if every index collision
+  *     between the two prefixes is above the cut — in particular every
+  *     pair of docs whose shingles ALL have df ≤ maxDf is guaranteed
+  *     found (SimJoinSpec pins both properties on an adversarial
+  *     stop-shingle corpus).
+  * Production guidance: set maxDf ≫ the largest expected near-dup
+  * cluster; then only boilerplate-dominated pairs (q78's territory) are
+  * affected.
   */
 object SimJoin {
 
@@ -47,16 +60,40 @@ object SimJoin {
   private val TN = 1
   private val TD = 2
 
-  def q82JaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The q92 cut: well above any planted near-dup cluster size, low
+    * enough to excise the stop-shingle candidate tail. */
+  val DefaultMaxDf = 12L
+
+  def q82JaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    jaccardJoinOn(docs(spark, dir), maxDf = None)
+
+  /** q92 — the skew-hatch configuration: exact verify over a max-df-cut
+    * index. On the benchmark corpus the cut loses nothing (the oracle is
+    * the SAME naive spec as q82's — equality IS the check); its purpose
+    * is the worst case the fixture can't show: one boilerplate shingle
+    * shared by 10⁶ docs creates a 10¹² candidate pair list in the exact
+    * plan and zero in this one. */
+  def q92JaccardJoinMaxDf(spark: SparkSession, dir: String): DataFrame =
+    jaccardJoinOn(docs(spark, dir), maxDf = Some(DefaultMaxDf))
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
     // codegen'd shingle kernel, not the interpreted HOF form — same
     // semantics (DedupSpec pins kernel ≡ declarative); the HOF tree is
     // ~20× slower as the leaf of this many-consumer pipeline
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  }
+
+  /** The PPJoin core over any `(doc_id, text)` relation; `maxDf` is the
+    * opt-in index cut described in the scaladoc above. */
+  def jaccardJoinOn(documents: DataFrame, maxDf: Option[Long]): DataFrame = {
+    val spark = documents.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // narrow posting relation (doc_id, shingle) materialized once: the df
     // aggregate and the rank join both consume it, and the kernel + explode
     // would otherwise run per consumer (at cluster scale this is the
     // persisted postings table every text-index pipeline keeps anyway)
-    val ex = graft.Tables.documents(spark, dir)
+    val ex = documents
       .select(col("doc_id"),
               explode(call_function("graft_shingles", col("text"))).as("s"))
       .localCheckpoint()
@@ -67,13 +104,18 @@ object SimJoin {
     // postings): materialize once.
     val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = ex.join(dfRel, "s")
-      .select(col("doc_id"), col("s"),
+      .select(col("doc_id"), col("s"), col("df"),
               (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
               count(lit(1)).over(wDoc).as("len"))
       .localCheckpoint()
     // prefix length = n − ⌈t·n⌉ + 1, in integers: ⌈n·TN/TD⌉ = (n·TN+TD−1) DIV TD
+    // The maxDf cut applies HERE — postings above the cut never reach the
+    // inverted-index self-join, so no candidate (and no dedup-shuffle row)
+    // is ever generated through a stop shingle. pos/len are computed over
+    // the UNCUT ranking, so the length/positional filters stay exact.
     val pref = ranked.filter(
-      col("pos") < expr(s"len - ((len*$TN + ${TD - 1}) DIV $TD) + 1"))
+        col("pos") < expr(s"len - ((len*$TN + ${TD - 1}) DIV $TD) + 1"))
+      .filter(maxDf.map(m => col("df") <= m).getOrElse(lit(true)))
     val a = pref.select(col("s"), col("doc_id").as("doc_a"),
                         col("len").as("la"), col("pos").as("pa"))
     val b = pref.select(col("s"), col("doc_id").as("doc_b"),

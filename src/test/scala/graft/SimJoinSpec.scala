@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.SimJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** max-df skew-hatch contract (q92): on a corpus with a planted
+  * stop-shingle, the cut index must (a) never emit a non-qualifying pair,
+  * (b) find EVERY qualifying pair whose docs contain no shingle above the
+  * cut, and (c) degenerate to the exact join when the cut doesn't bite. */
+class SimJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Adversarial corpus: a boilerplate banner shared by EVERY doc (its
+    * shingles' df = corpus size), plus clean near-dup pairs and clean
+    * singletons. Words are spaced so 3-gram shingles from the banner and
+    * the body never collide. */
+  private def corpus() = {
+    import spark.implicits._
+    val banner = "copyright acme corp all rights reserved"
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 60).map { i =>
+      val bodyWords = Seq.fill(12)(s"w${rnd.nextInt(400)}_$i")
+      (i.toLong, (banner.split(" ") ++ bodyWords).mkString(" "))
+    } ++ Seq(
+      // planted near-dup pair with LOW-df bodies (identical bodies)
+      (100L, banner + " alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, banner + " alpha beta gamma delta epsilon zeta eta theta"),
+      // near-dup pair that is ONLY boilerplate (all shingles heavy... not
+      // quite: identical short docs — their shingles are the banner's
+      // plus the joint boundary, df ≥ 2 but the banner part is df≈60)
+      (102L, banner),
+      (103L, banner))
+    docs.toDF("doc_id", "text")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cut output = no false positives + all-clean pairs guaranteed; " +
+       "no-bite cut = exact") {
+    val docs = corpus()
+    val exact = pairs(SimJoin.jaccardJoinOn(docs, maxDf = None))
+    val cut = pairs(SimJoin.jaccardJoinOn(docs, maxDf = Some(10L)))
+    // (a) subset: the verify stage is exact, so nothing non-qualifying
+    assert(cut.subsetOf(exact), s"false positives: ${(cut -- exact).take(5)}")
+    // (b) docs 100/101 share low-df body shingles (df=2 < 10): the banner
+    // being cut must not lose them
+    assert(cut.contains((100L, 101L)), "lost a pair whose body is below the cut")
+    // the all-boilerplate pair (102,103) is exactly what the cut
+    // sacrifices: every shared shingle has df ≈ corpus size
+    assert(exact.contains((102L, 103L)))
+    assert(!cut.contains((102L, 103L)),
+      "cut at 10 should drop the pure-boilerplate pair (df≈64 shingles)")
+    // (c) a cut above the max df changes nothing
+    val noBite = pairs(SimJoin.jaccardJoinOn(docs, maxDf = Some(100000L)))
+    assert(noBite == exact)
+  }
+
+  test("guarantee is per-PAIR clean shingles, checked exhaustively") {
+    // brute-force the naive join AND per-doc max df; every qualifying
+    // pair where BOTH docs are entirely below the cut must be in the cut
+    // output (the formal guarantee, stronger than the planted case above)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = corpus()
+    val cutVal = 10L
+    val sh = docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfRel = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val maxDfPerDoc = ex.join(dfRel, "s").groupBy("doc_id")
+      .agg(max("df").as("mx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sb")))
+      .filter(col("a") < col("b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mustFind = naive.filter { case (a, b) =>
+      maxDfPerDoc(a) <= cutVal && maxDfPerDoc(b) <= cutVal }
+    val cut = pairs(SimJoin.jaccardJoinOn(docs, maxDf = Some(cutVal)))
+    assert(mustFind.subsetOf(cut),
+      s"cut lost guaranteed pairs: ${(mustFind -- cut).take(5)}")
+  }
+}
