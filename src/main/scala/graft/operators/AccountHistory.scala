@@ -91,7 +91,15 @@ object AccountHistory {
         // row as a cross-chain leg (outbound send or inbound receive).
         (col("to_acct") === "" || col("from_acct") === "").as("cross_chain"),
         coalesce(col("o_chainid"), col("i_chainid")).as("target_chainid"),
-        col("amount"), col("block_time"))
+        col("amount"), col("block_time"),
+        // DTO-parity companions (TransferDetail, Server.hs:534-545): the
+        // STORED ledger sides, the resolved other-chain account on its
+        // own, plus block hash and token for rendering.
+        col("from_acct").as("from_stored"),
+        col("to_acct").as("to_stored"),
+        when(col("to_acct") === "", col("o_target"))
+          .when(col("from_acct") === "", col("i_source")).as("xchain_acct"),
+        col("block"), col("modulename").as("token"))
       .orderBy(col("height").desc, col("requestkey").desc, col("idx").asc)
   }
 }

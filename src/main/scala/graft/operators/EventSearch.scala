@@ -35,7 +35,8 @@ object EventSearch {
              maxHeight: Option[Long] = None): DataFrame = {
     val ev = spark.read.parquet(s"$tableDir/events")
       .select(col("block"), col("chainid"), col("height"), col("requestkey"),
-              col("idx"), col("qualname"), col("module"), col("paramtext"))
+              col("idx"), col("qualname"), col("module"), col("modulehash"),
+              col("paramtext"))
     Seq(minHeight.map(h => col("height") >= h),
         maxHeight.map(h => col("height") <= h))
       .flatten.foldLeft(ev)((d, p) => d.filter(p))

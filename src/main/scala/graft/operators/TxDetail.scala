@@ -29,9 +29,13 @@ object TxDetail {
       .filter(col("requestkey") === requestkey)
       .groupBy(col("requestkey"))
       .agg(sort_array(collect_list(struct(
-        col("idx"), col("pubkey"), col("sig")))).as("signers"))
+        col("idx"), col("pubkey"), col("scheme"), col("caps"),
+        col("sig")))).as("signers"))
+    val blocks = spark.read.parquet(s"$tableDir/blocks")
+      .select(col("hash").as("block"), col("creationtime").as("block_time"))
     tx.join(events, Seq("requestkey", "block"), "left")
       .join(signers, Seq("requestkey"), "left")
+      .join(blocks, Seq("block"), "left")
       .orderBy(col("block"))
   }
 

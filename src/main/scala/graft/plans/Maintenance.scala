@@ -61,9 +61,10 @@ object Maintenance {
       .collect().head.getLong(0)
     val schedule = graft.operators.Coins.circulatingCoins(maxH)
     new java.io.File(outDir).mkdirs()
+    // exactly the ChainwebDataStats field set (served verbatim by /stats)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/stats.json"),
-      s"""{"transactionCount":$txCount,"maxHeight":$maxH,"circulatingCoins":$schedule}""")
+      s"""{"transactionCount":$txCount,"coinsInCirculation":$schedule}""")
 
     Report(plan.size, top.count(), supply, txCount, maxH, schedule)
   }

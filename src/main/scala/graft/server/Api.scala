@@ -76,6 +76,9 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     handle(ex)(txDetail(ex.getRequestURI.getPath, "/txs/txs/", one = false)))
   server.createContext("/txs/tx", (ex: HttpExchange) =>
     handle(ex)(txDetail(ex.getRequestURI.getPath, "/txs/tx/", one = true)))
+  // the reference's SwaggerSchemaUI spec route (Server.hs:107)
+  server.createContext("/cwd-spec.json", (ex: HttpExchange) =>
+    handle(ex)(_ => (Dto.openApiJson, Map.empty)))
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
@@ -130,7 +133,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
       p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
     val (rows, next) = BoundedScan.performBoundedScan(
       src, txSpec, TxSearch.matchCol(search), scanLimit, limit, continuation(p))
-    val body = rows.map(rowJson).mkString("[", ",", "]")
+    val body = rows.map(Dto.txSummary).mkString("[", ",", "]")
     (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
@@ -147,20 +150,33 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   private def searchEvents(p: Map[String, String]): (String, Map[String, String]) = {
     val (scanLimit, maxLimit) = budgets()
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
-    val (rows, next) = tablesDir match {
+    val (body, next) = tablesDir match {
       case Some(dir) =>
         val src = graft.operators.EventSearch.source(spark, dir,
           p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
         val pred = graft.operators.EventSearch.predicate(
           p.get("search"), p.get("qualname"), p.get("param"), p.get("modulename"))
-        BoundedScan.performBoundedScan(src, evSpec, pred, scanLimit, limit,
-          continuation(p))
+        val (rows, nxt) = BoundedScan.performBoundedScan(src, evSpec, pred,
+          scanLimit, limit, continuation(p))
+        // block-time extras for the RESULT PAGE only, like the reference's
+        // eventSearchExtras follow-up query (Server.hs:592-603)
+        val hashes = rows.map(_.getAs[String]("block")).distinct
+        val times: Map[String, Any] =
+          if (hashes.isEmpty) Map.empty
+          else spark.read.parquet(s"$dir/blocks")
+            .filter(col("hash").isin(hashes: _*))
+            .select(col("hash"), col("creationtime")).collect()
+            .map(r => r.getString(0) -> r.get(1)).toMap
+        (rows.map(r => Dto.eventDetail(r,
+           times.getOrElse(r.getAs[String]("block"), null)))
+           .mkString("[", ",", "]"),
+         nxt)
       case None =>
-        BoundedScan.performBoundedScan(events, spec,
+        val (rows, nxt) = BoundedScan.performBoundedScan(events, spec,
           col("event_type").contains(p.getOrElse("search", "")),
           scanLimit, limit, continuation(p))
+        (rows.map(rowJson).mkString("[", ",", "]"), nxt)
     }
-    val body = rows.map(rowJson).mkString("[", ",", "]")
     (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
@@ -178,7 +194,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val rows = graft.operators.AccountHistory
       .transfersOf(spark, dir, acct)
       .limit(limit).collect()
-    (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
+    (rows.map(Dto.transferDetail).mkString("[", ",", "]"), Map.empty)
   }
 
   /** `/txs/tx/<rk>` (one row, success-first pick — Server.hs:449-460) and
@@ -193,14 +209,29 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val rows =
       (if (one) graft.operators.TxDetail.lookupOne(spark, dir, rk)
        else graft.operators.TxDetail.lookup(spark, dir, rk)).collect()
-    (rows.map(rowJson).mkString("[", ",", "]"), Map.empty)
+    // continuation-history decoration from the checkpointed search source
+    // (the reference's separate ContinuationHistory query per detail row)
+    val hist = txSearchSrc.filter(col("requestkey") === rk)
+      .select(col("initial_code"), col("previous_steps"))
+      .collect().headOption
+    val (ic, ps) = hist.map(h => (h.get(0), h.get(1))).getOrElse((null, null))
+    (rows.map(r => Dto.txDetail(r, ic, ps)).mkString("[", ",", "]"), Map.empty)
   }
 
-  /** Top-10 recent (O4 — Server.hs:621-631). */
+  /** Top-10 recent (O4 — Server.hs:621-631): [TxSummary] over the
+    * ingested tables; the synthetic-events demo shape without them. */
   private def recent(p: Map[String, String]): (String, Map[String, String]) =
-    (events.orderBy(col("event_id").desc).limit(10).collect()
-       .map(rowJson).mkString("[", ",", "]"),
-     Map.empty)
+    tablesDir match {
+      case Some(_) =>
+        (txSearchSrc.orderBy(col("height").desc, col("requestkey").desc)
+           .limit(10).collect()
+           .map(Dto.txSummary).mkString("[", ",", "]"),
+         Map.empty)
+      case None =>
+        (events.orderBy(col("event_id").desc).limit(10).collect()
+           .map(rowJson).mkString("[", ",", "]"),
+         Map.empty)
+    }
 
   /** `/richlist` — serves the CSV the maintenance pass wrote
     * (Server.hs:212-218: read the file, 404 when absent). */
@@ -216,14 +247,15 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (s"""{"csv":${Api.jstr(csv)}}""", Map.empty)
   }
 
-  /** `/coins` (Server.hs:227-231): mining rewards at the current max block
-    * height + allocations as of NOW — the real embedded schedules. */
+  /** `/coins` (Server.hs:227-231 `coinsHandler :: … Handler Text`): the
+    * circulating-coins number as PLAIN TEXT — mining rewards at the
+    * current max block height + allocations as of NOW, from the real
+    * embedded schedules. */
   private def coins(p: Map[String, String]): (String, Map[String, String]) = {
     val h = maxHeight()
     val now = p.get("asof").map(_.toLong) // pin for tests; default wall clock
       .getOrElse(System.currentTimeMillis() / 1000)
-    (s"""{"height":$h,"circulatingCoins":${Coins.circulatingCoins(h, now)}}""",
-     Map.empty)
+    (Coins.circulatingCoins(h, now).toString, Map.empty)
   }
 
   private def maxHeight(): Long = tablesDir match {
@@ -249,9 +281,15 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     cached match {
       case Some(json) => (json, Map.empty)
       case None =>
-        val n = events.count()
-        val maxId = events.agg(max(col("event_id"))).collect().head.getLong(0)
-        (s"""{"transactionCount":$n,"maxHeight":$maxId}""", Map.empty)
+        // ChainwebDataStats shape (Server.hs:234): exactly
+        // {transactionCount, coinsInCirculation}, both nullable
+        val (n, circ) = tablesDir match {
+          case Some(dir) =>
+            (spark.read.parquet(s"$dir/transactions").count(),
+             Coins.circulatingCoins(maxHeight()).toString)
+          case None => (events.count(), "null")
+        }
+        (s"""{"transactionCount":$n,"coinsInCirculation":$circ}""", Map.empty)
     }
   }
 

@@ -89,7 +89,7 @@ class ApiSpec extends AnyFunSuite {
       while (!done) {
         val resp = get(url)
         assert(resp.statusCode() === 200)
-        """"requestkey":"(rk\d)"""".r.findAllMatchIn(resp.body())
+        """"requestKey":"(rk\d)"""".r.findAllMatchIn(resp.body())
           .foreach(m => keys += m.group(1))
         val next = resp.headers().firstValue("Graft-Next")
         if (next.isPresent) {
@@ -105,12 +105,12 @@ class ApiSpec extends AnyFunSuite {
       // continuation decoration on a cont row: rk2 chains to rk1
       val one = get(s"$base/txs/search?search=coin.transfer%20%22alice%22&limit=10")
       assert(one.statusCode() === 200)
-      assert(one.body().contains("\"requestkey\":\"rk2\"")) // matched via chain code
-      assert(one.body().contains("\"initial_code\":\"(coin.transfer"))
+      assert(one.body().contains("\"requestKey\":\"rk2\"")) // matched via chain code
+      assert(one.body().contains("\"initialCode\":\"(coin.transfer"))
 
       // height-range guard prunes to block 2 only
       val ranged = get(s"$base/txs/search?search=coin&minheight=101")
-      assert(""""requestkey":"(rk\d)"""".r.findAllMatchIn(ranged.body())
+      assert(""""requestKey":"(rk\d)"""".r.findAllMatchIn(ranged.body())
         .map(_.group(1)).toSet === Set("rk4"))
 
       // missing search string → error (Server.hs:308 throw404)
@@ -174,19 +174,20 @@ class ApiSpec extends AnyFunSuite {
       assert(rich.statusCode() === 200)
       assert(rich.body().contains("bob")) // top balance holders present
 
+      // ChainwebDataStats: exactly {transactionCount, coinsInCirculation}
       val stats = get(s"$base/stats")
       assert(stats.statusCode() === 200)
       assert(stats.body().contains("\"transactionCount\":3"))
-      assert(stats.body().contains("\"maxHeight\":100"))
-      assert(stats.body().contains("circulatingCoins"))
+      assert(stats.body().contains("\"coinsInCirculation\""))
+      assert(!stats.body().contains("maxHeight"))
 
-      // /coins pinned to a deterministic time: height 100, asof genesis+30d
+      // /coins pinned to a deterministic time: height 100, asof genesis+30d;
+      // plain-text number (coinsHandler :: Handler Text, Server.hs:227-231)
       val asof = graft.operators.Coins.GenesisEpochSec + 86400L * 30
       val coins = get(s"$base/coins?asof=$asof")
       assert(coins.statusCode() === 200)
-      assert(coins.body().contains("\"height\":100"))
       val expected = graft.operators.Coins.circulatingCoins(100L, asof)
-      assert(coins.body().contains(expected.toString))
+      assert(coins.body() === expected.toString)
     } finally api.stop()
   }
 
@@ -204,37 +205,88 @@ class ApiSpec extends AnyFunSuite {
     try {
       val resp = get(s"http://localhost:${api.boundPort}/txs/account/alice")
       assert(resp.statusCode() === 200)
-      assert(resp.body().contains("\"requestkey\":\"rk1\""))
-      assert(resp.body().contains("\"to_acct\":\"eve\"")) // x-chain resolved
+      assert(resp.body().contains("\"requestKey\":\"rk1\""))
+      // TransferDetail keeps the STORED (empty) side; the resolution
+      // rides in crossChainAccount (Server.hs:543)
+      assert(resp.body().contains("\"crossChainAccount\":\"eve\""))
 
       val det = get(s"http://localhost:${api.boundPort}/txs/tx/rk1")
       assert(det.statusCode() === 200)
-      assert(det.body().contains("\"qualname\":\"coin.TRANSFER\"")) // nested events
-      assert(det.body().contains("\"pubkey\":\"pkA\""))             // nested signers
+      assert(det.body().contains("\"name\":\"coin.TRANSFER\"")) // nested TxEvents
+      assert(det.body().contains("\"pubKey\":\"pkA\""))         // nested signers
+      assert(det.body().contains("\"sigs\":[{\"sig\":"))
       // /txs/tx returns exactly one row even though the contract tolerates
       // fork copies; /txs/txs returns the full (here: identical) set
-      assert(det.body().count(_ == '{') >= 1)
-      assert(det.body().startsWith("[") && !det.body().contains("},{\"chainid"))
+      assert(det.body().startsWith("[{") && !det.body().contains("},{\"ttl"))
       val all = get(s"http://localhost:${api.boundPort}/txs/txs/rk1")
       assert(all.statusCode() === 200)
-      assert(all.body().contains("\"requestkey\":\"rk1\""))
+      assert(all.body().contains("\"requestKey\":\"rk1\""))
 
       // reference-contract event search over the ingested events table:
       // search hits qualname, modulename narrows to the exact module
       val ev = get(s"http://localhost:${api.boundPort}/txs/events?search=TRANSFER")
       assert(ev.statusCode() === 200)
-      assert(ev.body().contains("\"qualname\":\"coin.TRANSFER\""))
-      assert(ev.body().contains("\"qualname\":\"ns1.tok.TRANSFER\""))
+      assert(ev.body().contains("\"name\":\"coin.TRANSFER\""))
+      assert(ev.body().contains("\"name\":\"ns1.tok.TRANSFER\""))
       val evMod = get(
         s"http://localhost:${api.boundPort}/txs/events?search=TRANSFER&modulename=tok")
       assert(evMod.statusCode() === 200)
       assert(evMod.body().contains("ns1.tok.TRANSFER"))
-      assert(!evMod.body().contains("\"qualname\":\"coin.TRANSFER\""))
+      assert(!evMod.body().contains("\"name\":\"coin.TRANSFER\""))
       // param predicate matches inside paramtext JSON
       val evParam = get(
         s"http://localhost:${api.boundPort}/txs/events?param=carol")
       assert(evParam.statusCode() === 200)
       assert(evParam.body().contains("ns1.tok.TRANSFER"))
+    } finally api.stop()
+  }
+
+  test("DTO field sets match the chainweb-api shapes exactly; /cwd-spec " +
+       "serves them") {
+    import spark.implicits._
+    import graft.ingest.{Flatten, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_dto").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+    val api = new Api(spark, sf, 0, tablesDir = Some(dir))
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def topKeys(json: String): Set[String] = {
+        val node = om.readTree(json)
+        val o = if (node.isArray) node.get(0) else node
+        val it = o.fieldNames(); val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      import graft.server.Dto
+      assert(topKeys(get(s"$base/txs/search?search=coin&limit=5").body())
+        == Dto.TxSummaryFields.toSet)
+      assert(topKeys(get(s"$base/txs/recent").body())
+        == Dto.TxSummaryFields.toSet)
+      assert(topKeys(get(s"$base/txs/tx/rk1").body())
+        == Dto.TxDetailFields.toSet)
+      assert(topKeys(get(s"$base/txs/events?search=TRANSFER").body())
+        == Dto.EventDetailFields.toSet)
+      assert(topKeys(get(s"$base/txs/account/alice").body())
+        == Dto.TransferDetailFields.toSet)
+      assert(topKeys(get(s"$base/stats").body()) == Dto.StatsFields.toSet)
+      // the served OpenAPI document carries the same schemas
+      val specDoc = om.readTree(get(s"$base/cwd-spec.json").body())
+      val schemas = specDoc.get("components").get("schemas")
+      def schemaKeys(n: String): Set[String] = {
+        val it = schemas.get(n).get("properties").fieldNames()
+        val b = Set.newBuilder[String]; while (it.hasNext) b += it.next()
+        b.result()
+      }
+      assert(schemaKeys("TxSummary") == Dto.TxSummaryFields.toSet)
+      assert(schemaKeys("TxDetail") == Dto.TxDetailFields.toSet)
+      assert(schemaKeys("EventDetail") == Dto.EventDetailFields.toSet)
+      assert(schemaKeys("TransferDetail") == Dto.TransferDetailFields.toSet)
+      assert(schemaKeys("ChainwebDataStats") == Dto.StatsFields.toSet)
     } finally api.stop()
   }
 }
