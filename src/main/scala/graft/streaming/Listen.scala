@@ -36,6 +36,27 @@ object Listen {
       }
       .start()
 
+  /** The same listen pipeline over the LIVE SSE source ([[SseSourceProvider]],
+    * format "graft-sse") instead of the drop-zone: BlockHeader frames'
+    * data fields are the header+payload envelopes, filtered by event type
+    * like the reference's dispatch (Listen.hs:58-66). Delivery contract in
+    * the source's scaladoc: at-most-once hop + idempotent merge. */
+  def streamSse(spark: SparkSession, host: String, port: Int, tableDir: String,
+                checkpoint: String): StreamingQuery =
+    spark.readStream
+      .format("graft-sse")
+      .option("host", host)
+      .option("port", port.toString)
+      .load()
+      .filter(col("event") === "BlockHeader")
+      .select(col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, batch, tableDir): Unit
+      }
+      .start()
+
   /** One micro-batch: split the envelope, flatten to 6 tables, merge. */
   def ingestBatch(spark: SparkSession, raw: DataFrame, tableDir: String): Map[String, Long] = {
     val headers = Flatten.parseHeaders(

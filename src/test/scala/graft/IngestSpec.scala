@@ -112,6 +112,48 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tables/events").count() === 7)
   }
 
+  test("SSE MicroBatchStream: live listen path over the custom source") {
+    val tables = Files.createTempDirectory("graft_sse_tables").toString
+    val ckpt = Files.createTempDirectory("graft_sse_ckpt").toString
+    val server = new java.net.ServerSocket(0)
+    @volatile var feederSocket: java.net.Socket = null
+    val feeder = new Thread(() => {
+      feederSocket = server.accept()
+      val out = new java.io.PrintWriter(feederSocket.getOutputStream, true)
+      out.println(": keepalive comment, ignored")
+      out.println()
+      out.println("event: Other")          // non-BlockHeader → filtered
+      out.println("data: ignored")
+      out.println()
+      out.println("event: BlockHeader")    // envelope split over multiple
+      Fixtures.envelope1.split("\n")       // data: lines (SSE join = \n)
+        .foreach(l => out.println(s"data: $l"))
+      out.println()
+      out.flush()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = Listen.streamSse(spark, "localhost", server.getLocalPort,
+                             tables, ckpt)
+    try {
+      // the SSE hop is push-based: poll until the frame lands (bounded)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def txCount(): Long =
+        try spark.read.parquet(s"$tables/transactions").count()
+        catch { case _: Exception => -1 }
+      while (txCount() != 3 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(txCount() === 3)
+      assert(spark.read.parquet(s"$tables/events").count() === 7)
+    } finally {
+      q.stop()
+      if (feederSocket != null) feederSocket.close()
+      server.close()
+    }
+  }
+
   test("multimodal decode stub: partition-parallel binary → features") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val feats = graft.operators.Multimodal.decodeFeatures(media)
