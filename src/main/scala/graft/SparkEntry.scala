@@ -110,6 +110,7 @@ object SparkEntry {
     "q90_hll_rollup"        -> (Sketches.q90HllRollup _),
     "q91_simhash64_pairs"   -> (Dedup.q91Simhash64Pairs _),
     "q92_jaccard_join_maxdf"-> (SimJoin.q92JaccardJoinMaxDf _),
+    "q93_weighted_jaccard"  -> (SimJoin.q93WeightedJaccardJoin _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -354,5 +355,6 @@ object SparkEntry {
     // q92's oracle is q82's naive spec VERBATIM: the cut configuration
     // must lose nothing on this corpus — equality IS the check
     "q92_jaccard_join_maxdf" -> SimJoin.jaccardJoinOracle,
+    "q93_weighted_jaccard"   -> SimJoin.weightedJaccardJoinOracle,
   )
 }

@@ -150,6 +150,121 @@ object SimJoin {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q93 — exact WEIGHTED (multiset) Jaccard join over bigram term
+    * frequencies: J_w(A,B) = Σ_t min(tf_A,tf_B) / Σ_t max(tf_A,tf_B),
+    * the repetition-robust counterpart of q82 (a doc that repeats a
+    * paragraph 10× fools set Jaccard; multiset Jaccard counts the copies)
+    * — the weighted AllPairs family (Chaudhuri et al. ICDE'06 SSJoin /
+    * Bayardo WWW'07 generalize to weights; public). Same architecture as
+    * [[jaccardJoinOn]] with weights:
+    *   - prefix = rarest-first (df, term) order, kept while the cumulative
+    *     weight BEFORE a posting ≤ W − ⌈t·W⌉ (dropping only postings
+    *     whose entire remaining weight cannot reach the per-doc minimum
+    *     overlap ⌈t·W⌉ — the weighted prefix-filter bound);
+    *   - weighted length filter TD·W_b ≥ TN·W_a (both ways) and the
+    *     positional filter least(rem_a, rem_b) ≥ ⌈TN(W_a+W_b)/(TN+TD)⌉
+    *     run BEFORE the pair-dedup shuffle;
+    *   - verify is the counting join with Σ least(tf_a, tf_b) — exact,
+    *     no arrays in any exchange, all threshold tests integral
+    *     (weights are integer term counts).
+    * Σmax = W_a + W_b − Σmin, so only Σmin is ever computed.
+    *
+    * Declared at the classic near-dup threshold t = 4/5: the weighted
+    * prefix covers ≈(1−t)·W of a doc's weight, so LOW thresholds make
+    * long prefixes — at t = 1/2 this corpus generates 5.8M candidate
+    * rows vs 0.77M at 4/5 (measured); the threshold is the candidate-
+    * volume knob, and 0.8 is both the cheap and the standard setting. */
+  def q93WeightedJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val tf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+              explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+                concat(element_at(col("t"), i), lit(" "),
+                       element_at(col("t"), i + 1)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    weightedJaccardJoinOn(tf)
+  }
+
+  /** q93's threshold: Jw ≥ 4/5. */
+  private val WTN = 4
+  private val WTD = 5
+
+  /** The weighted-PPJoin core over any `(doc_id, term, tf)` relation;
+    * threshold TN/TD defaults to the q93 setting. */
+  def weightedJaccardJoinOn(tf: DataFrame, TN: Int = WTN, TD: Int = WTD): DataFrame = {
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ordW = wDoc.orderBy(col("df"), col("term"))
+    // per-posting: doc weight W, cumulative weight before this posting in
+    // rarest-first order (cum_excl), remaining weight from here (rem)
+    val ranked = tf.join(dfRel, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              sum(col("tf")).over(wDoc).as("w"),
+              (sum(col("tf")).over(ordW.rowsBetween(
+                 Window.unboundedPreceding, Window.currentRow)) - col("tf"))
+                .as("cum_excl"))
+      .withColumn("rem", col("w") - col("cum_excl"))
+      .localCheckpoint()
+    // per-doc minimum overlap o_min = ⌈TN·W/TD⌉; prefix keeps postings
+    // whose exclusion would not yet disprove the threshold
+    val oMin = expr(s"(w*$TN + ${TD - 1}) DIV $TD")
+    val pref = ranked.filter(col("cum_excl") <= col("w") - oMin)
+    val a = pref.select(col("term"), col("doc_id").as("doc_a"),
+                        col("w").as("wa"), col("rem").as("rema"))
+    val b = pref.select(col("term"), col("doc_id").as("doc_b"),
+                        col("w").as("wb"), col("rem").as("remb"))
+    val oPair = expr(s"($TN*(wa+wb) + ${TN + TD - 1}) DIV ${TN + TD}")
+    val cand = a.join(b, "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(TD) * col("wa") >= lit(TN) * col("wb") &&
+              lit(TD) * col("wb") >= lit(TN) * col("wa"))
+      .filter(least(col("rema"), col("remb")) >= oPair)
+      .select(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val postings = ranked.select(col("doc_id"), col("term"), col("tf"))
+    val interCnt = cand
+      .join(postings.select(col("doc_id").as("doc_a"), col("term"),
+                            col("tf").as("tfa")), "doc_a")
+      .join(postings.select(col("doc_id").as("doc_b"), col("term"),
+                            col("tf").as("tfb")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("i"))
+    val uni = col("wa") + col("wb") - col("i")
+    val jac = round((col("i").cast("double") / uni.cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    interCnt
+      .filter(lit(TD) * col("i") >= lit(TN) * uni)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard_w"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q93's oracle — the naive weighted spec: full postings join,
+    * Σ least per pair, integral threshold. */
+  val weightedJaccardJoinOracle: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wr
+       |           FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest([wr[i]||' '||wr[i+1] for i in range(1, len(wr))]) AS term
+       |    FROM t WHERE len(wr) >= 2)
+       |  GROUP BY doc_id, term),
+       |w AS (SELECT doc_id, sum(tf) AS w FROM tf GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(least(a.tf, b.tf)) AS i
+       |  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(CAST(CAST(i AS DOUBLE) / CAST(wa.w + wb.w - i AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard_w
+       |FROM inter
+       |JOIN w wa ON wa.doc_id = doc_a JOIN w wb ON wb.doc_id = doc_b
+       |WHERE $WTD*i >= $WTN*(wa.w + wb.w - i)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The oracle is the naive SPEC, not the algorithm: every doc pair
     * (length-filtered — implied by the threshold), exact intersection,
     * integral threshold. Divergence between the prefix-filtered plan and

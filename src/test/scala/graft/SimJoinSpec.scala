@@ -64,6 +64,51 @@ class SimJoinSpec extends AnyFunSuite {
     assert(noBite == exact)
   }
 
+  test("weighted Jaccard join ≡ naive multiset brute force; repetition " +
+       "separates it from set Jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = ((0 until 80).map { i =>
+      (i.toLong, Seq.fill(10)(s"w${rnd.nextInt(60)}").mkString(" "))
+    } ++ Seq(
+      // same SET of bigram terms, wildly different multiplicities: set
+      // Jaccard sees 1.0, multiset must see far less
+      (200L, "alpha beta alpha beta alpha beta alpha beta alpha beta"),
+      (201L, "alpha beta"),
+      // true weighted near-dup: same multiset
+      (300L, "gamma delta gamma delta epsilon"),
+      (301L, "gamma delta gamma delta epsilon"))).toDF("doc_id", "text")
+    val t = split(lower(col("text")), "\\s+")
+    val tf = docs.filter(size(t) >= 2)
+      .select(col("doc_id"),
+              explode(transform(sequence(lit(1), size(t) - 1), i =>
+                concat(element_at(t, i), lit(" "),
+                       element_at(t, i + 1)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // explicit t=1/2 (q93 itself declares 4/5): exercises the threshold
+    // parameter AND the repetition case below, which needs a low bar
+    val fast = SimJoin.weightedJaccardJoinOn(tf, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: full postings join, Σ least, same integral threshold
+    val w = tf.groupBy(col("doc_id")).agg(sum("tf").as("w"))
+    val naive = tf.select(col("doc_id").as("a"), col("term"), col("tf").as("ta"))
+      .join(tf.select(col("doc_id").as("b"), col("term"), col("tf").as("tb")), "term")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(least(col("ta"), col("tb"))).as("i"))
+      .join(w.select(col("doc_id").as("a"), col("w").as("wa")), "a")
+      .join(w.select(col("doc_id").as("b"), col("w").as("wb")), "b")
+      .filter(col("i") * 2 >= (col("wa") + col("wb") - col("i")))
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive,
+      s"missed=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    assert(fast.contains((300L, 301L)))
+    // set-identical but multiset-distant: 9 vs 1 copies of each term →
+    // J_w = 2/10 < 1/2, must NOT pair (where set Jaccard would)
+    assert(!fast.contains((200L, 201L)))
+  }
+
   test("guarantee is per-PAIR clean shingles, checked exhaustively") {
     // brute-force the naive join AND per-doc max df; every qualifying
     // pair where BOTH docs are entirely below the cut must be in the cut
