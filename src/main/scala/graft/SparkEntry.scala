@@ -111,6 +111,8 @@ object SparkEntry {
     "q91_simhash64_pairs"   -> (Dedup.q91Simhash64Pairs _),
     "q92_jaccard_join_maxdf"-> (SimJoin.q92JaccardJoinMaxDf _),
     "q93_weighted_jaccard"  -> (SimJoin.q93WeightedJaccardJoin _),
+    "q94_jl_project"        -> (Similarity.q94JlProject _),
+    "q95_jl_recall"         -> (Similarity.q95JlRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -356,5 +358,7 @@ object SparkEntry {
     // must lose nothing on this corpus — equality IS the check
     "q92_jaccard_join_maxdf" -> SimJoin.jaccardJoinOracle,
     "q93_weighted_jaccard"   -> SimJoin.weightedJaccardJoinOracle,
+    "q94_jl_project"         -> Similarity.jlProjectOracle,
+    "q95_jl_recall"          -> Similarity.jlRecallOracle,
   )
 }
