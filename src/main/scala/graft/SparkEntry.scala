@@ -113,6 +113,7 @@ object SparkEntry {
     "q93_weighted_jaccard"  -> (SimJoin.q93WeightedJaccardJoin _),
     "q94_jl_project"        -> (Similarity.q94JlProject _),
     "q95_jl_recall"         -> (Similarity.q95JlRecall _),
+    "q96_cluster_precision" -> (Dedup.q96ClusterPrecision _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -360,5 +361,6 @@ object SparkEntry {
     "q93_weighted_jaccard"   -> SimJoin.weightedJaccardJoinOracle,
     "q94_jl_project"         -> Similarity.jlProjectOracle,
     "q95_jl_recall"          -> Similarity.jlRecallOracle,
+    "q96_cluster_precision"  -> Dedup.clusterPrecisionOracle,
   )
 }

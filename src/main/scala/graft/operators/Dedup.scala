@@ -583,6 +583,75 @@ object Dedup {
        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q96 — CLUSTER-PRECISION audit: the approximation-audit family
+    * (q82/q88/q89/q90/q95) extended to the CLUSTERING step. Connected
+    * components take the transitive closure of the verified LSH pairs —
+    * two docs can land in one cluster without ever being compared (a—b
+    * and b—c verified ⇒ {a,b,c}, with a—c unchecked). This operator
+    * measures exactly that: of all intra-cluster pairs, what fraction is
+    * a genuine ≥ 1/2-Jaccard near-dup? A dedup deployment watches this
+    * number to decide whether transitive merging is over-collapsing
+    * (chain-merge drift) before q74 drops the "duplicates".
+    *
+    * Cost/scale: pairs are per-cluster quadratic — fine while clusters
+    * are near-dup families (tiny); a corpus with mega-clusters should
+    * sample per cluster first (the q42 convergence guard already fails
+    * loud on pathological merging). Verify is the q82 counting join —
+    * shingle arrays never shuffle. */
+  def q96ClusterPrecision(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val clusters = q42DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val cpairs = clusters.select(col("cluster_id"), col("doc_id").as("doc_a"))
+      .join(clusters.select(col("cluster_id"), col("doc_id").as("doc_b")),
+            "cluster_id")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val ex = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(call_function("graft_shingles", col("text"))).as("s"))
+      .localCheckpoint()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val interCnt = cpairs
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val verified = cpairs
+      .join(interCnt, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .select(when(lit(2) * coalesce(col("i"), lit(0L)) >=
+                     col("la") + col("lb") - coalesce(col("i"), lit(0L)), 1L)
+                .otherwise(0L).as("ok"))
+    verified.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ok")).as("n_true"))
+      .select(col("n_pairs"), col("n_true"),
+              round((col("n_true").cast("double") / col("n_pairs").cast("double"))
+                  .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+                .cast("double").as("precision"))
+  }
+
+  val clusterPrecisionOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |clusters AS (
+       |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+       |cpairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM clusters a JOIN clusters b
+       |    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT da, db,
+       |    CASE WHEN 2*len(list_intersect(x.s, y.s))
+       |              >= len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+       |         THEN 1 ELSE 0 END AS ok
+       |  FROM cpairs JOIN sig x ON x.doc_id = da JOIN sig y ON y.doc_id = db)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(ok) AS BIGINT) AS n_true,
+       |  CAST(round(CAST(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS precision
+       |FROM ver""".stripMargin
+
   val embeddingNearDupOracle: String =
     """WITH e AS (
       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm

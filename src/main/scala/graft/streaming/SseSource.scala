@@ -33,10 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * is AT-MOST-ONCE (a dropped connection loses frames; the reference's
   * `retryingListener` reconnects and misses whatever passed in between).
   * Effectively-once ingest comes from the PK-keyed idempotent merge plus
-  * offline gap repair (T2/T4), NOT from source-side replay — so like
-  * Spark's own socket source, offsets index a driver-side buffer and are
-  * not recoverable across driver restarts. The drop-zone file source
-  * remains the replayable alternative when the feed is teed to disk.
+  * offline gap repair (T2/T4). Unlike Spark's own socket source, though,
+  * offsets here ARE stable across driver restarts: every dispatched
+  * frame is journaled to `<checkpointLocation>/sse-frames.jsonl` BEFORE
+  * it becomes visible to `latestOffset`, and a restarted stream reloads
+  * the journal — so a batch the checkpoint says was committed can always
+  * be replanned (at-least-once from the journal forward; only frames
+  * arriving while the listener is DOWN are lost, exactly the reference's
+  * reconnect gap). The drop-zone file source remains the fully-replayable
+  * alternative when the feed is teed to disk upstream.
   *
   * Scale shape: a chainweb header feed is ~1 row/1.5 s across 20 chains —
   * driver-buffered single-partition batches are the right size by orders
@@ -68,7 +73,7 @@ class SseTable(host: String, port: Int) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SseSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SseMicroBatchStream(host, port)
+          new SseMicroBatchStream(host, port, checkpointLocation)
       }
     }
 }
@@ -78,12 +83,46 @@ case class SseOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class SseMicroBatchStream(host: String, port: Int)
+class SseMicroBatchStream(host: String, port: Int,
+                          checkpointLocation: String = null)
     extends MicroBatchStream {
 
   private val buffer = new scala.collection.mutable.ArrayBuffer[(String, String)]()
   @volatile private var fatal: Throwable = _
   private var socket: Socket = _
+
+  // Frame journal: offsets must survive a driver restart, because the
+  // query checkpoint references them. Base64 keeps frames line-safe.
+  private val journal: java.nio.file.Path =
+    if (checkpointLocation == null) null
+    else {
+      val dir = java.nio.file.Paths.get(
+        checkpointLocation.stripPrefix("file:"))
+      java.nio.file.Files.createDirectories(dir)
+      dir.resolve("sse-frames.jsonl")
+    }
+  private val b64 = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+
+  if (journal != null && java.nio.file.Files.exists(journal)) {
+    java.nio.file.Files.readAllLines(journal, StandardCharsets.UTF_8)
+      .forEach { line =>
+        if (line.nonEmpty) {
+          val Array(e, d) = line.split("\t", 2)
+          buffer.append((new String(b64d.decode(e), StandardCharsets.UTF_8),
+                         new String(b64d.decode(d), StandardCharsets.UTF_8)))
+        }
+      }
+  }
+
+  private def journalAppend(event: String, data: String): Unit =
+    if (journal != null)
+      java.nio.file.Files.writeString(journal,
+        b64.encodeToString(event.getBytes(StandardCharsets.UTF_8)) + "\t" +
+          b64.encodeToString(data.getBytes(StandardCharsets.UTF_8)) + "\n",
+        StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
 
   // SSE frame reader: accumulate field lines until a blank line dispatches
   // the frame (the reference's event loop, Listen.hs:58-66).
@@ -98,6 +137,9 @@ class SseMicroBatchStream(host: String, port: Int)
       while (line != null) {
         if (line.isEmpty) {
           if (data.nonEmpty) buffer.synchronized {
+            // journal BEFORE visibility: an offset can only reference a
+            // frame that is already durable
+            journalAppend(event, data.toString)
             buffer.append((event, data.toString)); ()
           }
           event = ""; data.clear()

@@ -154,6 +154,38 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("SSE source journals frames: offsets survive a restart") {
+    import graft.streaming.{SseMicroBatchStream, SseOffset, SsePartition}
+    val ckpt = Files.createTempDirectory("graft_sse_journal").toString
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      out.println("event: BlockHeader"); out.println("data: one"); out.println()
+      out.println("event: BlockHeader"); out.println("data: two"); out.println()
+      out.flush()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val s1 = new SseMicroBatchStream("localhost", server.getLocalPort, ckpt)
+    try {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (s1.latestOffset() != SseOffset(2) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(s1.latestOffset() === SseOffset(2))
+    } finally s1.stop()
+    // restart against a SILENT server: the journal must restore the
+    // offset space so checkpointed batches can be replanned
+    val server2 = new java.net.ServerSocket(0)
+    val s2 = new SseMicroBatchStream("localhost", server2.getLocalPort, ckpt)
+    try {
+      assert(s2.latestOffset() === SseOffset(2))
+      val parts = s2.planInputPartitions(SseOffset(0), SseOffset(2))
+      assert(parts.length === 1)
+      assert(parts(0).asInstanceOf[SsePartition].rows.toSeq ===
+        Seq(("BlockHeader", "one"), ("BlockHeader", "two")))
+    } finally { s2.stop(); server2.close(); server.close() }
+  }
+
   test("multimodal decode stub: partition-parallel binary → features") {
     val media = graft.operators.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val feats = graft.operators.Multimodal.decodeFeatures(media)
