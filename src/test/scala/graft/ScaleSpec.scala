@@ -70,6 +70,37 @@ class ScaleSpec extends AnyFunSuite {
       s"single-partition exchange in q60 plan:\n$plan")
   }
 
+  test("round-4 similarity operators keep the scale shapes: no cartesian, " +
+       "no single-partition exchange; JL projection is map-only") {
+    val dir = "/root/testdata/sf0.001"
+    // q93 weighted join: inverted-index equi-joins only
+    val wj = graft.operators.SimJoin.q93WeightedJaccardJoin(spark, dir)
+    wj.collect()
+    val wjPlan = wj.queryExecution.executedPlan.toString
+    assert(!wjPlan.contains("CartesianProduct"), s"cartesian in q93:\n$wjPlan")
+    assert(!wjPlan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q93 plan:\n$wjPlan")
+    // q94 projection: a map-only pass — the plan may contain NO Exchange
+    // at all before its (presentation-only) output ordering
+    val jl = graft.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding").as("v"))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val proj = jl.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.call_function("graft_dot",
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.typedLit(
+          graft.operators.Similarity.jlSigns(0))).as("y0"))
+    proj.collect()
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"),
+      s"projection must be map-only, plan:\n$projPlan")
+    // `*(n)` prefixes mark whole-stage-codegen stages in the plan string
+    assert(projPlan.contains("*(1) Project"),
+      s"projection kernel must run inside whole-stage codegen:\n$projPlan")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
