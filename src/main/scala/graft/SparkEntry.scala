@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_jl_project"        -> (Similarity.q94JlProject _),
     "q95_jl_recall"         -> (Similarity.q95JlRecall _),
     "q96_cluster_precision" -> (Dedup.q96ClusterPrecision _),
+    "q97_weighted_lsh"      -> (SimJoin.q97WeightedLshNearDup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -362,5 +363,6 @@ object SparkEntry {
     "q94_jl_project"         -> Similarity.jlProjectOracle,
     "q95_jl_recall"          -> Similarity.jlRecallOracle,
     "q96_cluster_precision"  -> Dedup.clusterPrecisionOracle,
+    "q97_weighted_lsh"       -> SimJoin.weightedLshNearDupOracle,
   )
 }

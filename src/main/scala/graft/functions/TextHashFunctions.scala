@@ -148,6 +148,31 @@ object TextHashUtil {
     out
   }
 
+  /** K-wide minhash over an ARBITRARY element array (the text variant
+    * below shingles internally): min over elements of md5("i:elem") per
+    * hash index — order-insensitive, so callers may build the element
+    * list in any order. */
+  def minhashOf(elems: ArrayData, k: Int): ArrayData = {
+    val n = elems.numElements()
+    val mins = new Array[String](k)
+    var j = 0
+    while (j < n) {
+      val e = elems.getUTF8String(j)
+      if (e != null) {
+        val s = e.toString
+        var i = 0
+        while (i < k) {
+          val h = md5Hex(i.toString + ":" + s)
+          if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(
+      mins.map(m => (if (m == null) null else UTF8String.fromString(m)): Any))
+  }
+
   def minhash(text: UTF8String, k: Int): ArrayData = {
     val sh = shingleStrings(text.toString)
     val mins = new Array[String](k)
@@ -226,6 +251,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** `graft_minhash(text, k)` → ARRAY<STRING>: per-seed minima of
   * md5("seed:shingle") hex — the MinHash signature. */
+/** `graft_minhash_arr(elements, k)` → K-wide minhash signature over an
+  * arbitrary string-array element set (the weighted-LSH expansion path:
+  * a term with tf = n contributes elements term#1..term#n, making plain
+  * set-minhash estimate the WEIGHTED Jaccard). */
+case class MinHashSigArr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash_arr"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash_arr expects (ARRAY<STRING>, INT)")
+  }
+
+  override def nullSafeEval(a: Any, k: Any): Any =
+    TextHashUtil.minhashOf(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.functions.TextHashUtil.minhashOf($a, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): MinHashSigArr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_minhash"

@@ -89,6 +89,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_minhash_arr", exprs => MinHashSigArr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
@@ -111,6 +113,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_arr"),
+      new ExpressionInfo(classOf[MinHashSigArr].getName, "graft_minhash_arr"),
+      (exprs: Seq[Expression]) => MinHashSigArr(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),

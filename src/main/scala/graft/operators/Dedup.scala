@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val K_HASHES = 8 // minhash signature width
-  private val N_BANDS = 4  // LSH bands (2 rows each)
+  private[operators] val K_HASHES = 8 // minhash signature width
+  private[operators] val N_BANDS = 4  // LSH bands (2 rows each)
 
   /** q27 — exact dedup: whitespace-normalized content hash → keeper = min
     * doc_id per group. Emits the full keep/drop mapping. */
@@ -91,7 +91,7 @@ object Dedup {
     * columns: the bucket join and the pair-dedup shuffle never move the
     * shingle arrays (at 100 TB the arrays would otherwise dominate every
     * exchange). */
-  private def lshBands(sig: DataFrame): DataFrame =
+  private[operators] def lshBands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
         md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
@@ -101,7 +101,7 @@ object Dedup {
     * candidate-generation discipline all LSH consumers share (q29, q88;
     * q81 keeps its asymmetric batch×corpus variant), so a banding change
     * (e.g. the bucket-cap escape hatch) lands everywhere at once. */
-  private def lshCandidates(bands: DataFrame): DataFrame =
+  private[operators] def lshCandidates(bands: DataFrame): DataFrame =
     bands.toDF("doc_a", "band_idx", "band_hash")
       .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))

@@ -174,9 +174,14 @@ object SimJoin {
     * long prefixes — at t = 1/2 this corpus generates 5.8M candidate
     * rows vs 0.77M at 4/5 (measured); the threshold is the candidate-
     * volume knob, and 0.8 is both the cheap and the standard setting. */
-  def q93WeightedJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q93WeightedJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    weightedJaccardJoinOn(bigramTf(spark, dir))
+
+  /** The bigram term-frequency relation (doc_id, term, tf) both weighted
+    * operators (q93 exact, q97 LSH) consume. */
+  def bigramTf(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
-    val tf = graft.Tables.documents(spark, dir)
+    graft.Tables.documents(spark, dir)
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -185,7 +190,6 @@ object SimJoin {
                        element_at(col("t"), i + 1)))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    weightedJaccardJoinOn(tf)
   }
 
   /** q93's threshold: Jw ≥ 4/5. */
@@ -241,6 +245,99 @@ object SimJoin {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard_w"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q97 — WEIGHTED MinHash-LSH near-dup pairs, the sub-quadratic
+    * candidate stage for q93's contract, via the multiset-EXPANSION
+    * identity: a term with tf = n contributes elements term#1..term#n,
+    * and set-Jaccard of the expanded sets EQUALS weighted Jaccard of the
+    * multisets (Σmin/Σmax term by term) — so the existing, portable
+    * set-MinHash machinery (md5 min-hashing, 4×2 banding, the shared
+    * candidate discipline) estimates J_w with zero new theory and zero
+    * RNG. Candidates verify with the EXACT counting join (Σ least) at
+    * the same 4/5 threshold, so emitted ⊆ q93 always (banding only
+    * loses, never invents — SimJoinSpec pins the subset relation and
+    * the recall on the fixture). At s = 0.8 the 4-band/2-row curve
+    * passes ≥ 1 band with p ≈ 0.98.
+    *
+    * Scale: the expansion multiplies postings by the mean tf (~1.1 on
+    * text bigrams — repetition is the exception, and a pathological
+    * tf=10⁶ doc caps at its own weight); bands shuffle 3 small columns;
+    * the verify join is bounded by the candidate set, not n². */
+  def q97WeightedLshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val tf = bigramTf(spark, dir)
+    val elems = tf.select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("tf").cast("int")), i =>
+          concat(col("term"), lit("#"), i.cast("string")))).as("el"))
+      .groupBy(col("doc_id")).agg(collect_list(col("el")).as("els"))
+    val sig = elems.select(col("doc_id"),
+        call_function("graft_minhash_arr", col("els"),
+                      lit(Dedup.K_HASHES)).as("m"))
+      .localCheckpoint()
+    val cand = Dedup.lshCandidates(Dedup.lshBands(sig))
+    val w = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("w"))
+    val interCnt = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+                      col("tf").as("tfa")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+                      col("tf").as("tfb")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("i"))
+    val joined = cand
+      .join(interCnt, Seq("doc_a", "doc_b"), "left")
+      .join(w.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+    val uni = col("wa") + col("wb") - col("i")
+    val jac = round((col("i").cast("double") / uni.cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    joined
+      .filter(lit(WTD) * col("i") >= lit(WTN) * uni)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard_w"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val weightedLshNearDupOracle: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wr
+       |           FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest([wr[i]||' '||wr[i+1] for i in range(1, len(wr))]) AS term
+       |    FROM t WHERE len(wr) >= 2)
+       |  GROUP BY doc_id, term),
+       |ex AS (
+       |  SELECT doc_id,
+       |    unnest([term || '#' || i::VARCHAR
+       |            for i in range(1, CAST(tf AS BIGINT) + 1)]) AS el
+       |  FROM tf),
+       |els AS (SELECT doc_id, list(el) AS els FROM ex GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, ${Dedup.K_HASHES}),
+       |    i -> list_aggregate(list_transform(els, x -> md5(i::VARCHAR || ':' || x)), 'min')) AS m
+       |  FROM els),
+       |bands AS (
+       |  SELECT doc_id, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${Dedup.N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |w AS (SELECT doc_id, sum(tf) AS w FROM tf GROUP BY doc_id),
+       |inter AS (
+       |  -- INNER joins: a candidate with zero shared terms has i = 0 and
+       |  -- can never pass the threshold, so dropping it here is exact
+       |  SELECT c.doc_a, c.doc_b, sum(least(a.tf, b.tf)) AS i
+       |  FROM cand c
+       |  JOIN tf a ON a.doc_id = c.doc_a
+       |  JOIN tf b ON b.doc_id = c.doc_b AND b.term = a.term
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(CAST(CAST(i AS DOUBLE) / CAST(wa.w + wb.w - i AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard_w
+       |FROM inter
+       |JOIN w wa ON wa.doc_id = doc_a JOIN w wb ON wb.doc_id = doc_b
+       |WHERE $WTD*i >= $WTN*(wa.w + wb.w - i)
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q93's oracle — the naive weighted spec: full postings join,
     * Σ least per pair, integral threshold. */

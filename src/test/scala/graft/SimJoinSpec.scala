@@ -109,6 +109,22 @@ class SimJoinSpec extends AnyFunSuite {
     assert(!fast.contains((200L, 201L)))
   }
 
+  test("weighted LSH (expansion trick) ⊆ exact weighted join; full " +
+       "recall on the fixture's planted pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SimJoin.q93WeightedJaccardJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimJoin.q97WeightedLshNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding can only MISS pairs (the verify stage is the same exact
+    // counting join), never invent them
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${(lsh -- exact).take(5)}")
+    // recall readout: at s=0.8 the 4x2 banding passes with p≈0.98 per
+    // pair — on the small fixture demand full recall
+    assert(lsh == exact,
+      s"banding missed pairs on the fixture: ${(exact -- lsh).take(5)}")
+  }
+
   test("guarantee is per-PAIR clean shingles, checked exhaustively") {
     // brute-force the naive join AND per-doc max df; every qualifying
     // pair where BOTH docs are entirely below the cut must be in the cut
