@@ -115,6 +115,8 @@ object SparkEntry {
     "q95_jl_recall"         -> (Similarity.q95JlRecall _),
     "q96_cluster_precision" -> (Dedup.q96ClusterPrecision _),
     "q97_weighted_lsh"      -> (SimJoin.q97WeightedLshNearDup _),
+    "q98_cms_df_topk"       -> (Sketches.q98CmsDfTopk _),
+    "q99_cms_rollup"        -> (Sketches.q99CmsRollup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -364,5 +366,7 @@ object SparkEntry {
     "q95_jl_recall"          -> Similarity.jlRecallOracle,
     "q96_cluster_precision"  -> Dedup.clusterPrecisionOracle,
     "q97_weighted_lsh"       -> SimJoin.weightedLshNearDupOracle,
+    "q98_cms_df_topk"        -> Sketches.cmsDfTopkOracle,
+    "q99_cms_rollup"         -> Sketches.cmsRollupOracle,
   )
 }

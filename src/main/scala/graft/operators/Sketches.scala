@@ -189,4 +189,165 @@ object Sketches {
        |FROM exact e JOIN harm h ON e.event_type = h.event_type
        |ORDER BY e.event_type""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Count-Min Sketch (Cormode & Muthukrishnan 2005, public) — the LINEAR
+  // counting sketch that pairs with HLL's max-register one.
+  // ---------------------------------------------------------------------
+
+  /** Portable 32-bit hash of a string column: md5 → top 8 hex chars →
+    * integer. The one hash every engine spells identically — the same
+    * primitive as [[registers]], the stratified sampler, and the LSH
+    * band hashes. */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[h32]] over a hex column named `h`. */
+  val h32FromHexSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    (1 to 8).map(i => s"${nib(i)}::BIGINT * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+  }
+
+  /** Count-Min parameters for q98/q99. Depth d = 4 (error probability
+    * e^−4 ≈ 1.8% per estimate), width w = 4096. The guarantee is
+    * one-sided: estimate ≥ true count always; estimate ≤ true + εN with
+    * ε = e/w per hash row. Sizing rule at 100 TB: the sketch answers
+    * "is this key's count above a cut?" (the q92 max-df stop-shingle
+    * hatch without an exact df pass) — size w so εN ≪ the cut, i.e.
+    * w ≈ e·N_occurrences / (cut slack). The fixture corpus is nearly
+    * FLAT (max df 7 at sf0.01), so the recorded estimates sit at the
+    * εN collision floor — the honest readout, like q89/q95: CMS is a
+    * heavy-hitter instrument, and the audit shows exactly what it does
+    * on a stream with no heavy hitters. */
+  val CmsDepth  = 4
+  val CmsWidth  = 4096
+  val CmsTopK   = 20
+
+  private def cmsBucket(rowI: Column, key: Column): Column =
+    h32(concat(rowI.cast("string"), lit(":"), key)) % CmsWidth
+
+  /** The d×w cell relation of a keyed stream — the persistable sketch
+    * artifact. Each occurrence increments one bucket per hash row, so
+    * the build is a d-fold expansion of integer pairs followed by a
+    * map-side-combining count: the shuffle is ≤ d·w rows per map
+    * partition no matter how big the stream. Cells are LINEAR in the
+    * stream (a count per cell), so sketches of disjoint slices merge by
+    * plain cell-wise sum — see [[q99CmsRollup]]. */
+  def cmsCells(keyed: DataFrame, key: Column): DataFrame =
+    keyed
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"),
+              key.as("k"))
+      .select(col("row_i"), cmsBucket(col("row_i"), col("k")).as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for a (small) candidate relation against a cell
+    * relation: min over the d cells each key hashes to. Cells are ≤ d·w
+    * rows → broadcast; candidates never shuffle. */
+  def cmsEstimate(cells: DataFrame, candidates: DataFrame,
+                  key: Column): DataFrame =
+    candidates
+      .select(key.as("k"),
+              explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"))
+      .withColumn("bucket", cmsBucket(col("row_i"), col("k")))
+      .join(broadcast(cells), Seq("row_i", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+
+  private def shingleOccurrences(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(call_function("graft_shingles", col("text"))).as("g"))
+  }
+
+  /** q98 — CMS document-frequency heavy hitters: the exact top-20
+    * shingles by df side-by-side with their Count-Min estimates. The
+    * exact df pass IS the audit (the q86 pattern: exact + estimate in
+    * one row); production at 100 TB keeps only the d·w cells and probes
+    * them, e.g. to feed [[SimJoin.jaccardJoinOn]]'s max-df cut without
+    * ever grouping the corpus by shingle. */
+  def q98CmsDfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val occ = shingleOccurrences(spark, dir)
+    val cells = cmsCells(occ, col("g"))
+    val top = occ.groupBy(col("g")).agg(count(lit(1)).as("df_exact"))
+      .orderBy(col("df_exact").desc, col("g")).limit(CmsTopK)
+    top.join(cmsEstimate(cells, top.select(col("g")), col("g")),
+             top("g") === col("k"))
+      .select(col("g").as("shingle"), col("df_exact"), col("cms_estimate"))
+      .orderBy(col("df_exact").desc, col("shingle"))
+  }
+
+  /** Shared SQL prologue: per-doc distinct shingles → (doc_id, g)
+    * occurrence stream, exactly [[graft.operators.TextOps.shingles3]]. */
+  private val occSql: String =
+    s"""occ AS (
+       |  SELECT doc_id, unnest(s) AS g
+       |  FROM (SELECT doc_id, ${TextOps.duckShingles} AS s
+       |        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |              FROM documents)))""".stripMargin
+
+  /** SQL CTE fragments: hash row_i:key to a cell bucket — the md5 is
+    * materialized one layer in (the HLL-oracle pattern), no correlated
+    * subqueries. */
+  private def cmsCellsSql(srcRel: String, extraCols: String): String =
+    s"""hashed AS (
+       |  SELECT $extraCols i, md5(CAST(i AS VARCHAR) || ':' || g) AS h
+       |  FROM $srcRel CROSS JOIN rows_),
+       |bucketed AS (
+       |  SELECT $extraCols i, ($h32FromHexSql) % $CmsWidth AS bucket FROM hashed)""".stripMargin
+
+  private def cmsOracle(topK: Int): String =
+    s"""WITH $occSql,
+       |rows_ AS (SELECT range AS i FROM range($CmsDepth)),
+       |${cmsCellsSql("occ", "")},
+       |cells AS (SELECT i, bucket, count(*) AS c FROM bucketed GROUP BY i, bucket),
+       |top AS (SELECT g, count(*) AS df_exact FROM occ GROUP BY g
+       |        ORDER BY df_exact DESC, g LIMIT $topK),
+       |candh AS (SELECT g, df_exact, i, md5(CAST(i AS VARCHAR) || ':' || g) AS h
+       |          FROM top CROSS JOIN rows_),
+       |cand AS (SELECT g, df_exact, i, ($h32FromHexSql) % $CmsWidth AS bucket FROM candh)
+       |SELECT cand.g AS shingle, cand.df_exact,
+       |       CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS cms_estimate
+       |FROM cand LEFT JOIN cells ON cand.i = cells.i AND cand.bucket = cells.bucket
+       |GROUP BY cand.g, cand.df_exact
+       |ORDER BY cand.df_exact DESC, shingle""".stripMargin
+
+  val cmsDfTopkOracle: String = cmsOracle(CmsTopK)
+
+  /** q99 — CMS MERGE/rollup, the linear-sketch counterpart of q90: build
+    * one sketch per `source` slice, merge by CELL-WISE SUM, and estimate
+    * the global top-10 from the merged cells. The oracle builds the
+    * global sketch from scratch — sum-linearity makes the merge equal it
+    * exactly, by construction. At 100 TB this is per-day/per-source df
+    * sketches rolled into a corpus sketch by re-aggregating d·w·|slices|
+    * integer rows, never the corpus. */
+  def q99CmsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val occ = shingleOccurrences(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+    val perSource = occ
+      .select(col("source"),
+              explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"),
+              col("g"))
+      .select(col("source"), col("row_i"),
+              cmsBucket(col("row_i"), col("g")).as("bucket"))
+      .groupBy(col("source"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged = perSource.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val top = shingleOccurrences(spark, dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("df_exact"))
+      .orderBy(col("df_exact").desc, col("g")).limit(10)
+    top.join(cmsEstimate(merged, top.select(col("g")), col("g")),
+             top("g") === col("k"))
+      .select(col("g").as("shingle"), col("df_exact"), col("cms_estimate"))
+      .orderBy(col("df_exact").desc, col("shingle"))
+  }
+
+  /** The rollup oracle builds the GLOBAL sketch directly — cell-sum
+    * linearity makes the per-source merge equal it exactly. */
+  val cmsRollupOracle: String = cmsOracle(10)
 }
