@@ -117,6 +117,8 @@ object SparkEntry {
     "q97_weighted_lsh"      -> (SimJoin.q97WeightedLshNearDup _),
     "q98_cms_df_topk"       -> (Sketches.q98CmsDfTopk _),
     "q99_cms_rollup"        -> (Sketches.q99CmsRollup _),
+    "q100_bloom_decontaminate" -> (Bloom.q100BloomDecontaminate _),
+    "q101_bloom_audit"      -> (Bloom.q101BloomAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -368,5 +370,9 @@ object SparkEntry {
     "q97_weighted_lsh"       -> SimJoin.weightedLshNearDupOracle,
     "q98_cms_df_topk"        -> Sketches.cmsDfTopkOracle,
     "q99_cms_rollup"         -> Sketches.cmsRollupOracle,
+    // q100 is the q92 pattern: the bloom prefilter must not change the
+    // exact join's output, so its oracle is q67's VERBATIM.
+    "q100_bloom_decontaminate" -> Corpus.decontaminateOracle,
+    "q101_bloom_audit"       -> Bloom.bloomAuditOracle,
   )
 }

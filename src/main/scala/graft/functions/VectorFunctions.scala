@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Codegen'd dot product over embedding columns.
@@ -75,6 +75,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd Bloom-filter membership probe:
+  * `graft_bloom_test(bits BINARY, positions ARRAY<INT>)` — true iff EVERY
+  * bit position in the array is set in the packed bitmask (bit p lives at
+  * byte p>>>3, bit p&7). The bitmask is a plan-time literal (built once
+  * from the tiny eval side, ≤ m bits regardless of corpus size), so the
+  * probe runs inside whole-stage codegen with zero allocation — the same
+  * (b)-tier Expression rationale as [[DotProduct]]. A bloom test has no
+  * false negatives by construction, which is what lets
+  * [[graft.operators.Bloom]] prefilter an exact join without changing its
+  * result. */
+case class BloomTest(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_test expects (BINARY, ARRAY<INT>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_test"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val ps = b.asInstanceOf[ArrayData]
+    var i = 0
+    var all = true
+    val n = ps.numElements()
+    while (all && i < n) {
+      val p = ps.getInt(i)
+      if (((bytes(p >>> 3) >> (p & 7)) & 1) == 0) all = false
+      i += 1
+    }
+    all
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bits, ps) => {
+      s"""
+         |boolean all = true;
+         |int n = $ps.numElements();
+         |for (int i = 0; all && i < n; i++) {
+         |  int p = $ps.getInt(i);
+         |  if ((($bits[p >>> 3] >> (p & 7)) & 1) == 0) all = false;
+         |}
+         |${ev.value} = all;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BloomTest =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
@@ -94,6 +150,8 @@ object VectorFunctions {
       "graft_simhash", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_test", exprs => BloomTest(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -125,6 +183,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_test"),
+      new ExpressionInfo(classOf[BloomTest].getName, "graft_bloom_test"),
+      (exprs: Seq[Expression]) => BloomTest(exprs(0), exprs(1))))
     // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
     // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)

@@ -295,17 +295,28 @@ object Corpus {
     * broadcast side's size, not the corpus. */
   val DecontamMinCommon = 5
 
-  def q67Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc distinct shingle sets — the shared leaf of q67 and the
+    * Bloom-prefiltered q100. */
+  private[graft] def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
-    val eval = docs.filter(col("doc_id") % 50 === 0)
+  }
+
+  /** The exploded benchmark side of the decontamination join (broadcast). */
+  private[graft] def evalExploded(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_doc"), col("sh"))
       .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"),
               explode(col("sh")).as("g"))
-    val train = docs.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("g"))
-    train.join(broadcast(eval), Seq("g"))
+
+  /** The exact verify tail: equi-join on shingle, overlap count + fraction.
+    * Shared verbatim by q67 and q100 — a prefilter on `train` that never
+    * drops a truly-matching shingle (Bloom's no-false-negative guarantee)
+    * cannot change this operator's output. */
+  private[graft] def decontaminateJoin(train: DataFrame,
+                                           evalEx: DataFrame): DataFrame =
+    train.join(broadcast(evalEx), Seq("g"))
       .groupBy(col("train_doc"), col("eval_doc"), col("n_eval"))
       .agg(count(lit(1)).as("n_common"))   // shingles are distinct per doc
       .filter(col("n_common") >= DecontamMinCommon)
@@ -314,6 +325,12 @@ object Corpus {
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
           .cast("double").as("overlap_frac"))
       .orderBy(col("train_doc"), col("eval_doc"))
+
+  def q67Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("g"))
+    decontaminateJoin(train, evalExploded(docs))
   }
 
   val decontaminateOracle: String =

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Bloom, Corpus}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom prefilter (q100/q101) properties: the mask has no false
+  * negatives (so the prefiltered exact join is IDENTICAL to q67), and the
+  * codegen'd `graft_bloom_test` kernel agrees with a declarative
+  * bit-membership re-expression on every probe. */
+class BloomSpec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q100 output is row-for-row identical to q67") {
+    val plain = Corpus.q67Decontaminate(spark, dir).collect().toSeq
+    val bloomed = Bloom.q100BloomDecontaminate(spark, dir).collect().toSeq
+    assert(plain == bloomed)
+  }
+
+  test("no false negatives: every train shingle present in the eval set " +
+       "passes the mask") {
+    val docs = Corpus.shingledDocs(spark, dir)
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val bits = Bloom.buildBits(evalDocs)
+    val evalG = evalDocs.select(explode(col("sh")).as("g")).distinct()
+    val trainTrue = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(explode(col("sh")).as("g"))
+      .join(evalG, Seq("g"), "left_semi")
+    val failures = trainTrue.filter(!call_function("graft_bloom_test",
+        lit(bits), Bloom.positions(col("g")))).count()
+    assert(failures == 0)
+    assert(trainTrue.count() > 0) // the property must actually bite
+  }
+
+  test("graft_bloom_test kernel == declarative forall(bit set) re-expression") {
+    val docs = Corpus.shingledDocs(spark, dir)
+    val bits = Bloom.buildBits(docs.filter(col("doc_id") % 50 === 0))
+    // declarative re-expression: explode the mask's SET positions into a
+    // single-row array and check membership of each probe position
+    val setPositions = bits.indices.flatMap { i =>
+      (0 until 8).collect { case b if ((bits(i) >> b) & 1) == 1 => i * 8 + b }
+    }.toArray
+    val posArrayLit = typedLit(setPositions)
+    val probes = docs.select(explode(col("sh")).as("g"))
+      .withColumn("kernel",
+        call_function("graft_bloom_test", lit(bits), Bloom.positions(col("g"))))
+      .withColumn("declarative",
+        forall(Bloom.positions(col("g")), p => array_contains(posArrayLit, p)))
+    assert(probes.filter(col("kernel") =!= col("declarative")).count() == 0)
+    // and both paths see a mix of pass and fail on this corpus
+    assert(probes.filter(col("kernel")).count() > 0)
+    assert(probes.filter(!col("kernel")).count() > 0)
+  }
+}
