@@ -60,13 +60,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val getX = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val getY = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // fresh locals: spliced into a shared generated-function scope where
+      // bare `i`/`n` may already exist (janino rejects shadowing)
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
+      val getX = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int n = Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) { acc += $getX * $getY; }
-         |${ev.value} = acc;
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $getX * $getY; }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -115,14 +120,20 @@ case class BloomTest(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (bits, ps) => {
+      // fresh locals: this code is spliced into a shared generated function
+      // scope where bare `i`/`n` may already exist (janino rejects shadowing)
+      val all = ctx.freshName("bloomAll")
+      val n = ctx.freshName("bloomN")
+      val i = ctx.freshName("bloomI")
+      val p = ctx.freshName("bloomP")
       s"""
-         |boolean all = true;
-         |int n = $ps.numElements();
-         |for (int i = 0; all && i < n; i++) {
-         |  int p = $ps.getInt(i);
-         |  if ((($bits[p >>> 3] >> (p & 7)) & 1) == 0) all = false;
+         |boolean $all = true;
+         |int $n = $ps.numElements();
+         |for (int $i = 0; $all && $i < $n; $i++) {
+         |  int $p = $ps.getInt($i);
+         |  if ((($bits[$p >>> 3] >> ($p & 7)) & 1) == 0) $all = false;
          |}
-         |${ev.value} = all;
+         |${ev.value} = $all;
        """.stripMargin
     })
 

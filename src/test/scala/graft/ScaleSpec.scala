@@ -101,6 +101,32 @@ class ScaleSpec extends AnyFunSuite {
       s"projection kernel must run inside whole-stage codegen:\n$projPlan")
   }
 
+  test("sketch operators keep the scale shapes: CMS cells broadcast to " +
+       "the probe, bloom probe screens before the join, no cartesians") {
+    val dir = "/root/testdata/sf0.001"
+    // q98: the d×w cell relation must reach the candidate probe as a
+    // broadcast — candidates never shuffle toward the sketch
+    val cms = graft.operators.Sketches.q98CmsDfTopk(spark, dir)
+    cms.collect()
+    val cmsPlan = cms.queryExecution.executedPlan.toString
+    assert(!cmsPlan.contains("CartesianProduct"), s"cartesian in q98:\n$cmsPlan")
+    assert(cmsPlan.contains("BroadcastHashJoin"),
+      s"q98 cell probe must be a broadcast join:\n$cmsPlan")
+    // q100: the bloom probe must sit in the scan-side filter, BEFORE any
+    // join machinery, inside whole-stage codegen
+    val bloom = graft.operators.Bloom.q100BloomDecontaminate(spark, dir)
+    bloom.collect()
+    val bloomPlan = bloom.queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("graft_bloom_test"),
+      s"bloom probe missing from q100 plan:\n$bloomPlan")
+    assert(!bloomPlan.contains("CartesianProduct"), s"cartesian in q100:\n$bloomPlan")
+    val filterIdx = bloomPlan.indexOf("graft_bloom_test")
+    val joinIdx = bloomPlan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter must be below (execute before) the verify join " +
+        s"in the plan tree:\n$bloomPlan")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail

@@ -161,6 +161,62 @@ class SessionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells converge to EXACTLY the batch estimates") {
+    import graft.streaming.Frequency
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val occ = graft.operators.Sketches
+      .q98CmsDfTopk(spark, dir) // just for probes: top exact-df shingles
+    val probes = occ.collect().take(5).map(_.getString(0)).toSeq
+    val events = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.call_function(
+          "graft_shingles", org.apache.spark.sql.functions.col("text"))).as("g"))
+      .collect().map(r => Frequency.Obs("all", r.getString(0)))
+    val input = MemoryStream[Frequency.Obs]
+    val q = Frequency.estimates(input.toDS(), probes)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("update").start()
+    try {
+      // split across micro-batches; NO replay — a CMS cell is a SUM, so
+      // unlike the HLL's max-merge it counts duplicates (the documented
+      // delivery-contract difference), and exactly-once within the query
+      // is what transformWithState checkpointing provides
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // counts only grow; the converged estimate per probe is the max
+      val got = spark.table("cms").collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      val cells = graft.operators.Sketches.cmsCells(
+        Tables.documents(spark, dir)
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.call_function(
+              "graft_shingles", org.apache.spark.sql.functions.col("text"))).as("g")),
+        org.apache.spark.sql.functions.col("g"))
+      val want = graft.operators.Sketches.cmsEstimate(
+          cells, probes.toDF("g"), org.apache.spark.sql.functions.col("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (p, est) =>
+        assert(got(p) == est, s"probe $p: streaming ${got(p)} != batch $est")
+      }
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming HLL converges to EXACTLY the batch estimate") {
     import graft.streaming.Cardinality
     import spark.implicits._
