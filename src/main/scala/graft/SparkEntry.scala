@@ -119,6 +119,8 @@ object SparkEntry {
     "q99_cms_rollup"        -> (Sketches.q99CmsRollup _),
     "q100_bloom_decontaminate" -> (Bloom.q100BloomDecontaminate _),
     "q101_bloom_audit"      -> (Bloom.q101BloomAudit _),
+    "q102_hist_median"      -> (Sketches.q102HistMedian _),
+    "q103_priority_sample"  -> (Corpus.q103PrioritySample _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -374,5 +376,7 @@ object SparkEntry {
     // exact join's output, so its oracle is q67's VERBATIM.
     "q100_bloom_decontaminate" -> Corpus.decontaminateOracle,
     "q101_bloom_audit"       -> Bloom.bloomAuditOracle,
+    "q102_hist_median"       -> Sketches.histMedianOracle,
+    "q103_priority_sample"   -> Corpus.prioritySampleOracle,
   )
 }

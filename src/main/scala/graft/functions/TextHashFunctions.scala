@@ -42,6 +42,27 @@ object TextHashUtil {
     new String(out)
   }
 
+  /** Kirsch–Mitzenmacher bloom probe: h1/h2 are the digest's first two
+    * 4-byte words (== the two leading 8-hex-char halves the SQL oracle
+    * reads), position_j = (h1 + j·h2) mod mBits; true iff every probed
+    * bit is set. One digest, k integer probes, zero allocation. */
+  def bloomMight(bits: Array[Byte], s: String, k: Int, mBits: Int): Boolean = {
+    val d = digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val h1 = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    val h2 = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    var j = 0
+    while (j < k) {
+      val p = ((h1 + j * h2) % mBits).toInt
+      if (((bits(p >>> 3) >> (p & 7)) & 1) == 0) return false
+      j += 1
+    }
+    true
+  }
+
   /** Top 32 bits of md5(s) as an unsigned long — the value
     * `Long.parseLong(md5Hex(s).take(8), 16)` would give, without the hex
     * round-trip. Per-row hot paths (streaming HLL) use this. */

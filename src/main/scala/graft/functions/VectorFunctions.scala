@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Codegen'd dot product over embedding columns.
@@ -142,6 +142,51 @@ case class BloomTest(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused Bloom probe:
+  * `graft_bloom_might(bits BINARY, key STRING, k INT, m INT)` — md5 the
+  * key ONCE (thread-local digest), derive the k Kirsch–Mitzenmacher
+  * positions (h1 + j·h2 mod m over the digest's two leading 32-bit
+  * words), and test the packed mask, all in one compiled call per row.
+  * Semantically identical to `graft_bloom_test(bits, positions(key))`
+  * (BloomSpec pins the equivalence) but without the interpreted
+  * higher-order `transform` + hex/conv machinery in the corpus-side hot
+  * path — the same HOF-to-kernel move as graft_minhash/graft_dot. */
+case class BloomMight(bits: Expression, key: Expression,
+                      kExpr: Expression, mExpr: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = bits
+  override def second: Expression = key
+  override def third: Expression = kExpr
+  override def fourth: Expression = mExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bits.dataType, key.dataType, kExpr.dataType, mExpr.dataType) match {
+      case (BinaryType, StringType, IntegerType, IntegerType)
+        if kExpr.foldable && mExpr.foldable => TypeCheckResult.TypeCheckSuccess
+      case (b, s, k, m) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might expects (BINARY, STRING, INT literal, INT literal), " +
+          s"got ${b.sql}, ${s.sql}, ${k.sql}, ${m.sql}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_might"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    TextHashUtil.bloomMight(a.asInstanceOf[Array[Byte]], b.toString,
+      c.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, k, m) =>
+      s"${ev.value} = graft.functions.TextHashUtil.bloomMight($b, $s.toString(), $k, $m);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): BloomMight =
+    copy(bits = newFirst, key = newSecond, kExpr = newThird, mExpr = newFourth)
+}
+
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
@@ -163,6 +208,9 @@ object VectorFunctions {
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bloom_test", exprs => BloomTest(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_might",
+      exprs => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }
 
@@ -198,6 +246,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_bloom_test"),
       new ExpressionInfo(classOf[BloomTest].getName, "graft_bloom_test"),
       (exprs: Seq[Expression]) => BloomTest(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might"),
+      new ExpressionInfo(classOf[BloomMight].getName, "graft_bloom_might"),
+      (exprs: Seq[Expression]) => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3))))
     // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
     // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)

@@ -41,12 +41,38 @@ object Bloom {
   val K = 3
   val MBits = 1 << 21 // 2,097,152 bits = 256 KiB packed
 
-  /** The k bit positions of one shingle: md5("j:shingle") → h32 → mod m,
-    * j = 0..k−1. Same portable-hash primitive as the CMS cells; different
-    * modulus, so the two sketches' collision structures are unrelated. */
-  def positions(g: Column): Column =
+  /** The k bit positions of one shingle via Kirsch–Mitzenmacher double
+    * hashing: ONE md5 per probe, h1 = top 8 hex chars, h2 = next 8, and
+    * position_j = (h1 + j·h2) mod m — asymptotically as good as k
+    * independent hashes (Kirsch & Mitzenmacher, ESA 2006, public) at a
+    * third of the digest cost, which is what the probe's per-row price is
+    * made of. Max intermediate value < 2^32 + 3·2^32 ≪ 2^63: no overflow. */
+  def positions(g: Column): Column = {
+    val h = md5(g)
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
     transform(sequence(lit(0), lit(K - 1)), j =>
-      (Sketches.h32(concat(j.cast("string"), lit(":"), g)) % MBits).cast("int"))
+      ((h1 + j.cast("long") * h2) % MBits).cast("int"))
+  }
+
+  /** DuckDB spelling of [[positions]] for one j, over a hex column `h`
+    * (h1/h2 are the two 8-hex-char halves, same nibble expansion as
+    * [[Sketches.h32FromHexSql]]). */
+  private def posSql(jExpr: String): String = {
+    val nib = (off: Int, i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, ${off + i}, 1)) - 1)"
+    val h1 = (1 to 8).map(i => s"${nib(0, i)}::BIGINT * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    val h2 = (1 to 8).map(i => s"${nib(8, i)}::BIGINT * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"(($h1) + $jExpr * ($h2)) % $MBits"
+  }
+
+  /** The corpus-side probe: the fused one-digest kernel (see
+    * [[graft.functions.BloomMight]]) — equivalent to
+    * `graft_bloom_test(bits, positions(g))` but one compiled call/row. */
+  def might(bits: Column, g: Column): Column =
+    call_function("graft_bloom_might", bits, g, lit(K), lit(MBits))
 
   /** Driver-built packed bitmask of a shingle-set column `sh` — collect is
     * bounded by [[MBits]] distinct positions, never by data size. */
@@ -67,7 +93,7 @@ object Bloom {
     val bits = buildBits(docs.filter(col("doc_id") % 50 === 0))
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("train_doc"), explode(col("sh")).as("g"))
-      .filter(call_function("graft_bloom_test", lit(bits), positions(col("g"))))
+      .filter(might(lit(bits), col("g")))
     Corpus.decontaminateJoin(train, Corpus.evalExploded(docs))
   }
 
@@ -84,8 +110,7 @@ object Bloom {
     val evalG = evalDocs.select(explode(col("sh")).as("g")).distinct()
     docs.filter(col("doc_id") % 50 =!= 0)
       .select(explode(col("sh")).as("g"))
-      .withColumn("pass",
-        call_function("graft_bloom_test", lit(bits), positions(col("g"))))
+      .withColumn("pass", might(lit(bits), col("g")))
       .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("g"), "left")
       .agg(count(lit(1)).as("n_train"),
            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass_bloom"),
@@ -101,15 +126,13 @@ object Bloom {
        |        FROM documents)),
        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
        |js AS (SELECT range AS j FROM range($K)),
-       |evh AS (SELECT md5(CAST(j AS VARCHAR) || ':' || g) AS h
-       |        FROM ev CROSS JOIN js),
-       |pos AS (SELECT DISTINCT (${Sketches.h32FromHexSql}) % $MBits AS p FROM evh),
+       |evh AS (SELECT md5(g) AS h FROM ev),
+       |pos AS (SELECT DISTINCT ${posSql("j")} AS p FROM evh CROSS JOIN js),
        |tr AS (SELECT doc_id AS train_doc, unnest(s) AS g
        |       FROM sh WHERE doc_id % 50 <> 0),
-       |trh AS (SELECT train_doc, g, j, md5(CAST(j AS VARCHAR) || ':' || g) AS h
-       |        FROM tr CROSS JOIN js),
-       |trp AS (SELECT train_doc, g, j, (${Sketches.h32FromHexSql}) % $MBits AS p
-       |        FROM trh),
+       |trh AS (SELECT train_doc, g, md5(g) AS h FROM tr),
+       |trp AS (SELECT train_doc, g, j, ${posSql("j")} AS p
+       |        FROM trh CROSS JOIN js),
        |passed AS (
        |  SELECT train_doc, g,
        |         CASE WHEN count(pos.p) = $K THEN 1 ELSE 0 END AS pass

@@ -132,6 +132,34 @@ object Corpus {
       |  FROM documents)
       |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
 
+  /** q103 — hash-PRIORITY uniform sample: per language, the 5 docs with
+    * the smallest md5(doc_id) — distributed uniform-without-replacement
+    * sampling with NO RNG state. Properties that matter at 100 TB: the
+    * sample is a pure function of the data (reproducible across engines,
+    * re-runs, and cluster sizes — the q44 gate argument, extended from
+    * Bernoulli to fixed-size); it is cheap (the rank window compiles to
+    * WindowGroupLimit: per-partition k-heaps, so only k·|groups| rows
+    * shuffle — q48's shape); and it is EXTENSIBLE — raising k strictly
+    * grows the sample without resampling, because priorities never
+    * change. */
+  def q103PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val prioritySampleOracle: String =
+    """SELECT lang, rk, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   /** q49 — median doc length per language, spelled as an explicit
     * row_number selection (lower-middle element) so both engines pick the
     * SAME row — engine-native percentile functions interpolate

@@ -350,4 +350,75 @@ object Sketches {
   /** The rollup oracle builds the GLOBAL sketch directly — cell-sum
     * linearity makes the per-source merge equal it exactly. */
   val cmsRollupOracle: String = cmsOracle(10)
+
+  // ---------------------------------------------------------------------
+  // Histogram quantile sketch — the third sketch family (HLL: distinct,
+  // CMS: frequency, histogram: rank/quantile).
+  // ---------------------------------------------------------------------
+
+  /** Fixed bin width for the q102 length histogram (chars). */
+  val HistBinWidth = 100L
+
+  /** q102 — histogram MEDIAN sketch + audit: per language, the exact
+    * lower-middle median of `n_chars` (q49's rank rule) next to the
+    * estimate read off a fixed-width bin histogram — the bin whose
+    * cumulative count first reaches rank (n+1)/2.
+    *
+    * The 100 TB contract is the point: the exact median needs a per-group
+    * SORT of the corpus (q49's window), while the sketch is one
+    * |groups|·|bins|-row aggregate with map-side combine, then a window
+    * over that TINY relation — rank error is bounded by construction
+    * (the bin containing rank r contains the rank-r element, so
+    * exact ∈ [hist_median_low, hist_median_low + width)). Deterministic:
+    * pure integer counts, no interpolation. The same shape generalizes to
+    * any quantile (replace the rank) and to merges (bin counts are linear,
+    * like CMS cells). */
+  def q102HistMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val bins = docs
+      .groupBy(col("lang"), (col("n_chars") / HistBinWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val est = cum
+      .filter(col("cum") >= ((col("n") + 1) / 2).cast("long"))
+      .groupBy(col("lang"), col("n"))
+      .agg((min(col("bin")) * HistBinWidth).as("hist_median_low"))
+    val exact = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+      .select(col("lang"), col("n_chars").as("median_chars"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("n"), col("median_chars"), col("hist_median_low"))
+      .orderBy(col("lang"))
+  }
+
+  val histMedianOracle: String =
+    s"""WITH bins AS (
+       |  SELECT lang, n_chars // $HistBinWidth AS bin, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bin, c,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+       |         sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM bins),
+       |est AS (
+       |  SELECT lang, CAST(n AS BIGINT) AS n,
+       |         min(bin) * $HistBinWidth AS hist_median_low
+       |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY lang, n),
+       |exact AS (
+       |  SELECT lang, n_chars AS median_chars FROM (
+       |    SELECT lang, n_chars,
+       |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY lang) AS cnt
+       |    FROM documents)
+       |  WHERE rn = CAST((cnt + 1) // 2 AS INT))
+       |SELECT e.lang, e.n, x.median_chars, CAST(e.hist_median_low AS BIGINT) AS hist_median_low
+       |FROM est e JOIN exact x ON e.lang = x.lang
+       |ORDER BY e.lang""".stripMargin
 }

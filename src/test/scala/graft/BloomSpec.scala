@@ -60,4 +60,16 @@ class BloomSpec extends AnyFunSuite {
     assert(probes.filter(col("kernel")).count() > 0)
     assert(probes.filter(!col("kernel")).count() > 0)
   }
+
+  test("fused graft_bloom_might == graft_bloom_test over derived positions") {
+    val docs = Corpus.shingledDocs(spark, dir)
+    val bits = Bloom.buildBits(docs.filter(col("doc_id") % 50 === 0))
+    val probes = docs.select(explode(col("sh")).as("g"))
+      .withColumn("fused", Bloom.might(lit(bits), col("g")))
+      .withColumn("staged",
+        call_function("graft_bloom_test", lit(bits), Bloom.positions(col("g"))))
+    assert(probes.filter(col("fused") =!= col("staged")).count() == 0)
+    assert(probes.filter(col("fused")).count() > 0)
+    assert(probes.filter(!col("fused")).count() > 0)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Corpus, Sketches}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 property tests: the histogram-median sketch's by-construction
+  * error bound and the hash-priority sample's reproducibility/extension
+  * contracts. */
+class Round4Spec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("histogram median bin always contains the exact median") {
+    val rows = Sketches.q102HistMedian(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Number]("median_chars").longValue()
+      val low = r.getAs[Number]("hist_median_low").longValue()
+      assert(low <= exact && exact < low + Sketches.HistBinWidth,
+        s"lang ${r.getString(0)}: exact $exact outside bin [$low, ${low + Sketches.HistBinWidth})")
+    }
+  }
+
+  test("priority sample: k=5 is a strict prefix of k=10, and the sample " +
+       "is invariant under repartitioning") {
+    val docs = Tables.documents(spark, dir)
+    def sample(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, Seq[Long]] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .orderBy(col("lang"), col("rk"))
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Number]("doc_id").longValue()))
+        .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).toSeq }
+    }
+    val k5 = sample(docs, 5)
+    val k10 = sample(docs, 10)
+    k5.foreach { case (lang, ids) =>
+      assert(k10(lang).take(5) == ids,
+        s"k=5 sample not a prefix of k=10 for $lang")
+    }
+    // priorities are a pure function of doc_id: physical layout is irrelevant
+    val reshuffled = sample(docs.repartition(13, col("n_chars")), 5)
+    assert(reshuffled == k5)
+  }
+
+  test("q103 plans as WindowGroupLimit (per-partition k-heaps, no full sort " +
+       "of the corpus through one task)") {
+    val df = Corpus.q103PrioritySample(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in q103 plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q103 plan:\n$plan")
+  }
+}

@@ -117,10 +117,10 @@ class ScaleSpec extends AnyFunSuite {
     val bloom = graft.operators.Bloom.q100BloomDecontaminate(spark, dir)
     bloom.collect()
     val bloomPlan = bloom.queryExecution.executedPlan.toString
-    assert(bloomPlan.contains("graft_bloom_test"),
+    assert(bloomPlan.contains("graft_bloom_might"),
       s"bloom probe missing from q100 plan:\n$bloomPlan")
     assert(!bloomPlan.contains("CartesianProduct"), s"cartesian in q100:\n$bloomPlan")
-    val filterIdx = bloomPlan.indexOf("graft_bloom_test")
+    val filterIdx = bloomPlan.indexOf("graft_bloom_might")
     val joinIdx = bloomPlan.indexOf("BroadcastHashJoin")
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       "bloom filter must be below (execute before) the verify join " +
