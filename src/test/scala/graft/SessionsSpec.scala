@@ -217,6 +217,50 @@ class SessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming histogram median converges to EXACTLY the batch sketch") {
+    import graft.streaming.Quantile
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars").cast("long"))
+      .collect().map(r => Quantile.Obs(r.getString(0), r.getLong(1)))
+    val input = MemoryStream[Quantile.Obs]
+    val q = Quantile.estimates(input.toDS())
+      .writeStream.format("memory").queryName("histq")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // n only grows: the row with max n per group is the converged sketch
+      val got = spark.table("histq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      val want = graft.operators.Sketches.q102HistMedian(spark, dir)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Number]("n").longValue(),
+            r.getAs[Number]("hist_median_low").longValue()))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (lang, (n, low)) =>
+        assert(got(lang)._2 == n, s"$lang: n ${got(lang)._2} != $n")
+        assert(got(lang)._3 == low, s"$lang: median ${got(lang)._3} != $low")
+      }
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming HLL converges to EXACTLY the batch estimate") {
     import graft.streaming.Cardinality
     import spark.implicits._
