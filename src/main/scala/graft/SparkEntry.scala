@@ -121,6 +121,7 @@ object SparkEntry {
     "q101_bloom_audit"      -> (Bloom.q101BloomAudit _),
     "q102_hist_median"      -> (Sketches.q102HistMedian _),
     "q103_priority_sample"  -> (Corpus.q103PrioritySample _),
+    "q104_curation_funnel"  -> (TrainPrep.q104CurationFunnel _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -378,5 +379,6 @@ object SparkEntry {
     "q101_bloom_audit"       -> Bloom.bloomAuditOracle,
     "q102_hist_median"       -> Sketches.histMedianOracle,
     "q103_priority_sample"   -> Corpus.prioritySampleOracle,
+    "q104_curation_funnel"   -> TrainPrep.curationFunnelOracle,
   )
 }

@@ -23,6 +23,101 @@ object TrainPrep {
   private val NShards = 64
   private val Epoch = 1
 
+  /** q104 — the end-to-end curation FUNNEL: every stage a user of this
+    * library would chain between raw crawl and dataloader, composed from
+    * the library's own operators, reporting survivor counts per stage:
+    *
+    *   0_all      → the raw corpus
+    *   1_dedup    → exact-dedup survivors (q27's keeper rule: min doc_id
+    *                per normalized-text md5)
+    *   2_decon    → drop the benchmark docs themselves AND every training
+    *                doc q67's n-gram decontamination flags (≥5 shared
+    *                3-gram shingles with any eval doc)
+    *   3_quality  → length gate n_chars ≥ 100 (the integral stand-in for
+    *                the float q35 score, keeping the funnel exact-count)
+    *   4_sample   → q44's deterministic md5-prefix mixture gate
+    *                (en ~50%, others ~12.5%)
+    *   5_packs    → number of 2048-token training sequences q68's packer
+    *                would emit over the survivors: ceil(Σ tokens / 2048)
+    *
+    * Each stage filters the previous stage's survivors; all counts are
+    * integers (no float anywhere), so the funnel is bit-stable at any
+    * parallelism. The 100 TB story is inherited from the parts: one
+    * window per text-hash group (dedup), the broadcast decontamination
+    * probe, row-local gates, and one global sum for the pack count. */
+  def q104CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val key = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val w = Window.partitionBy(col("k"))
+    val dd = docs.withColumn("k", key)
+      .withColumn("keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep")).drop("k", "keep")
+    val contaminated = Corpus.q67Decontaminate(spark, dir)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val dc = dd.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val quality = dc.filter(col("n_chars") >= 100)
+    val sampled = quality.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 2) <
+        when(col("lang") === "en", "80").otherwise("20"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    val packs = sampled
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("nt"))
+      .agg((((sum(col("nt")) + lit(Corpus.PackSeqLen - 1)) / lit(Corpus.PackSeqLen))
+        .cast("long")).as("n"))
+      .select(lit("5_packs").as("stage"), col("n"))
+    stage("0_all", docs)
+      .unionAll(stage("1_dedup", dd))
+      .unionAll(stage("2_decon", dc))
+      .unionAll(stage("3_quality", quality))
+      .unionAll(stage("4_sample", sampled))
+      .unionAll(packs)
+      .orderBy(col("stage"))
+  }
+
+  /** The oracle rebuilds the same funnel as chained CTEs over the SAME
+    * stage definitions (q27 keeper rule, q67 decontamination core, q44
+    * gate, q68 pack constant). */
+  val curationFunnelOracle: String = {
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, n_chars, text FROM (
+       |    SELECT doc_id, lang, n_chars, text,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep
+       |    FROM documents)
+       |  WHERE doc_id = keep),
+       |sh AS (
+       |  SELECT doc_id, ${TextOps.duckShingles} AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |ev AS (SELECT doc_id AS eval_doc, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id AS train_doc, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+       |contaminated AS (
+       |  SELECT DISTINCT train_doc FROM (
+       |    SELECT train_doc, eval_doc, count(*) AS n_common
+       |    FROM tr JOIN ev USING (g) GROUP BY train_doc, eval_doc
+       |    HAVING count(*) >= ${Corpus.DecontamMinCommon})),
+       |dc AS (
+       |  SELECT * FROM dd WHERE doc_id % 50 <> 0
+       |    AND doc_id NOT IN (SELECT train_doc FROM contaminated)),
+       |quality AS (SELECT * FROM dc WHERE n_chars >= 100),
+       |sampled AS (
+       |  SELECT * FROM quality
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |        < (CASE WHEN lang = 'en' THEN '80' ELSE '20' END))
+       |SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+       |UNION ALL SELECT '1_dedup', CAST(count(*) AS BIGINT) FROM dd
+       |UNION ALL SELECT '2_decon', CAST(count(*) AS BIGINT) FROM dc
+       |UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT) FROM quality
+       |UNION ALL SELECT '4_sample', CAST(count(*) AS BIGINT) FROM sampled
+       |UNION ALL SELECT '5_packs',
+       |  CAST((sum(len(regexp_split_to_array(lower(text), '\\s+')))
+       |        + ${Corpus.PackSeqLen - 1}) // ${Corpus.PackSeqLen} AS BIGINT)
+       |  FROM sampled
+       |ORDER BY stage""".stripMargin
+  }
+
   /** q83 — deterministic epoch shuffle: every document gets a pseudorandom
     * but reproducible (shard, pos) slot for epoch N. The shuffle key is
     * md5(epoch:doc_id) — changing the epoch literal reshuffles the whole
