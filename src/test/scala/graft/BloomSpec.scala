@@ -61,6 +61,55 @@ class BloomSpec extends AnyFunSuite {
     assert(probes.filter(!col("kernel")).count() > 0)
   }
 
+  test("UNIVERSAL no-false-negatives: every member of a random key set " +
+       "passes its own mask; false positives stay under the design floor") {
+    import spark.implicits._
+    // seeded — deterministic across runs; arbitrary strings, not shingles
+    val rnd = new scala.util.Random(42)
+    val keys = Seq.fill(2000)(rnd.alphanumeric.take(rnd.nextInt(20) + 3).mkString)
+      .distinct
+    val (members, outsiders0) = keys.splitAt(keys.length / 2)
+    val outsiders = outsiders0.filterNot(members.toSet)
+    val bits = Bloom.buildBits(
+      Seq(members).toDF("sh")) // one row carrying the whole set
+    val m = members.toDF("g")
+      .filter(!Bloom.might(lit(bits), col("g"))).count()
+    assert(m == 0, s"$m members failed their own mask")
+    val fp = outsiders.toDF("g")
+      .filter(Bloom.might(lit(bits), col("g"))).count()
+    // fill ≈ 1000·3 / 2^21 = 0.14% → FP ≈ (0.0014)^3; even 1% is generous
+    assert(fp <= outsiders.length / 100,
+      s"false-positive count $fp above 1% of ${outsiders.length}")
+  }
+
+  test("the mask decontaminates a LIVE stream: the static bloom literal " +
+       "filters streaming rows exactly like the batch probe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Corpus.shingledDocs(spark, dir)
+    val bits = Bloom.buildBits(docs.filter(col("doc_id") % 50 === 0))
+    val rows = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(Bloom.might(lit(bits), col("g")))
+      .count()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "g")
+      .filter(Bloom.might(lit(bits), col("g")))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      assert(spark.table("bloom_stream").count() == expected)
+      assert(expected > 0 && expected < rows.length)
+    } finally q.stop()
+  }
+
   test("fused graft_bloom_might == graft_bloom_test over derived positions") {
     val docs = Corpus.shingledDocs(spark, dir)
     val bits = Bloom.buildBits(docs.filter(col("doc_id") % 50 === 0))
