@@ -154,4 +154,42 @@ class SimJoinSpec extends AnyFunSuite {
     assert(mustFind.subsetOf(cut),
       s"cut lost guaranteed pairs: ${(mustFind -- cut).take(5)}")
   }
+
+  test("CMS-guided cut: the sketch finds the stop-shingle df WITHOUT an " +
+       "exact df pass, and the cut it implies is lossless") {
+    // closes the q98 -> q92 loop promised in the CMS scaladoc: probe the
+    // Count-Min cells for the adversarial banner shingles, derive a cut
+    // below their (over-)estimated df, and check the cut join still finds
+    // every clean qualifying pair. CMS overestimates ONLY, so cutting at
+    // "estimate >= cut" can never let a true stop-shingle through.
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import graft.operators.Sketches
+    val docs = corpus()
+    val sh = docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val occ = sh.select(explode(col("sh")).as("g"))
+    val cells = Sketches.cmsCells(occ, col("g"))
+    // exact df only to IDENTIFY banner vs clean shingles for the assert;
+    // the cut itself is derived purely from sketch estimates
+    val dfRel = occ.groupBy("g").agg(count(lit(1)).as("df"))
+    val est = Sketches.cmsEstimate(cells, dfRel.select(col("g")), col("g"))
+      .join(dfRel, col("k") === dfRel("g")).select(col("g"), col("df"), col("cms_estimate"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bannerEst = est.filter(_._2 > 10).map(_._3) // true stop-shingles
+    val cleanEst = est.filter(_._2 <= 10).map(_._3)
+    assert(bannerEst.nonEmpty && cleanEst.nonEmpty)
+    // one-sided guarantee: every banner shingle's estimate >= its real df,
+    // so ANY cut <= min(bannerEst) removes all of them via the sketch
+    val cut = bannerEst.min
+    assert(cleanEst.max < cut,
+      s"sketch cannot separate banner (min est $cut) from clean " +
+        s"(max est ${cleanEst.max}) at this width — widen w")
+    val full = graft.operators.SimJoin.jaccardJoinOn(docs, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSketchCut = graft.operators.SimJoin.jaccardJoinOn(docs, maxDf = Some(cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSketchCut == full,
+      s"sketch-derived cut $cut changed the result: ${(full -- viaSketchCut).take(5)}")
+  }
 }
