@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   graft migrate <tableDir> [--check]                 — ordered migrations
   *   graft richlist <tableDir> <outDir>                 — maintenance pass
   *   graft check-schema <tableDir>                      — schema contract
+  *   graft funnel <sfDir>                               — curation funnel counts
   *
   * `server`, `gaps` and `backfill` are accepted as aliases (the reference
   * marks the latter two DEPRECATED; their work is the `fill` plan here —
@@ -90,6 +91,13 @@ object Main {
     else ingest.Migrations.run(spark, tables, steps)
   }
 
+  /** `funnel` — the curation pipeline face (beyond reference parity: the
+    * LLM-data surface): run [[operators.TrainPrep.q104CurationFunnel]]
+    * over a documents table and print the per-stage survivor counts. */
+  def funnelCmd(spark: SparkSession, sfDir: String): Seq[String] =
+    operators.TrainPrep.q104CurationFunnel(spark, sfDir)
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
+
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
       val q = streaming.Listen.stream(session(), zone, tables, ckpt)
@@ -153,6 +161,11 @@ object Main {
       println(s"richlist=${rep.richlistRows} supply=${rep.totalSupply}")
       spark.stop()
 
+    case "funnel" :: sfDir :: Nil =>
+      val spark = session()
+      funnelCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
     case "check-schema" :: tables :: Nil =>
       val spark = session()
       val bad = ingest.Schemas.check(spark, tables)
@@ -164,7 +177,7 @@ object Main {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: listen|serve|fill|single|fill-events|backfill-transfers|
-           |       migrate|richlist|check-schema (see scaladoc)""".stripMargin)
+           |       migrate|richlist|check-schema|funnel (see scaladoc)""".stripMargin)
       sys.exit(2)
   }
 }

@@ -85,4 +85,15 @@ class CliSpec extends AnyFunSuite {
     assert(Main.migrateCmd(spark, dir, checkOnly = true) == Right(Seq.empty))
     assert(Main.migrateCmd(spark, dir, checkOnly = false) == Right(Seq.empty))
   }
+
+  test("funnel: per-stage survivor counts in stage order, monotone through " +
+       "the doc stages") {
+    val lines = Main.funnelCmd(spark, "/root/testdata/sf0.001")
+    val stages = lines.map(_.split("\t")).map(a => a(0) -> a(1).toLong)
+    assert(stages.map(_._1) ==
+      Seq("0_all", "1_dedup", "2_decon", "3_quality", "4_sample", "5_packs"))
+    val docCounts = stages.init.map(_._2) // every stage filters the last
+    assert(docCounts == docCounts.sorted.reverse && docCounts.head > 0)
+    assert(stages.last._2 > 0) // some packs survive on the fixture
+  }
 }
