@@ -122,6 +122,7 @@ object SparkEntry {
     "q102_hist_median"      -> (Sketches.q102HistMedian _),
     "q103_priority_sample"  -> (Corpus.q103PrioritySample _),
     "q104_curation_funnel"  -> (TrainPrep.q104CurationFunnel _),
+    "q105_substr_shared"    -> (TextOps.q105SubstrShared _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -380,5 +381,6 @@ object SparkEntry {
     "q102_hist_median"       -> Sketches.histMedianOracle,
     "q103_priority_sample"   -> Corpus.prioritySampleOracle,
     "q104_curation_funnel"   -> TrainPrep.curationFunnelOracle,
+    "q105_substr_shared"     -> TextOps.substrSharedOracle,
   )
 }

@@ -188,6 +188,53 @@ object TextOps {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring window width (tokens) for q105. */
+  val SubstrWindow = 10
+
+  /** q105 — exact-substring overlap detection (the ExactSubstr pass of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", public): for every doc, how many of its 10-token windows
+    * also occur VERBATIM in some other doc. The reference algorithm is a
+    * corpus suffix array; the Spark-scale shape is the windowed-hash
+    * equi-join — every token position emits md5(its 10-token window), one
+    * groupBy counts distinct docs per window hash, one join marks shared
+    * occurrences. O(total tokens) rows through two hash shuffles of
+    * fixed-width keys (the md5 replaces the ~60-char window text in the
+    * exchanges); no suffix array, no global order, nothing driver-side.
+    * Downstream, spans with n_shared > 0 are what an ExactSubstr cut
+    * would splice out. */
+  def q105SubstrShared(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= SubstrWindow)
+    val w = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(SubstrWindow - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(SubstrWindow)))))).as("h"))
+    val df = w.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    w.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substrSharedOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, md5(g) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - ${SubstrWindow - 2}),
+       |        i -> array_to_string(t[i:i+${SubstrWindow - 1}], ' '))) AS g
+       |    FROM toks WHERE len(t) >= $SubstrWindow)),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM w JOIN df USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB spelling of [[shingles3]] over a token list column `t`. */
   val duckShingles: String =
     "list_distinct(list_transform(range(1, greatest(len(t)-1, 1)), " +

@@ -55,6 +55,32 @@ class Round4Spec extends AnyFunSuite {
     assert(reshuffled == k5)
   }
 
+  test("q105 exact-substring: verbatim copies share ALL windows, unique " +
+       "text shares none, and partial overlap counts exactly the " +
+       "overlapping span's windows") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val w = TextOps.SubstrWindow
+    val common = (1 to 15).map(i => s"tok$i").mkString(" ") // 15 shared tokens
+    val docs = Seq(
+      (1L, common + " tailA1 tailA2"),                // shares 15-token prefix
+      (2L, common + " tailB1 tailB2"),                // with doc 1
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" ")) // no overlap
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q105SubstrShared(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: 17 tokens → 8 windows each; windows fully inside the
+    // 15-token common prefix = 15-10+1 = 6 are shared, the 2 straddling
+    // the distinct tails are not
+    assert(out(1L) == ((8L, 6L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((8L, 6L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((20L - w + 1, 0L)), s"doc3: ${out(3L)}")
+  }
+
   test("q103 plans as WindowGroupLimit (per-partition k-heaps, no full sort " +
        "of the corpus through one task)") {
     val df = Corpus.q103PrioritySample(spark, dir)
