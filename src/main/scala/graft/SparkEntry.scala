@@ -123,6 +123,7 @@ object SparkEntry {
     "q103_priority_sample"  -> (Corpus.q103PrioritySample _),
     "q104_curation_funnel"  -> (TrainPrep.q104CurationFunnel _),
     "q105_substr_shared"    -> (TextOps.q105SubstrShared _),
+    "q106_substr_cut"       -> (TextOps.q106SubstrCut _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -382,5 +383,6 @@ object SparkEntry {
     "q103_priority_sample"   -> Corpus.prioritySampleOracle,
     "q104_curation_funnel"   -> TrainPrep.curationFunnelOracle,
     "q105_substr_shared"     -> TextOps.substrSharedOracle,
+    "q106_substr_cut"        -> TextOps.substrCutOracle,
   )
 }

@@ -235,6 +235,108 @@ object TextOps {
        |FROM w JOIN df USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q106 — exact-substring CUT, the apply step to q105's detect (the
+    * q42→q74 pattern at token level): splice every shared 10-token span
+    * out of every doc. Shared window positions become intervals
+    * [pos, pos+W−1]; overlapping intervals merge via the gaps-and-islands
+    * window (running-max end, new island when a start clears it) — the
+    * same interval algebra as sessionization, here over token offsets;
+    * surviving tokens reconstruct the cleaned text (case/whitespace
+    * normalized, the tokenizer's contract). Scale shape: the islands
+    * window partitions by doc (bounded rows), the coverage test is a
+    * per-doc range join, and the rebuild is one ordered aggregation per
+    * doc — nothing global, nothing driver-side. */
+  def q106SubstrCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstrWindow
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val pos = base.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    val wins = base.filter(size(col("t")) >= W)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - lit(W - 1)),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("t"), i, lit(W)))).as("h")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dfh = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val shared = wins.join(dfh, Seq("h")).filter(col("ndocs") > 1)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = shared
+      .withColumn("prev_max_end", max(col("pos") + lit(W - 1).cast("long"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("flag")).over(byDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(W - 1)).as("e"))
+    val covered = pos.as("p")
+      .join(islands.as("v"),
+        col("p.doc_id") === col("v.doc_id") &&
+          col("p.i").between(col("v.s"), col("v.e")))
+      .select(col("p.doc_id").as("doc_id"), col("p.i").as("i"))
+    val keptAgg = pos.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok"))).as("text_cut"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("text_cut"), lit("")).as("text_cut"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substrCutOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+       |    i -> {'i': i, 'tok': t[i]}), recursive := true)
+       |  FROM toks),
+       |wins AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SubstrWindow - 2}),
+       |    i -> {'pos': i, 'h': md5(array_to_string(t[i:i+${SubstrWindow - 1}], ' '))}),
+       |    recursive := true)
+       |  FROM toks WHERE len(t) >= $SubstrWindow),
+       |dfh AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM wins GROUP BY h),
+       |shared AS (
+       |  SELECT wins.doc_id, wins.pos FROM wins JOIN dfh USING (h)
+       |  WHERE ndocs > 1),
+       |flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END AS flag
+       |  FROM (SELECT doc_id, pos,
+       |          max(pos + ${SubstrWindow - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+       |        FROM shared)),
+       |islands AS (
+       |  SELECT doc_id, gid, min(pos) AS s, max(pos + ${SubstrWindow - 1}) AS e
+       |  FROM (SELECT doc_id, pos,
+       |          sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+       |        FROM flagged)
+       |  GROUP BY doc_id, gid),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.tok FROM pos p
+       |  WHERE NOT EXISTS (SELECT 1 FROM islands v
+       |                    WHERE v.doc_id = p.doc_id AND p.i BETWEEN v.s AND v.e)),
+       |rebuilt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY i) AS text_cut
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |       CAST(len(t.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_cut,
+       |       coalesce(r.text_cut, '') AS text_cut
+       |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** DuckDB spelling of [[shingles3]] over a token list column `t`. */
   val duckShingles: String =
     "list_distinct(list_transform(range(1, greatest(len(t)-1, 1)), " +

@@ -81,6 +81,29 @@ class Round4Spec extends AnyFunSuite {
     assert(out(3L) == ((20L - w + 1, 0L)), s"doc3: ${out(3L)}")
   }
 
+  test("q106 cut splices EXACTLY the merged shared span and keeps the tails") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val common = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " tailA1 tailA2"),
+      (2L, common + " tailB1 tailB2"),
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cut").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q106SubstrCut(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // shared windows at positions 1..6 cover tokens [1,15] as ONE island;
+    // only the two tail tokens survive (lowercased — the tokenizer contract)
+    assert(out(1L) == ((17L, 15L, "taila1 taila2")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((17L, 15L, "tailb1 tailb2")), s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3.startsWith("uniq1 "), s"doc3: ${out(3L)}")
+  }
+
   test("q103 plans as WindowGroupLimit (per-partition k-heaps, no full sort " +
        "of the corpus through one task)") {
     val df = Corpus.q103PrioritySample(spark, dir)
