@@ -124,6 +124,8 @@ object SparkEntry {
     "q104_curation_funnel"  -> (TrainPrep.q104CurationFunnel _),
     "q105_substr_shared"    -> (TextOps.q105SubstrShared _),
     "q106_substr_cut"       -> (TextOps.q106SubstrCut _),
+    "q107_kmv_distinct"     -> (Sketches.q107KmvDistinct _),
+    "q108_kmv_rollup"       -> (Sketches.q108KmvRollup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -384,5 +386,9 @@ object SparkEntry {
     "q104_curation_funnel"   -> TrainPrep.curationFunnelOracle,
     "q105_substr_shared"     -> TextOps.substrSharedOracle,
     "q106_substr_cut"        -> TextOps.substrCutOracle,
+    "q107_kmv_distinct"      -> Sketches.kmvDistinctOracle,
+    // q108 oracle builds the global bottom-k from scratch — the
+    // union-retruncate merge must equal it (the q90/q99 pattern).
+    "q108_kmv_rollup"        -> Sketches.kmvRollupOracle,
   )
 }

@@ -398,6 +398,137 @@ object Sketches {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------------
+  // KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; estimator
+  // form (k−1)/U_(k) per Beyer et al. SIGMOD'07, both public) — the
+  // ORDER-STATISTIC sketch state, completing the three mergeable state
+  // shapes in this module: HLL registers merge by MAX, CMS cells by SUM,
+  // KMV bottom-k sets by UNION-then-retruncate.
+  // ---------------------------------------------------------------------
+
+  /** Sketch size for q107/q108. Relative error ≈ 1/√(k−2) ≈ 18% at
+    * k = 32 — sized so the fixture's 150–1500-distinct groups sit in the
+    * estimation regime (occupied = k) at every SF. Production at 100 TB
+    * runs k = 1024–4096 (error 3%–1.5%); the state is k 64-bit values
+    * per group either way. */
+  val KmvK = 32
+
+  /** Bottom-k DISTINCT hash values of `key` per group — the persistable
+    * KMV sketch artifact (≤ k rows per group).
+    *
+    * Spelled as a dense_rank window so Catalyst's rank-limit pushdown
+    * (WindowGroupLimit) trims every map partition to its own k smallest
+    * values BEFORE the exchange: the shuffle is ≤ k·partitions rows per
+    * group, never the distinct-key set (the would-be scale killer of a
+    * dropDuplicates-first spelling). dense_rank (not row_number) because
+    * the same key hashes identically on every partition — duplicates must
+    * not consume rank slots; the residual duplicates in the ≤ k kept
+    * values dedup in the tiny post-filter aggregate. */
+  def kmvBottom(df: DataFrame, groupCols: Seq[String], key: Column,
+                k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ h32(key.cast("string")).as("h"): _*)
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+      .dropDuplicates(groupCols :+ "h")
+  }
+
+  /** Estimate distinct counts from a bottom-k relation (the output of
+    * [[kmvBottom]], or any union-retruncate merge of such relations):
+    * occupied < k ⇒ the sketch holds the whole (hashed) key set — exact;
+    * otherwise n̂ = (k−1)·2^32 / h_(k) (the unbiased form), decimal-routed
+    * before the 4-decimal rendering like every ratio in this engine. */
+  def kmvEstimate(bottom: DataFrame, groupCols: Seq[String],
+                  k: Int = KmvK): DataFrame = {
+    val g = if (groupCols.isEmpty) bottom.groupBy()
+            else bottom.groupBy(groupCols.map(col): _*)
+    g.agg(count(lit(1)).as("occupied"), max(col("h")).as("kth"))
+      .withColumn("kmv_estimate",
+        when(col("occupied") < k, col("occupied").cast("double"))
+          .otherwise(
+            round((lit((k - 1).toDouble * 4294967296.0) / col("kth"))
+                    .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+              .cast("double")))
+      .drop("kth")
+  }
+
+  /** q107 — KMV distinct users per event type: exact count beside the
+    * bottom-k estimate (the q86 audit pattern, third sketch family). */
+  def q107KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = kmvEstimate(kmvBottom(ev, Seq("event_type"), col("user_id")),
+                          Seq("event_type"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("occupied"),
+              col("kmv_estimate"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q108 — KMV MERGE/rollup, the union-retruncate counterpart of
+    * q90 (max-merge) and q99 (sum-merge): per-event_type bottom-k sets
+    * union into the global bottom-k. Lossless BY CONSTRUCTION: a hash
+    * among the global k smallest has fewer than k hashes below it in any
+    * slice it appears in, so every slice that saw it kept it — the oracle
+    * therefore builds the global sketch from scratch and equality is the
+    * check. The global retruncate is sort+limit (TakeOrderedAndProject, a
+    * distributed top-k), never a single-partition window; at 100 TB the
+    * rollup re-aggregates ≤ k·|slices| integers, not the corpus. */
+  def q108KmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val merged = kmvBottom(ev, Seq("event_type"), col("user_id"))
+      .select(col("h")).dropDuplicates("h")
+      .orderBy(col("h")).limit(KmvK)
+    val est = kmvEstimate(merged, Seq.empty)
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(est)
+      .select(lit("all").as("scope"), col("n_exact"), col("occupied"),
+              col("kmv_estimate"))
+  }
+
+  private val KmvEstSql =
+    s"""CASE WHEN occupied < $KmvK THEN CAST(occupied AS DOUBLE)
+       |     ELSE CAST(round(CAST(${(KmvK - 1).toDouble * 4294967296.0} / kth
+       |                          AS DECIMAL(28,12)), 4) AS DOUBLE) END""".stripMargin
+
+  val kmvDistinctOracle: String =
+    s"""WITH hexed AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hashed AS (SELECT event_type, ($h32FromHexSql) AS h FROM hexed),
+       |bk AS (
+       |  SELECT DISTINCT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS dr
+       |    FROM hashed)
+       |  WHERE dr <= $KmvK),
+       |est AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS occupied, max(h) AS kth
+       |  FROM bk GROUP BY event_type),
+       |exact AS (
+       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_type, e.n_exact, s.occupied, $KmvEstSql AS kmv_estimate
+       |FROM exact e JOIN est s USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+
+  /** The rollup oracle builds the GLOBAL bottom-k directly — the
+    * union-retruncate merge must equal it. */
+  val kmvRollupOracle: String =
+    s"""WITH hexed AS (
+       |  SELECT md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hashed AS (SELECT DISTINCT ($h32FromHexSql) AS h FROM hexed),
+       |bk AS (SELECT h FROM hashed ORDER BY h LIMIT $KmvK),
+       |est AS (SELECT CAST(count(*) AS BIGINT) AS occupied, max(h) AS kth FROM bk),
+       |exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+       |SELECT 'all' AS scope, exact.n_exact, est.occupied, $KmvEstSql AS kmv_estimate
+       |FROM exact CROSS JOIN est""".stripMargin
+
   val histMedianOracle: String =
     s"""WITH bins AS (
        |  SELECT lang, n_chars // $HistBinWidth AS bin, count(*) AS c

@@ -111,6 +111,65 @@ class SketchesSpec extends AnyFunSuite {
       s"max overestimate $maxOver exceeds eN=${eps * n}")
   }
 
+  // --- KMV / bottom-k (q107/q108) ------------------------------------
+
+  test("KMV union-retruncate merge equals the from-scratch global bottom-k") {
+    import spark.implicits._
+    // keys deliberately overlap across slices: the merge must dedup hashes
+    val df = (0 until 6000).map(i => (s"s${i % 3}", s"k${i % 2500}"))
+      .toDF("slice", "k")
+    val perSlice = Sketches.kmvBottom(df, Seq("slice"), col("k"))
+    val merged = perSlice.select(col("h")).dropDuplicates("h")
+      .orderBy(col("h")).limit(Sketches.KmvK)
+      .collect().map(_.getLong(0)).toSet
+    val scratch = Sketches.kmvBottom(df, Seq.empty, col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == scratch, "merged bottom-k set != from-scratch bottom-k")
+  }
+
+  test("KMV exact regime: occupied < k reports the exact hashed-key count") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => ("g", s"k$i")).toDF("g", "k")
+    val out = Sketches.kmvEstimate(
+        Sketches.kmvBottom(df, Seq("g"), col("k")), Seq("g"))
+      .collect().head
+    assert(out.getLong(1) == 10 && out.getDouble(2) == 10.0)
+  }
+
+  test("KMV error sits in the 1/sqrt(k-2) envelope at k=256 and the mean " +
+       "error tightens vs k=32 on the same keys") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (s"g${i % 4}", s"user-$i")).toDF("g", "k")
+    def errs(k: Int): Map[String, Double] = {
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvBottom(df, Seq("g"), col("k"), k), Seq("g"), k)
+      val exact = df.groupBy(col("g")).agg(countDistinct(col("k")).as("n"))
+      exact.join(est, Seq("g")).collect()
+        .map(r => r.getString(0) ->
+          math.abs(r.getDouble(3) / r.getLong(1).toDouble - 1.0))
+        .toMap
+    }
+    val e32 = errs(32)
+    val e256 = errs(256)
+    val env256 = 3.0 / math.sqrt(256 - 2) // 3σ ≈ 18.8%
+    e256.foreach { case (g, e) =>
+      assert(e <= env256, s"group $g: k=256 error $e exceeds 3σ $env256")
+    }
+    // deterministic md5 makes these constants, not flakes (the HLL
+    // tightening test's reasoning): mean error must drop when k grows 8×
+    val m32 = e32.values.sum / e32.size
+    val m256 = e256.values.sum / e256.size
+    assert(m256 < m32, s"k=256 mean error $m256 not tighter than k=32 $m32")
+  }
+
+  test("q107 plans through WindowGroupLimit (map-side bottom-k heaps " +
+       "before the exchange)") {
+    val plan = Sketches.q107KmvDistinct(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in q107 plan:\n$plan")
+  }
+
   test("CMS cells are linear: per-source sketches summed == global sketch") {
     import spark.implicits._
     graft.functions.VectorFunctions.ensureRegistered(spark)
