@@ -126,6 +126,8 @@ object SparkEntry {
     "q106_substr_cut"       -> (TextOps.q106SubstrCut _),
     "q107_kmv_distinct"     -> (Sketches.q107KmvDistinct _),
     "q108_kmv_rollup"       -> (Sketches.q108KmvRollup _),
+    "q109_semantic_dedup"   -> (Dedup.q109SemanticDedup _),
+    "q110_semantic_recall"  -> (Dedup.q110SemanticRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -390,5 +392,7 @@ object SparkEntry {
     // q108 oracle builds the global bottom-k from scratch — the
     // union-retruncate merge must equal it (the q90/q99 pattern).
     "q108_kmv_rollup"        -> Sketches.kmvRollupOracle,
+    "q109_semantic_dedup"    -> Dedup.semanticDedupOracle,
+    "q110_semantic_recall"   -> Dedup.semanticRecallOracle,
   )
 }

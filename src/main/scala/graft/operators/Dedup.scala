@@ -652,6 +652,104 @@ object Dedup {
        |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS precision
        |FROM ver""".stripMargin
 
+  /** Cosine threshold for the q109/q110 semantic-dedup family. 0.3 on
+    * the fixture embeddings yields a real prune (~20% of docs at sf0.01)
+    * while staying far from any rounding boundary. */
+  private val SemTau = 0.3
+
+  /** Norm-prepped embedding relation shared by q109/q110 (the q31 prep). */
+  private def semVecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", call_function("graft_dot", col("v"), col("v")))
+      .localCheckpoint()
+  }
+
+  private def semCos(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(call_function("graft_dot", va, vb) / sqrt(na * nb), 4)
+
+  /** q109 — SEMANTIC dedup apply (SemDeDup, Abbas et al. 2023, public):
+    * within each cluster (the pre-assigned coarse label — at 100 TB the
+    * k-means cells of q71, which are also the physical partition key),
+    * drop every vector that has a lower-id in-cluster neighbor at cosine
+    * ≥ τ; keep the rest. The cluster blocking is what bounds the
+    * quadratic term: pairs form only inside a cell, never across the
+    * corpus (q31's join shape), and the survivor set is an anti-join of
+    * the tiny drop list (q74's apply shape). q110 measures exactly what
+    * the blocking buys and loses. */
+  def q109SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = semVecs(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+                     col("v").as("va"), col("nrm").as("na"))
+    val dropped = e.join(a,
+        col("label") === col("label_a") && col("vec_a") < col("vec_id") &&
+          semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau,
+        "left_semi")
+      .select(col("vec_id"))
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) >= $SemTau)
+       |SELECT e.vec_id, e.label FROM e
+       |LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** q110 — semantic-dedup BLOCKING recall audit (the q89/q95/q96
+    * pattern applied to q109): of all true cosine-≥τ pairs — computed
+    * with NO label blocking over a deterministic query sample (vec_id ≡ 0
+    * mod 4, the sampled-audit discipline of q89) — what fraction falls
+    * inside a label block, i.e. is visible to q109 at all? The fixture
+    * reads ≈0.10: the synthetic labels are NOT cosine clusters, so
+    * label-blocked SemDeDup misses ~90% of true near-pairs here — the
+    * honest readout that tells an operator to re-cluster (q71) before
+    * trusting the prune. Plan: the sample side is broadcast; the corpus
+    * never shuffles (q32's audit shape). */
+  def q110SemanticRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = semVecs(spark, dir)
+    val s = e.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+              col("v").as("va"), col("nrm").as("na"))
+    e.crossJoin(broadcast(s))
+      .filter(col("vec_a") < col("vec_id") &&
+        semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau)
+      .agg(count(lit(1)).as("true_pairs"),
+           sum(when(col("label_a") === col("label"), 1L).otherwise(0L))
+             .as("blocked_pairs"))
+      .select(lit("sampled").as("scope"), col("true_pairs"), col("blocked_pairs"),
+        round((col("blocked_pairs").cast("double") /
+               col("true_pairs").cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double").as("recall"))
+  }
+
+  val semanticRecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |truth AS (
+       |  SELECT a.label = b.label AS blocked
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id % 4 = 0
+       |    AND round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) >= $SemTau)
+       |SELECT 'sampled' AS scope, count(*) AS true_pairs,
+       |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS blocked_pairs,
+       |  CAST(round(CAST(CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS DOUBLE) /
+       |                  CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE) AS recall
+       |FROM truth""".stripMargin
+
   val embeddingNearDupOracle: String =
     """WITH e AS (
       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
