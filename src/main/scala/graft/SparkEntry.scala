@@ -128,6 +128,8 @@ object SparkEntry {
     "q108_kmv_rollup"       -> (Sketches.q108KmvRollup _),
     "q109_semantic_dedup"   -> (Dedup.q109SemanticDedup _),
     "q110_semantic_recall"  -> (Dedup.q110SemanticRecall _),
+    "q111_dsir_weights"     -> (Corpus.q111DsirWeights _),
+    "q112_dsir_audit"       -> (Corpus.q112DsirAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -394,5 +396,7 @@ object SparkEntry {
     "q108_kmv_rollup"        -> Sketches.kmvRollupOracle,
     "q109_semantic_dedup"    -> Dedup.semanticDedupOracle,
     "q110_semantic_recall"   -> Dedup.semanticRecallOracle,
+    "q111_dsir_weights"      -> Corpus.dsirWeightsOracle,
+    "q112_dsir_audit"        -> Corpus.dsirAuditOracle,
   )
 }

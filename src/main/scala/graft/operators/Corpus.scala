@@ -651,6 +651,149 @@ object Corpus {
        |  md5(array_to_string(list_slice(t, chunk_start + 1, chunk_start + $ChunkLen), ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // DSIR-shaped importance weighting (Xie et al. 2023 "Data Selection for
+  // Language Models via Importance Resampling", public) — hashed n-gram
+  // importance scores for domain-matched sampling, made DETERMINISTIC:
+  // the published method scores log(p_target/p_raw) summed over hashed
+  // n-gram features; log is libm (not bit-portable across engines), so —
+  // the HLL precedent of dropping ln() — the score here is the mean
+  // smoothed RATE RATIO over a doc's hashed-bigram occurrences, kept in
+  // exact decimal end to end. Ratios are a monotone per-feature transform
+  // of the same evidence: rank-faithful for resampling, bit-identical
+  // everywhere.
+  // ---------------------------------------------------------------------
+
+  /** Hashed-feature space size. 1024 buckets ⇒ the per-bucket weight
+    * table is a broadcast literal of 1024 rows at ANY corpus size — the
+    * whole point of hashed DSIR: corpus-sized state never exists. */
+  val DsirBuckets = 1024
+
+  /** (doc_id, lang, f) occurrence stream: token bigrams (q73's bigram
+    * convention) hashed into [[DsirBuckets]] via md5. */
+  private def dsirOcc(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          concat(element_at(col("t"), i), lit(" "),
+                 element_at(col("t"), i + 1)))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+              (Sketches.h32(col("bg")) % DsirBuckets).as("f"))
+  }
+
+  /** Per-bucket importance weights: w_f = ((t_f+1)·(R+B)) /
+    * ((T+B)·(r_f+1)) — add-one-smoothed target rate over raw rate,
+    * decimal-routed at 6 decimals (exact DECIMAL(18,6) thereafter).
+    * Totals come from windows over the 1024-row bucket relation (the
+    * q47 bounded-window shape), so no driver job runs. */
+  private def dsirWeights(occ: DataFrame): DataFrame = {
+    val raw = occ.groupBy(col("f")).agg(count(lit(1)).as("r_f"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("t_f"))
+    raw.join(tgt, Seq("f"), "left")
+      .withColumn("t_f", coalesce(col("t_f"), lit(0L)))
+      .withColumn("rr", sum(col("r_f")).over(Window.partitionBy()))
+      .withColumn("tt", sum(col("t_f")).over(Window.partitionBy()))
+      .select(col("f"),
+        round((((col("t_f") + 1) * (col("rr") + DsirBuckets)).cast("double") /
+               ((col("tt") + DsirBuckets) * (col("r_f") + 1)).cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
+  }
+
+  /** q111 — DSIR importance scores: every doc scored as the mean bucket
+    * weight over its bigram occurrences (target domain = lang 'en').
+    * Scale: two passes over the occurrence stream (bucket counts, then
+    * per-doc accumulation against the BROADCAST 1024-row weight table);
+    * the corpus text itself is read once per pass and never shuffled —
+    * only (doc_id, f) pairs aggregate. */
+  def q111DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val occ = dsirOcc(spark, dir).localCheckpoint()
+    val w = dsirWeights(occ)
+    occ.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+      .join(broadcast(w), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w")).as("s"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("s").cast("double") / col("n_bigrams").cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast("double").as("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q112 — DSIR discrimination audit (the q89/q110 pattern): mean score
+    * per language. The weighting is only useful if it separates the
+    * target domain from the rest — this is the one-line readout that says
+    * whether it does (en must sit on top; how far on top is the honest
+    * measurement). */
+  def q112DsirAudit(spark: SparkSession, dir: String): DataFrame = {
+    val occ = dsirOcc(spark, dir).localCheckpoint()
+    val w = dsirWeights(occ)
+    occ.groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(w), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("w")).as("s"), sum(col("c")).as("n"))
+      .select(col("lang"),
+        round((col("s").cast("double") / col("n").cast("double"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("sc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round((sum(col("sc")).cast("double") / count(lit(1)).cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("mean_dsir"))
+      .orderBy(col("lang"))
+  }
+
+  private val dsirPrologueSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM tok WHERE len(t) >= 2),
+       |occ AS (
+       |  SELECT doc_id, lang, (${Sketches.h32FromHexSql}) % $DsirBuckets AS f
+       |  FROM (SELECT doc_id, lang, md5(bg) AS h FROM bg)),
+       |raw AS (SELECT f, count(*) AS r_f FROM occ GROUP BY f),
+       |tgt AS (SELECT f, count(*) AS t_f FROM occ WHERE lang = 'en' GROUP BY f),
+       |wt AS (
+       |  SELECT raw.f,
+       |    CAST(round(CAST(
+       |      CAST((coalesce(tgt.t_f, 0) + 1) * (sum(raw.r_f) OVER () + $DsirBuckets) AS DOUBLE) /
+       |      CAST((sum(coalesce(tgt.t_f, 0)) OVER () + $DsirBuckets) * (raw.r_f + 1) AS DOUBLE)
+       |      AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS w
+       |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f)""".stripMargin
+
+  val dsirWeightsOracle: String =
+    s"""WITH $dsirPrologueSql,
+       |dc AS (SELECT doc_id, f, count(*) AS c FROM occ GROUP BY doc_id, f),
+       |s AS (
+       |  SELECT doc_id, sum(c * w) AS s, CAST(sum(c) AS BIGINT) AS n_bigrams
+       |  FROM dc JOIN wt ON dc.f = wt.f GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  CAST(round(CAST(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS dsir_score
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  val dsirAuditOracle: String =
+    s"""WITH $dsirPrologueSql,
+       |dc AS (SELECT doc_id, lang, f, count(*) AS c FROM occ GROUP BY doc_id, lang, f),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    CAST(round(CAST(CAST(sum(c * w) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+       |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS sc
+       |  FROM dc JOIN wt ON dc.f = wt.f GROUP BY doc_id, lang)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(round(CAST(CAST(sum(sc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_dsir
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val packSequencesOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,
