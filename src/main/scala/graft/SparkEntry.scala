@@ -130,6 +130,7 @@ object SparkEntry {
     "q110_semantic_recall"  -> (Dedup.q110SemanticRecall _),
     "q111_dsir_weights"     -> (Corpus.q111DsirWeights _),
     "q112_dsir_audit"       -> (Corpus.q112DsirAudit _),
+    "q113_quality_rules"    -> (TextOps.q113QualityRules _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -398,5 +399,6 @@ object SparkEntry {
     "q110_semantic_recall"   -> Dedup.semanticRecallOracle,
     "q111_dsir_weights"      -> Corpus.dsirWeightsOracle,
     "q112_dsir_audit"        -> Corpus.dsirAuditOracle,
+    "q113_quality_rules"     -> TextOps.qualityRulesOracle,
   )
 }

@@ -434,4 +434,94 @@ object TextOps {
        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
        |  md5(array_to_string(kept, ' ')) AS clean_hash
        |FROM cleaned ORDER BY doc_id""".stripMargin
+
+  /** q113 — Gopher-style quality RULE REPORT (Rae et al. 2021 §A1.1's
+    * rule-filter family, public): per-rule failure counts over the
+    * corpus, the release-gate dashboard a curation run reads before
+    * applying a cut (q35 scores docs; this counts WHY docs would fail).
+    *
+    * Every rule is an INTEGER comparison (means become cross-multiplied
+    * bounds: mean_word_len > 5 ⇔ chars > 5·n), so the report is
+    * bit-identical on any engine with no decimal routing at all. Rules,
+    * tuned to thresholds that actually split this corpus (a rule nothing
+    * can fail measures nothing):
+    *   - word_count:     n < 20 or n > 80         (Gopher's 50–100k, rescaled)
+    *   - mean_word_len:  mean token length outside [3, 5] chars
+    *   - stopwords:      fewer than 2 stopword occurrences
+    *   - max_repetition: most frequent token > 20% of the doc
+    *   - any:            at least one rule failed
+    *
+    * Scale: one pass computes the array-local stats; the repetition max
+    * is a (doc_id, token) count + per-doc max — both shuffles are keyed
+    * by doc_id/token, the report itself is a 5-row stack of one global
+    * aggregate. */
+  def q113QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("n"),
+      length(concat_ws("", col("t"))).cast("long").as("chars"),
+      size(filter(col("t"), x => x.isInCollection(stopwords)))
+        .cast("long").as("stops"))
+    val rep = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+    val flags = stats.join(rep, Seq("doc_id"))
+      .select(
+        (col("n") < 20 || col("n") > 80).as("f_wc"),
+        (col("chars") < col("n") * 3 || col("chars") > col("n") * 5).as("f_mwl"),
+        (col("stops") < 2).as("f_stop"),
+        (col("maxc") * 5 > col("n")).as("f_rep"))
+      .withColumn("f_any",
+        col("f_wc") || col("f_mwl") || col("f_stop") || col("f_rep"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flags.agg(count(lit(1)).as("n_docs"),
+              cnt(col("f_wc")).as("c_wc"), cnt(col("f_mwl")).as("c_mwl"),
+              cnt(col("f_stop")).as("c_stop"), cnt(col("f_rep")).as("c_rep"),
+              cnt(col("f_any")).as("c_any"))
+      .selectExpr(
+        """stack(5, 'any', c_any, 'max_repetition', c_rep,
+          |         'mean_word_len', c_mwl, 'stopwords', c_stop,
+          |         'word_count', c_wc) AS (rule, n_fail)""".stripMargin,
+        "n_docs")
+      .orderBy(col("rule"))
+  }
+
+  val qualityRulesOracle: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(t) AS n, len(array_to_string(t, '')) AS chars,
+       |         len(list_filter(t, x -> x IN ($stops))) AS stops
+       |  FROM tok),
+       |rep AS (
+       |  SELECT doc_id, max(c) AS maxc FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |flags AS (
+       |  SELECT (n < 20 OR n > 80) AS f_wc,
+       |         (chars < 3*n OR chars > 5*n) AS f_mwl,
+       |         (stops < 2) AS f_stop,
+       |         (maxc*5 > n) AS f_rep
+       |  FROM stats JOIN rep USING (doc_id)),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS c_wc,
+       |    CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS c_mwl,
+       |    CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS c_stop,
+       |    CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS c_rep,
+       |    CAST(sum(CASE WHEN f_wc OR f_mwl OR f_stop OR f_rep THEN 1 ELSE 0 END) AS BIGINT) AS c_any
+       |  FROM flags)
+       |SELECT rule, n_fail, n_docs FROM (
+       |  SELECT 'any' AS rule, c_any AS n_fail, n_docs FROM agg
+       |  UNION ALL SELECT 'max_repetition', c_rep, n_docs FROM agg
+       |  UNION ALL SELECT 'mean_word_len', c_mwl, n_docs FROM agg
+       |  UNION ALL SELECT 'stopwords', c_stop, n_docs FROM agg
+       |  UNION ALL SELECT 'word_count', c_wc, n_docs FROM agg)
+       |ORDER BY rule""".stripMargin
+  }
 }
