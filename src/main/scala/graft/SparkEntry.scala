@@ -131,6 +131,7 @@ object SparkEntry {
     "q111_dsir_weights"     -> (Corpus.q111DsirWeights _),
     "q112_dsir_audit"       -> (Corpus.q112DsirAudit _),
     "q113_quality_rules"    -> (TextOps.q113QualityRules _),
+    "q114_hist_p90"         -> (Sketches.q114HistP90 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -400,5 +401,8 @@ object SparkEntry {
     "q111_dsir_weights"      -> Corpus.dsirWeightsOracle,
     "q112_dsir_audit"        -> Corpus.dsirAuditOracle,
     "q113_quality_rules"     -> TextOps.qualityRulesOracle,
+    // q114 oracle builds the global histogram from scratch — the
+    // per-source cell-sum merge must equal it.
+    "q114_hist_p90"          -> Sketches.histP90Oracle,
   )
 }

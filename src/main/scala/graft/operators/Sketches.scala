@@ -529,6 +529,72 @@ object Sketches {
        |SELECT 'all' AS scope, exact.n_exact, est.occupied, $KmvEstSql AS kmv_estimate
        |FROM exact CROSS JOIN est""".stripMargin
 
+  /** q114 — the q102 histogram sketch at an ARBITRARY quantile (p90
+    * here), plus the merge leg: per-source bin histograms cell-sum into
+    * the global histogram (bin counts are linear, like CMS cells), and
+    * the p90 read off the MERGED bins sits beside the exact rank element.
+    * Rank rule: ceil(p·n) spelled in integers ((9n+9) div 10) so both
+    * engines pick the same rank; containment (exact ∈ [low, low+width))
+    * holds by the same construction as q102's median. One operator, all
+    * three sketch claims: arbitrary quantile, bounded error, lossless
+    * merge. */
+  def q114HistP90(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // per-source slice histograms — the persistable artifact at 100 TB —
+    // merged by cell-wise sum into the global per-lang histogram
+    val slices = docs
+      .groupBy(col("lang"), col("source"),
+               (col("n_chars") / HistBinWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val bins = slices.groupBy(col("lang"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val est = cum
+      .filter(col("cum") >= ((col("n") * 9 + 9) / 10).cast("long"))
+      .groupBy(col("lang"), col("n"))
+      .agg((min(col("bin")) * HistBinWidth).as("hist_p90_low"))
+    val exact = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") === ((col("cnt") * 9 + 9) / 10).cast("int"))
+      .select(col("lang"), col("n_chars").as("p90_chars"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("n"), col("p90_chars"), col("hist_p90_low"))
+      .orderBy(col("lang"))
+  }
+
+  /** The oracle builds the global histogram DIRECTLY from the corpus —
+    * the per-source merge must equal it (cell-sum linearity, the
+    * q90/q99/q108 merge discipline). */
+  val histP90Oracle: String =
+    s"""WITH bins AS (
+       |  SELECT lang, n_chars // $HistBinWidth AS bin, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bin, c,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+       |         sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM bins),
+       |est AS (
+       |  SELECT lang, CAST(n AS BIGINT) AS n,
+       |         min(bin) * $HistBinWidth AS hist_p90_low
+       |  FROM cum WHERE cum >= (n * 9 + 9) // 10 GROUP BY lang, n),
+       |exact AS (
+       |  SELECT lang, n_chars AS p90_chars FROM (
+       |    SELECT lang, n_chars,
+       |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY lang) AS cnt
+       |    FROM documents)
+       |  WHERE rn = CAST((cnt * 9 + 9) // 10 AS INT))
+       |SELECT e.lang, e.n, x.p90_chars, CAST(e.hist_p90_low AS BIGINT) AS hist_p90_low
+       |FROM est e JOIN exact x ON e.lang = x.lang
+       |ORDER BY e.lang""".stripMargin
+
   val histMedianOracle: String =
     s"""WITH bins AS (
        |  SELECT lang, n_chars // $HistBinWidth AS bin, count(*) AS c

@@ -30,6 +30,18 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("histogram p90 bin always contains the exact p90 element (the " +
+       "q102 containment, generalized rank)") {
+    val rows = Sketches.q114HistP90(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Number]("p90_chars").longValue()
+      val low = r.getAs[Number]("hist_p90_low").longValue()
+      assert(low <= exact && exact < low + Sketches.HistBinWidth,
+        s"lang ${r.getString(0)}: exact $exact outside bin [$low, ${low + Sketches.HistBinWidth})")
+    }
+  }
+
   test("priority sample: k=5 is a strict prefix of k=10, and the sample " +
        "is invariant under repartitioning") {
     val docs = Tables.documents(spark, dir)
