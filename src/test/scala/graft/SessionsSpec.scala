@@ -261,6 +261,51 @@ class SessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV converges to EXACTLY the batch estimate " +
+       "(min-set state absorbs replays like HLL's max state)") {
+    import graft.streaming.BottomK
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val obs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("user_id").cast("string"))
+      .collect().map(r => BottomK.Obs(r.getString(0), r.getString(1)))
+    val input = MemoryStream[BottomK.Obs]
+    val q = BottomK.estimates(input.toDS())
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = obs.splitAt(obs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData((b3 ++ b2.take(50)).toSeq); q.processAllAvailable() // replay
+      // the set only gains smaller hashes → (occupied, estimate) is
+      // monotone; the max per group is the converged sketch
+      val got = spark.table("kmv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(v => (v._2, v._3)) }
+      val want = graft.operators.Sketches
+        .q107KmvDistinct(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (g, (occ, est)) =>
+        assert(got(g)._2 == occ, s"occupied mismatch for $g")
+        assert(got(g)._3 == est, s"estimate mismatch for $g: ${got(g)._3} vs $est")
+      }
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming HLL converges to EXACTLY the batch estimate") {
     import graft.streaming.Cardinality
     import spark.implicits._
