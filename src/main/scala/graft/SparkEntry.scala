@@ -132,6 +132,7 @@ object SparkEntry {
     "q112_dsir_audit"       -> (Corpus.q112DsirAudit _),
     "q113_quality_rules"    -> (TextOps.q113QualityRules _),
     "q114_hist_p90"         -> (Sketches.q114HistP90 _),
+    "q115_embed_outliers"   -> (Similarity.q115EmbedOutliers _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -404,5 +405,6 @@ object SparkEntry {
     // q114 oracle builds the global histogram from scratch — the
     // per-source cell-sum merge must equal it.
     "q114_hist_p90"          -> Sketches.histP90Oracle,
+    "q115_embed_outliers"    -> Similarity.embedOutliersOracle,
   )
 }

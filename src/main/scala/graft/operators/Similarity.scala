@@ -114,6 +114,90 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
   }
 
+  /** q115 — embedding-space OUTLIER audit, the curation gate that runs
+    * BESIDE dedup (q109) in an embedding pipeline: per label-cell, the
+    * squared-L2 distance of every vector to its cell centroid (q53's
+    * decimal-routed centroid + rounded-distance contract), thresholded at
+    * the ROBUST quantile-scaled cut median + 2·(p90 − median). Both
+    * quantiles are exact rank rows (q49/q114's integer rank rules — no
+    * interpolating percentile, so every engine picks the same rows);
+    * the multiplicative 1.5×-median cut a low-dim intuition suggests
+    * never fires here — high-dim distances CONCENTRATE (all mass within
+    * ~5% of the median on this fixture), so only a deviation-scaled
+    * threshold measures anything. Reads the count of each cell far from
+    * its own mass — mis-clustered or junk embeddings a curation pass
+    * would re-route or drop. Plan: centroids and the quantile rows are
+    * |cells|-row broadcast dimensions; the corpus is scanned twice,
+    * shuffled never. */
+  def q115EmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val sqDist = aggregate(
+      zip_with(col("v"), col("cv"),
+               (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p)
+    val d = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"), round(sqDist, 4).as("dist"))
+    val quants = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("dist"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .groupBy(col("label"))
+      .agg(min(when(col("rn") === ((col("cnt") + 1) / 2).cast("int"),
+                    col("dist"))).as("median_dist"),
+           min(when(col("rn") === ((col("cnt") * 9 + 9) / 10).cast("int"),
+                    col("dist"))).as("p90_dist"))
+    d.join(broadcast(quants), Seq("label"))
+      .groupBy(col("label"), col("median_dist"), col("p90_dist"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when(col("dist") > col("median_dist") +
+                      (col("p90_dist") - col("median_dist")) * 2.0,
+                    1L).otherwise(0L))
+             .as("n_outliers"))
+      .select(col("label"), col("n_vecs"), col("median_dist"),
+              col("p90_dist"), col("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  val embedOutliersOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM e, generate_series(1, 64) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT vec_id, e.label,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 4) AS dist
+       |  FROM e JOIN cent c ON e.label = c.label),
+       |ranked AS (
+       |  SELECT label, dist,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY label) AS cnt
+       |  FROM d),
+       |quants AS (
+       |  SELECT label,
+       |    min(CASE WHEN rn = CAST((cnt + 1) // 2 AS INT) THEN dist END) AS median_dist,
+       |    min(CASE WHEN rn = CAST((cnt * 9 + 9) // 10 AS INT) THEN dist END) AS p90_dist
+       |  FROM ranked GROUP BY label)
+       |SELECT d.label, count(*) AS n_vecs, m.median_dist, m.p90_dist,
+       |  CAST(sum(CASE WHEN d.dist > m.median_dist + (m.p90_dist - m.median_dist) * 2.0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN quants m ON d.label = m.label
+       |GROUP BY d.label, m.median_dist, m.p90_dist ORDER BY d.label""".stripMargin
+
   val annMultiProbeOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm

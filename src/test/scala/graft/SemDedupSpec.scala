@@ -62,6 +62,21 @@ class SemDedupSpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("q115 outlier audit: threshold beyond p90 bounds outliers by the " +
+       "p90 tail, and quantile rows are ordered") {
+    val rows = graft.operators.Similarity.q115EmbedOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, med, p90, out) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(med <= p90, s"label ${r.getInt(0)}: median $med > p90 $p90")
+      // an outlier is strictly beyond p90 (threshold = med + 2·(p90−med)
+      // ≥ p90), and at most ~10% of rows sit beyond the p90 rank row
+      assert(out <= (n + 9) / 10,
+        s"label ${r.getInt(0)}: $out outliers exceeds the p90 tail of $n")
+    }
+  }
+
   test("plan shapes: q109 apply has no cartesian; q110 audit broadcasts " +
        "the sample side") {
     val p109 = Dedup.q109SemanticDedup(spark, dir)
