@@ -133,6 +133,7 @@ object SparkEntry {
     "q113_quality_rules"    -> (TextOps.q113QualityRules _),
     "q114_hist_p90"         -> (Sketches.q114HistP90 _),
     "q115_embed_outliers"   -> (Similarity.q115EmbedOutliers _),
+    "q116_funnel_v2"        -> (TrainPrep.q116FunnelV2 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -406,5 +407,6 @@ object SparkEntry {
     // per-source cell-sum merge must equal it.
     "q114_hist_p90"          -> Sketches.histP90Oracle,
     "q115_embed_outliers"    -> Similarity.embedOutliersOracle,
+    "q116_funnel_v2"         -> TrainPrep.funnelV2Oracle,
   )
 }

@@ -710,7 +710,9 @@ object Corpus {
     * per-doc accumulation against the BROADCAST 1024-row weight table);
     * the corpus text itself is read once per pass and never shuffled —
     * only (doc_id, f) pairs aggregate. */
-  def q111DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc DSIR scores (doc_id, n_bigrams, dsir_score), unordered —
+    * q111 reports it; the q116 funnel gates on the score. */
+  def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     val occ = dsirOcc(spark, dir).localCheckpoint()
     val w = dsirWeights(occ)
     occ.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
@@ -721,8 +723,10 @@ object Corpus {
         round((col("s").cast("double") / col("n_bigrams").cast("double"))
                 .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
           .cast("double").as("dsir_score"))
-      .orderBy(col("doc_id"))
   }
+
+  def q111DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(spark, dir).orderBy(col("doc_id"))
 
   /** q112 — DSIR discrimination audit (the q89/q110 pattern): mean score
     * per language. The weighting is only useful if it separates the

@@ -455,7 +455,10 @@ object TextOps {
     * is a (doc_id, token) count + per-doc max — both shuffles are keyed
     * by doc_id/token, the report itself is a 5-row stack of one global
     * aggregate. */
-  def q113QualityRules(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc rule flags (doc_id, f_wc, f_mwl, f_stop, f_rep, f_any) —
+    * the q113 report reads counts off this relation; the q116 funnel
+    * gates on `f_any`. */
+  def qualityFlags(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val stats = base.select(
@@ -467,14 +470,19 @@ object TextOps {
     val rep = base.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
-    val flags = stats.join(rep, Seq("doc_id"))
+    stats.join(rep, Seq("doc_id"))
       .select(
+        col("doc_id"),
         (col("n") < 20 || col("n") > 80).as("f_wc"),
         (col("chars") < col("n") * 3 || col("chars") > col("n") * 5).as("f_mwl"),
         (col("stops") < 2).as("f_stop"),
         (col("maxc") * 5 > col("n")).as("f_rep"))
       .withColumn("f_any",
         col("f_wc") || col("f_mwl") || col("f_stop") || col("f_rep"))
+  }
+
+  def q113QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val flags = qualityFlags(spark, dir)
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     flags.agg(count(lit(1)).as("n_docs"),
               cnt(col("f_wc")).as("c_wc"), cnt(col("f_mwl")).as("c_mwl"),

@@ -251,4 +251,129 @@ object TrainPrep {
        |        FROM documents))
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
+
+  /** Per-lang sample size for q116's fixed-size selection stage. */
+  val FunnelV2SampleK = 30
+
+  /** q116 — curation funnel v2, composing THIS round's additions the way
+    * q104 composed the original stages (the "user of the library" story,
+    * extended): rule REPORT gate (q113's per-doc flags — keep docs
+    * failing no rule), DSIR domain selection (q111's score ≥ 1, i.e.
+    * more target-like than the corpus average), exact dedup keeper
+    * within the survivors (q27's rule), fixed-size per-lang priority
+    * sample (q103's md5-rank rule at k=30), and the q68 pack count.
+    * Integer counts at every stage; the oracle chains the SAME stage
+    * definitions as CTEs.
+    *
+    * Scale: every stage is a column program or a PK semi-join; the only
+    * window is the per-lang rank (WindowGroupLimit) and the per-hash
+    * keeper min. Nothing broadcasts corpus-sized state — the funnel
+    * composes at any SF. */
+  def q116FunnelV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pass = TextOps.qualityFlags(spark, dir)
+      .filter(!col("f_any")).select(col("doc_id"))
+    val r1 = docs.join(pass, Seq("doc_id"))
+    val dsel = Corpus.dsirScores(spark, dir)
+      .filter(col("dsir_score") >= 1.0).select(col("doc_id"))
+    val r2 = r1.join(dsel, Seq("doc_id"))
+    val w = Window.partitionBy(col("k"))
+    val dd = r2
+      .withColumn("k", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep")).drop("k", "keep")
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampled = dd
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= FunnelV2SampleK)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    val packs = sampled
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("nt"))
+      .agg((((sum(col("nt")) + lit(Corpus.PackSeqLen - 1)) / lit(Corpus.PackSeqLen))
+        .cast("long")).as("n"))
+      .select(lit("5_packs").as("stage"), col("n"))
+    stage("0_all", docs)
+      .unionAll(stage("1_rules", r1))
+      .unionAll(stage("2_dsir", r2))
+      .unionAll(stage("3_dedup", dd))
+      .unionAll(stage("4_sample", sampled))
+      .unionAll(packs)
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle: the same five stage definitions as chained CTEs (q113 flag
+    * rules, q111 score formula, q27 keeper, q103 rank rule, q68 pack
+    * constant). */
+  val funnelV2Oracle: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(t) AS n, len(array_to_string(t, '')) AS chars,
+       |         len(list_filter(t, x -> x IN ($stops))) AS stops
+       |  FROM tok),
+       |rep AS (
+       |  SELECT doc_id, max(c) AS maxc FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |pass AS (
+       |  SELECT doc_id FROM stats JOIN rep USING (doc_id)
+       |  WHERE NOT ((n < 20 OR n > 80) OR (chars < 3*n OR chars > 5*n)
+       |             OR (stops < 2) OR (maxc*5 > n))),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM tok WHERE len(t) >= 2),
+       |occ AS (
+       |  SELECT doc_id, lang, (${graft.operators.Sketches.h32FromHexSql}) % ${Corpus.DsirBuckets} AS f
+       |  FROM (SELECT doc_id, lang, md5(bg) AS h FROM bg)),
+       |raw AS (SELECT f, count(*) AS r_f FROM occ GROUP BY f),
+       |tgt AS (SELECT f, count(*) AS t_f FROM occ WHERE lang = 'en' GROUP BY f),
+       |wt AS (
+       |  SELECT raw.f,
+       |    CAST(round(CAST(
+       |      CAST((coalesce(tgt.t_f, 0) + 1) * (sum(raw.r_f) OVER () + ${Corpus.DsirBuckets}) AS DOUBLE) /
+       |      CAST((sum(coalesce(tgt.t_f, 0)) OVER () + ${Corpus.DsirBuckets}) * (raw.r_f + 1) AS DOUBLE)
+       |      AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS w
+       |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+       |dcc AS (SELECT doc_id, f, count(*) AS c FROM occ GROUP BY doc_id, f),
+       |dsel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(round(CAST(CAST(sum(c * w) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+       |           AS DECIMAL(28,12)), 6) AS DOUBLE) AS sc
+       |    FROM dcc JOIN wt ON dcc.f = wt.f GROUP BY doc_id)
+       |  WHERE sc >= 1.0),
+       |r1 AS (SELECT d.* FROM documents d JOIN pass USING (doc_id)),
+       |r2 AS (SELECT r1.* FROM r1 JOIN dsel USING (doc_id)),
+       |dd AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep
+       |    FROM r2)
+       |  WHERE doc_id = keep),
+       |sampled AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM dd)
+       |  WHERE rk <= $FunnelV2SampleK)
+       |SELECT stage, n FROM (
+       |  SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+       |  UNION ALL SELECT '1_rules', CAST(count(*) AS BIGINT) FROM r1
+       |  UNION ALL SELECT '2_dsir', CAST(count(*) AS BIGINT) FROM r2
+       |  UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
+       |  UNION ALL SELECT '4_sample', CAST(count(*) AS BIGINT) FROM sampled
+       |  UNION ALL SELECT '5_packs',
+       |    CAST((sum(len(regexp_split_to_array(lower(text), '\\s+')))
+       |          + ${Corpus.PackSeqLen - 1}) // ${Corpus.PackSeqLen} AS BIGINT)
+       |    FROM sampled)
+       |ORDER BY stage""".stripMargin
+  }
 }

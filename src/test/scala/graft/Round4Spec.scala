@@ -30,6 +30,20 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("q116 funnel v2: stage counts are monotone nonincreasing and the " +
+       "sample stage respects the per-lang cap") {
+    val rows = graft.operators.TrainPrep.q116FunnelV2(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("0_all", "1_rules", "2_dsir", "3_dedup", "4_sample")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b) <= rows(a), s"stage $b (${rows(b)}) > $a (${rows(a)})")
+    }
+    // ≤ k docs per language survive the sample stage (5 langs × k)
+    assert(rows("4_sample") <=
+      5L * graft.operators.TrainPrep.FunnelV2SampleK)
+    assert(rows("5_packs") > 0)
+  }
+
   test("histogram p90 bin always contains the exact p90 element (the " +
        "q102 containment, generalized rank)") {
     val rows = Sketches.q114HistP90(spark, dir).collect()
