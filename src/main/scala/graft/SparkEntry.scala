@@ -134,6 +134,8 @@ object SparkEntry {
     "q114_hist_p90"         -> (Sketches.q114HistP90 _),
     "q115_embed_outliers"   -> (Similarity.q115EmbedOutliers _),
     "q116_funnel_v2"        -> (TrainPrep.q116FunnelV2 _),
+    "q117_mixture_drift"    -> (Corpus.q117MixtureDrift _),
+    "q118_lm_score"         -> (Corpus.q118LmScore _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -408,5 +410,7 @@ object SparkEntry {
     "q114_hist_p90"          -> Sketches.histP90Oracle,
     "q115_embed_outliers"    -> Similarity.embedOutliersOracle,
     "q116_funnel_v2"         -> TrainPrep.funnelV2Oracle,
+    "q117_mixture_drift"     -> Corpus.mixtureDriftOracle,
+    "q118_lm_score"          -> Corpus.lmScoreOracle,
   )
 }

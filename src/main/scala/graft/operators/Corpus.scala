@@ -798,6 +798,140 @@ object Corpus {
        |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_dsir
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q117 — mixture DRIFT detector: per source, the total-variation
+    * distance between its language distribution and the corpus-wide one
+    * (TV = ½·Σ|p_lang|source − p_lang|). The recipe-monitoring readout a
+    * mixture pipeline (q47/q52/q75) watches per ingest slice: TV == 0 ⇒
+    * the slice reproduces the corpus mixture; TV → 1 ⇒ single-language
+    * slice. KL needs log (libm) — TV is the portable drift metric (the
+    * DSIR rate-ratio precedent), all rational arithmetic: each share
+    * decimal-routed at 6, |diffs| summed exactly in decimal, halved by
+    * an exact scale bump. Shape: one (source, lang) count aggregate +
+    * windows over that |sources|·|langs| relation — corpus read once. */
+  def q117MixtureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    // dense (source × lang) grid: a missing lang in a source contributes
+    // |0 − q_lang|, so the grid must be complete before the diff
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.select(col("lang")).distinct())
+    val full = grid.join(counts, Seq("source", "lang"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val shared = full
+      .withColumn("n_src", sum(col("n")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("n_lang", sum(col("n")).over(
+        Window.partitionBy(col("lang"))))
+      .withColumn("n_all", sum(col("n")).over(Window.partitionBy()))
+    val p = round((col("n").cast("double") / col("n_src").cast("double"))
+                    .cast(dec), 6)
+    val q = round((col("n_lang").cast("double") / col("n_all").cast("double"))
+                    .cast(dec), 6)
+    shared
+      .withColumn("ad", abs(p - q))
+      .groupBy(col("source"))
+      // halve in double: the decimal sum casts exactly (≤ 7 sig digits)
+      // and ×0.5 is a power-of-two scale — both engines agree bitwise,
+      // unlike decimal÷int whose result scale is engine-specific
+      .agg(max(col("n_src")).as("n_docs"),
+           (sum(col("ad")).cast("double") * 0.5).as("tv_drift"))
+      .select(col("source"), col("n_docs"), col("tv_drift"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureDriftOracle: String =
+    """WITH counts AS (
+      |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, l.lang
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN (SELECT DISTINCT lang FROM counts) l),
+      |full_ AS (
+      |  SELECT g.source, g.lang, coalesce(c.n, 0) AS n
+      |  FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.lang = c.lang),
+      |shared AS (
+      |  SELECT source, lang, n,
+      |    sum(n) OVER (PARTITION BY source) AS n_src,
+      |    sum(n) OVER (PARTITION BY lang) AS n_lang,
+      |    sum(n) OVER () AS n_all
+      |  FROM full_),
+      |ads AS (
+      |  SELECT source, n_src,
+      |    abs(CAST(round(CAST(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE)
+      |          AS DECIMAL(28,12)), 6) AS DECIMAL(28,6)) -
+      |        CAST(round(CAST(CAST(n_lang AS DOUBLE) / CAST(n_all AS DOUBLE)
+      |          AS DECIMAL(28,12)), 6) AS DECIMAL(28,6))) AS ad
+      |  FROM shared)
+      |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+      |       CAST(sum(ad) AS DOUBLE) * 0.5 AS tv_drift
+      |FROM ads GROUP BY source ORDER BY source""".stripMargin
+
+  /** q118 — bigram-LM DOCUMENT scoring: every doc scored by the mean
+    * conditional continuation probability p(w2|w1) of its bigram
+    * occurrences under the corpus bigram LM (q73's table, full — not
+    * just the top continuation). This is the model-based quality proxy
+    * of the CCNet/KenLM stage in public curation pipelines, made
+    * deterministic: perplexity needs log (libm), so the score is the
+    * mean probability — rank-faithful for filtering (the q111 rate-ratio
+    * precedent), exact decimal end to end. Self-scored here (the LM is
+    * built from the same corpus ⇒ the score reads within-corpus
+    * typicality); production trains the table on a held split and the
+    * operator is unchanged. Shape: bigram counts + head totals are one
+    * aggregate each; docs join the LM table on the bigram key — a keyed
+    * shuffle against vocab²-bounded state, never an all-pairs anything. */
+  def q118LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val t = TextOps.tokens(col("text"))
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          concat(element_at(col("t"), i), lit(" "),
+                 element_at(col("t"), i + 1)))).as("bg"))
+    val counts = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val heads = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lm = counts.join(heads, Seq("w1"))
+      .select(col("bg"),
+        round((col("c12").cast("double") / col("c1").cast("double")).cast(dec), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("p"))
+    occ.join(lm, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("s").cast("double") / col("n_bigrams").cast("double"))
+                .cast(dec), 6)
+          .cast("double").as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tok WHERE len(t) >= 2),
+      |counts AS (
+      |  SELECT bg, str_split(bg, ' ')[1] AS w1, count(*) AS c12
+      |  FROM occ GROUP BY bg),
+      |heads AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+      |lm AS (
+      |  SELECT bg,
+      |    CAST(round(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS p
+      |  FROM counts JOIN heads USING (w1)),
+      |s AS (
+      |  SELECT doc_id, sum(p) AS s, CAST(count(*) AS BIGINT) AS n_bigrams
+      |  FROM occ JOIN lm USING (bg) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(round(CAST(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS lm_score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val packSequencesOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,

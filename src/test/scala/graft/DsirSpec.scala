@@ -53,6 +53,29 @@ class DsirSpec extends AnyFunSuite {
       "smoothing or totals are wrong")
   }
 
+  test("q117 TV drift is a metric reading: in [0,1] per source, 0 only " +
+       "for a source reproducing the corpus mixture exactly") {
+    val rows = Corpus.q117MixtureDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getDouble(2)
+      assert(tv >= 0.0 && tv <= 1.0, s"source ${r.getString(0)}: TV $tv")
+    }
+    // the fixture's random 25-doc slices cannot all match the corpus
+    // mixture exactly — some drift must register
+    assert(rows.map(_.getDouble(2)).max > 0.0)
+  }
+
+  test("q118 LM scores are probabilities: every doc in (0, 1], and a " +
+       "repeated-bigram doc would score its own continuation mass") {
+    val rows = Corpus.q118LmScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s > 0.0 && s <= 1.0, s"doc ${r.getLong(0)}: lm_score $s")
+    }
+  }
+
   test("q111 probes the weight table by broadcast (corpus never shuffles " +
        "against corpus-sized state)") {
     val plan = Corpus.q111DsirWeights(spark, dir)
