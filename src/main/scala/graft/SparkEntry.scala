@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_funnel_v2"        -> (TrainPrep.q116FunnelV2 _),
     "q117_mixture_drift"    -> (Corpus.q117MixtureDrift _),
     "q118_lm_score"         -> (Corpus.q118LmScore _),
+    "q119_rules_lm_agree"   -> (TextOps.q119RulesLmAgreement _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -412,5 +413,6 @@ object SparkEntry {
     "q116_funnel_v2"         -> TrainPrep.funnelV2Oracle,
     "q117_mixture_drift"     -> Corpus.mixtureDriftOracle,
     "q118_lm_score"          -> Corpus.lmScoreOracle,
+    "q119_rules_lm_agree"    -> TextOps.rulesLmAgreementOracle,
   )
 }

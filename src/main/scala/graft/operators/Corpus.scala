@@ -880,7 +880,9 @@ object Corpus {
     * operator is unchanged. Shape: bigram counts + head totals are one
     * aggregate each; docs join the LM table on the bigram key — a keyed
     * shuffle against vocab²-bounded state, never an all-pairs anything. */
-  def q118LmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc mean continuation probability kept in exact DECIMAL(18,6) —
+    * q118 renders it; q119 aggregates cohorts over it. */
+  private[operators] def lmPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val t = TextOps.tokens(col("text"))
     val occ = Tables.documents(spark, dir)
@@ -903,9 +905,14 @@ object Corpus {
       .select(col("doc_id"), col("n_bigrams"),
         round((col("s").cast("double") / col("n_bigrams").cast("double"))
                 .cast(dec), 6)
-          .cast("double").as("lm_score"))
-      .orderBy(col("doc_id"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lm6"))
   }
+
+  def q118LmScore(spark: SparkSession, dir: String): DataFrame =
+    lmPerDoc(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+              col("lm6").cast("double").as("lm_score"))
+      .orderBy(col("doc_id"))
 
   val lmScoreOracle: String =
     """WITH tok AS (

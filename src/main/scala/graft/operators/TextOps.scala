@@ -435,6 +435,77 @@ object TextOps {
        |  md5(array_to_string(kept, ' ')) AS clean_hash
        |FROM cleaned ORDER BY doc_id""".stripMargin
 
+  /** q119 — rules × LM AGREEMENT audit: mean bigram-LM score (q118)
+    * among docs that pass all quality rules (q113) vs docs that fail at
+    * least one. Two independent quality instruments — hand rules and a
+    * corpus LM — should broadly agree; this one-row readout measures
+    * whether they do on this corpus (and at 100 TB it is the cheap
+    * sanity check before trusting either as the funnel gate). The
+    * fixture reads 0.0334 vs 0.0334 — NO discrimination: uniform word
+    * soup is exactly as LM-typical whether it passes the rules or not,
+    * the honest q110/q112-style readout (on a real corpus the fail
+    * cohort sits visibly lower, or one of the instruments is broken).
+    * Both inputs are the library's own per-doc relations joined on the
+    * PK; the means stay in exact decimal (6-dec scores sum exactly). */
+  def q119RulesLmAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    qualityFlags(spark, dir).select(col("doc_id"), col("f_any"))
+      .join(Corpus.lmPerDoc(spark, dir), Seq("doc_id"))
+      .groupBy(col("f_any"))
+      .agg(count(lit(1)).as("n_docs"),
+           round((sum(col("lm6")).cast("double") / count(lit(1)).cast("double"))
+                   .cast(dec), 6).cast("double").as("mean_lm"))
+      .select(when(col("f_any"), lit("fail_some_rule"))
+                .otherwise(lit("pass_all_rules")).as("cohort"),
+              col("n_docs"), col("mean_lm"))
+      .orderBy(col("cohort"))
+  }
+
+  val rulesLmAgreementOracle: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(t) AS n, len(array_to_string(t, '')) AS chars,
+       |         len(list_filter(t, x -> x IN ($stops))) AS stops
+       |  FROM tok),
+       |rep AS (
+       |  SELECT doc_id, max(c) AS maxc FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |flags AS (
+       |  SELECT doc_id,
+       |    ((n < 20 OR n > 80) OR (chars < 3*n OR chars > 5*n)
+       |     OR (stops < 2) OR (maxc*5 > n)) AS f_any
+       |  FROM stats JOIN rep USING (doc_id)),
+       |occ AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM tok WHERE len(t) >= 2),
+       |counts AS (
+       |  SELECT bg, str_split(bg, ' ')[1] AS w1, count(*) AS c12
+       |  FROM occ GROUP BY bg),
+       |heads AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+       |lm AS (
+       |  SELECT bg,
+       |    CAST(round(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS p
+       |  FROM counts JOIN heads USING (w1)),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(round(CAST(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS lm6
+       |  FROM occ JOIN lm USING (bg) GROUP BY doc_id)
+       |SELECT CASE WHEN f_any THEN 'fail_some_rule' ELSE 'pass_all_rules' END AS cohort,
+       |  count(*) AS n_docs,
+       |  CAST(round(CAST(CAST(sum(lm6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_lm
+       |FROM flags JOIN s USING (doc_id)
+       |GROUP BY f_any ORDER BY cohort""".stripMargin
+  }
+
   /** q113 — Gopher-style quality RULE REPORT (Rae et al. 2021 §A1.1's
     * rule-filter family, public): per-rule failure counts over the
     * corpus, the release-gate dashboard a curation run reads before

@@ -32,4 +32,18 @@ class QualityRulesSpec extends AnyFunSuite {
       s"'any'=$any outside [${each.max}, ${each.sum}]")
     assert(any <= nDocs.head)
   }
+
+  test("q119 cohorts partition the corpus and carry probability means") {
+    val rows = TextOps.q119RulesLmAgreement(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet == Set("fail_some_rule", "pass_all_rules"))
+    val q113any = TextOps.q113QualityRules(spark, "/root/testdata/sf0.001")
+      .collect().collectFirst {
+        case r if r.getString(0) == "any" => (r.getLong(1), r.getLong(2))
+      }.get
+    assert(rows("fail_some_rule")._1 == q113any._1)
+    assert(rows("fail_some_rule")._1 + rows("pass_all_rules")._1 == q113any._2)
+    rows.values.foreach { case (_, m) => assert(m > 0.0 && m <= 1.0) }
+  }
 }
