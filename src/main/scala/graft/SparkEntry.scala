@@ -137,6 +137,12 @@ object SparkEntry {
     "q117_mixture_drift"    -> (Corpus.q117MixtureDrift _),
     "q118_lm_score"         -> (Corpus.q118LmScore _),
     "q119_rules_lm_agree"   -> (TextOps.q119RulesLmAgreement _),
+    "q120_snapshot_diff"    -> (Snapshot.q120SnapshotDiff _),
+    "q121_sample_quantile"  -> (Sketches.q121SampleQuantile _),
+    "q122_sample_quantile_rollup" -> (Sketches.q122SampleQuantileRollup _),
+    "q123_source_novelty"   -> (Corpus.q123SourceNovelty _),
+    "q124_token_waterfill"  -> (TrainPrep.q124TokenWaterfill _),
+    "q125_dup_burden"       -> (Dedup.q125DupBurden _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -414,5 +420,13 @@ object SparkEntry {
     "q117_mixture_drift"     -> Corpus.mixtureDriftOracle,
     "q118_lm_score"          -> Corpus.lmScoreOracle,
     "q119_rules_lm_agree"    -> TextOps.rulesLmAgreementOracle,
+    "q120_snapshot_diff"     -> Snapshot.snapshotDiffOracle,
+    "q121_sample_quantile"   -> Sketches.sampleQuantileOracle,
+    // q122 oracle builds the global bottom-k sample from scratch — the
+    // per-lang union-retruncate merge must equal it.
+    "q122_sample_quantile_rollup" -> Sketches.sampleQuantileRollupOracle,
+    "q123_source_novelty"    -> Corpus.sourceNoveltyOracle,
+    "q124_token_waterfill"   -> TrainPrep.tokenWaterfillOracle,
+    "q125_dup_burden"        -> Dedup.dupBurdenOracle,
   )
 }

@@ -956,4 +956,47 @@ object Corpus {
        |  (start_offset + n_tokens - 1) // $PackSeqLen > start_offset // $PackSeqLen
        |    AS straddles
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q123 — source NOVELTY curve: scanning sources in a deterministic
+    * order (lexicographic name — any fixed acquisition order works the
+    * same way), how many 3-gram shingles does each source contribute
+    * that no earlier source has? This is the data-VALUE ordering a
+    * curation pipeline uses to rank acquisitions (diminishing-returns
+    * readout: a source whose shingles are all already covered adds no
+    * lexical novelty — cf. the dedup-value framing in RefinedWeb,
+    * Penedo et al. 2023). Shape: one explode + min-aggregate keyed by
+    * shingle (map-side combine collapses each partition's repeats), then
+    * a |sources|-row rollup; the cumulative window runs over that tiny
+    * relation only (the q117 grid discipline — never the corpus). */
+  def q123SourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ex = docs.select(col("source"),
+      explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("sh"))
+    val firstSrc = ex.groupBy(col("sh")).agg(min(col("source")).as("source"))
+    val novel = firstSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("new_shingles"))
+    docs.select(col("source")).distinct()
+      .join(novel, Seq("source"), "left")
+      .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      .withColumn("cum_shingles",
+        sum(col("new_shingles")).over(Window.orderBy(col("source"))))
+      .orderBy(col("source"))
+  }
+
+  val sourceNoveltyOracle: String =
+    s"""WITH ex AS (
+       |  SELECT source, unnest(${TextOps.duckShingles}) AS sh
+       |  FROM (SELECT source, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |first_src AS (SELECT sh, min(source) AS source FROM ex GROUP BY sh),
+       |novel AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS new_shingles
+       |  FROM first_src GROUP BY source)
+       |SELECT s.source,
+       |  CAST(coalesce(n.new_shingles, 0) AS BIGINT) AS new_shingles,
+       |  CAST(sum(coalesce(n.new_shingles, 0))
+       |    OVER (ORDER BY s.source) AS BIGINT) AS cum_shingles
+       |FROM (SELECT DISTINCT source FROM documents) s
+       |LEFT JOIN novel n USING (source)
+       |ORDER BY s.source""".stripMargin
 }

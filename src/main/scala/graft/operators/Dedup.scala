@@ -833,4 +833,74 @@ object Dedup {
        |FROM sig s LEFT JOIN best b ON b.new_doc = s.doc_id
        |WHERE s.doc_id % 5 = 4
        |ORDER BY new_doc""".stripMargin
+
+  /** q125 — near-dup BURDEN by source: for every source, how many of
+    * its docs sit in at least one verified near-dup pair (q29's exact-
+    * Jaccard-verified LSH pairs), and how many of those have a partner
+    * in a DIFFERENT source. This is the provenance diagnostic a curation
+    * pipeline reads before choosing a dedup keeper rule: high
+    * within-source duplication points at a crawler re-fetching, high
+    * cross-source duplication at mirrored content — different remedies
+    * (cf. the per-dump vs global MinHash dedup finding in FineWeb,
+    * Penedo et al. 2024). Shape: q29's pair set (tiny — candidates are
+    * band-bucket-joined, never all-pairs) explodes into per-side
+    * involvement rows; sources attach via two joins against the slim
+    * (doc_id, source) projection; countDistinct collapses multi-pair
+    * docs. Integer-only output. */
+  def q125DupBurden(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val touched = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
+    val slim = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = touched
+      .join(slim, Seq("doc_id"))
+      .join(slim.select(col("doc_id").as("partner"), col("source").as("p_src")),
+            Seq("partner"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("dup_docs"),
+           countDistinct(when(col("p_src") =!= col("source"),
+                              col("doc_id"))).as("cross_docs"))
+    slim.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("cross_docs"), lit(0L)).as("cross_docs"))
+      .orderBy(col("source"))
+  }
+
+  val dupBurdenOracle: String =
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |            AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |    FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+       |  WHERE jaccard >= 0.5),
+       |touched AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS dup_docs,
+       |    CAST(count(DISTINCT CASE WHEN p.source <> d.source
+       |                             THEN t.doc_id END) AS BIGINT) AS cross_docs
+       |  FROM touched t
+       |  JOIN documents d ON d.doc_id = t.doc_id
+       |  JOIN documents p ON p.doc_id = t.partner
+       |  GROUP BY d.source)
+       |SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+       |  CAST(coalesce(per.dup_docs, 0) AS BIGINT) AS dup_docs,
+       |  CAST(coalesce(per.cross_docs, 0) AS BIGINT) AS cross_docs
+       |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) s
+       |LEFT JOIN per USING (source)
+       |ORDER BY s.source""".stripMargin
 }

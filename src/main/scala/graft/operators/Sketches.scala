@@ -618,4 +618,212 @@ object Sketches {
        |SELECT e.lang, e.n, x.median_chars, CAST(e.hist_median_low AS BIGINT) AS hist_median_low
        |FROM est e JOIN exact x ON e.lang = x.lang
        |ORDER BY e.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Hash-priority SAMPLE-QUANTILE sketch (q121/q122) — the fourth
+  // mergeable sketch state beside HLL (max), CMS (sum) and KMV
+  // (union-retruncate): a fixed-size uniform sample kept as the k docs
+  // with the SMALLEST md5(doc_id) priority (q103's sampler as a
+  // persistable artifact). Unlike the fixed-bin histogram (q102/q114)
+  // it needs no value-range assumption: any quantile of any totally
+  // ordered column reads off the sample with rank error O(n/√k) w.h.p.
+  // (Vitter CACM'85 reservoir theory; the bottom-k-by-hash spelling is
+  // the deterministic, engine-portable form — no RNG state anywhere).
+  // Merge = union + retruncate to the k smallest priorities, lossless
+  // by the KMV argument: a doc among the global k smallest priorities
+  // has < k docs below it in ANY slice it appears in, so every slice
+  // kept it. This is the portable stand-in for KLL/t-digest (whose
+  // compaction orders and float interpolation are not bit-portable
+  // across engines — ROUND4 next-step 5).
+  // ---------------------------------------------------------------------
+
+  /** Sample size for q121/q122. Rank error ≈ n/√k — at k = 32 the
+    * p-quantile estimate lands within ≈ n/5.7 ranks of the truth, wide
+    * enough that the audit columns visibly move on the fixture (the
+    * honest-readout rule). Production runs k = 4096–65536 (rank error
+    * 1.6%–0.4% of n); the state is k (priority, value) pairs per group
+    * either way, and k ≥ |group| degrades to the EXACT quantile (pinned
+    * by SampleQuantileSpec). */
+  val SqK = 32
+
+  /** Bottom-k sample by md5 priority per group — the persistable sketch
+    * artifact (≤ k rows per group, each carrying the priority hash and
+    * the sampled value). row_number (not dense_rank — the key is unique,
+    * so priorities are distinct) over (md5(key), key) plans as
+    * WindowGroupLimit: every map partition trims to its own k smallest
+    * before the exchange, the q103/q107 discipline. */
+  def sampleBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
+                    value: Column, k: Int = SqK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("pr"), col("k"))
+    df.select(groupCols.map(col) :+ md5(key.cast("string")).as("pr") :+
+        key.as("k") :+ value.as("v"): _*)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** p50/p90 of `v` read off a sample relation, per group: explicit
+    * integer ranks ((m+1) div 2 lower-middle, ceil(0.9·m) = (9m+9) div
+    * 10 — the q49/q114 rank rules) over the ≤ k sample rows, so both
+    * engines pick the same element. The quantile-read windows run over
+    * k rows per group — free at any corpus size. */
+  def sampleQuantiles(sample: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("v"), col("k"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = sample
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val g = if (groupCols.isEmpty) ranked.groupBy()
+            else ranked.groupBy(groupCols.map(col): _*)
+    g.agg(max(col("m")).as("sample_m"),
+          max(when(col("rn") === ((col("m") + 1) / 2).cast("long"),
+                   col("v"))).as("est_p50"),
+          max(when(col("rn") === ((col("m") * 9 + 9) / 10).cast("long"),
+                   col("v"))).as("est_p90"))
+  }
+
+  /** Exact per-group p50/p90 of n_chars by the same rank rules — the
+    * audit side (per-lang windows, the q114-exact shape: groups are
+    * bounded; at 100 TB this side is the cost the sketch exists to
+    * avoid, run at audit time only). */
+  private def exactQuantilesByLang(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    docs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("cnt")).as("n_docs"),
+           max(when(col("rn") === ((col("cnt") + 1) / 2).cast("long"),
+                    col("n_chars"))).as("exact_p50"),
+           max(when(col("rn") === ((col("cnt") * 9 + 9) / 10).cast("long"),
+                    col("n_chars"))).as("exact_p90"))
+  }
+
+  /** GLOBAL exact p50/p90 — spelled over [[PrefixSum.globalRank]] (the
+    * q60 discipline): the corpus never passes through a single-partition
+    * window; ranks come from bucketed partial counts + per-bucket
+    * windows. */
+  private def exactQuantilesGlobal(docs: DataFrame): DataFrame = {
+    val packed = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("__k",
+        col("n_chars").cast("long") * lit(1000000000000L) + col("doc_id"))
+    val (ranked, n) = PrefixSum.globalRank(packed, "__k", "r")
+    val r50 = (n + 1) / 2
+    val r90 = (n * 9 + 9) / 10
+    ranked.filter(col("r") === r50 || col("r") === r90)
+      .agg(max(when(col("r") === r50, col("n_chars"))).as("exact_p50"),
+           max(when(col("r") === r90, col("n_chars"))).as("exact_p90"))
+      .withColumn("n_docs", lit(n))
+  }
+
+  /** q121 — sample-quantile sketch + audit (the q86/q107 pattern): per
+    * language, p50/p90 of n_chars estimated from the bottom-k sample
+    * beside the exact rank elements and the absolute errors. Pure
+    * integer output — no decimal routing anywhere. */
+  def q121SampleQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val est = sampleQuantiles(
+      sampleBottomK(docs, Seq("lang"), col("doc_id"), col("n_chars")),
+      Seq("lang"))
+    exactQuantilesByLang(docs).join(est, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sample_m"),
+        col("est_p50").cast("long").as("est_p50"),
+        col("exact_p50").cast("long").as("exact_p50"),
+        abs(col("est_p50") - col("exact_p50")).cast("long").as("err_p50"),
+        col("est_p90").cast("long").as("est_p90"),
+        col("exact_p90").cast("long").as("exact_p90"),
+        abs(col("est_p90") - col("exact_p90")).cast("long").as("err_p90"))
+      .orderBy(col("lang"))
+  }
+
+  /** q122 — sample MERGE/rollup: the per-lang samples union and
+    * retruncate to the global k smallest priorities. Lossless by the
+    * KMV argument, so the oracle builds the GLOBAL sample from scratch
+    * and equality is the check (the q90/q99/q108 merge discipline). The
+    * retruncate is sort+limit (TakeOrderedAndProject, distributed
+    * top-k) — never a single-partition window; the rollup re-aggregates
+    * ≤ k·|groups| rows, not the corpus. */
+  def q122SampleQuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merged = sampleBottomK(docs, Seq("lang"), col("doc_id"), col("n_chars"))
+      .select(col("pr"), col("k"), col("v"))
+      .orderBy(col("pr"), col("k")).limit(SqK)
+    val est = sampleQuantiles(merged, Seq.empty)
+    exactQuantilesGlobal(docs).crossJoin(est)
+      .select(lit("all").as("scope"), col("n_docs"), col("sample_m"),
+        col("est_p50").cast("long").as("est_p50"),
+        col("exact_p50").cast("long").as("exact_p50"),
+        abs(col("est_p50") - col("exact_p50")).cast("long").as("err_p50"),
+        col("est_p90").cast("long").as("est_p90"),
+        col("exact_p90").cast("long").as("exact_p90"),
+        abs(col("est_p90") - col("exact_p90")).cast("long").as("err_p90"))
+  }
+
+  val sampleQuantileOracle: String =
+    s"""WITH samp AS (
+       |  SELECT lang, v FROM (
+       |    SELECT lang, n_chars AS v,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM documents)
+       |  WHERE rk <= $SqK),
+       |est AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS sample_m,
+       |    CAST(max(CASE WHEN rn = (m + 1) // 2 THEN v END) AS BIGINT) AS est_p50,
+       |    CAST(max(CASE WHEN rn = (m * 9 + 9) // 10 THEN v END) AS BIGINT) AS est_p90
+       |  FROM (SELECT lang, v,
+       |          row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+       |          count(*) OVER (PARTITION BY lang) AS m
+       |        FROM samp)
+       |  GROUP BY lang),
+       |exact AS (
+       |  SELECT lang, CAST(max(cnt) AS BIGINT) AS n_docs,
+       |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT) AS exact_p50,
+       |    CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_chars END) AS BIGINT) AS exact_p90
+       |  FROM (SELECT lang, n_chars, doc_id,
+       |          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |          count(*) OVER (PARTITION BY lang) AS cnt
+       |        FROM documents)
+       |  GROUP BY lang)
+       |SELECT x.lang, x.n_docs, e.sample_m,
+       |  e.est_p50, x.exact_p50, abs(e.est_p50 - x.exact_p50) AS err_p50,
+       |  e.est_p90, x.exact_p90, abs(e.est_p90 - x.exact_p90) AS err_p90
+       |FROM exact x JOIN est e USING (lang)
+       |ORDER BY x.lang""".stripMargin
+
+  /** The rollup oracle builds the GLOBAL bottom-k sample directly from
+    * the corpus — the per-lang union-retruncate must equal it. */
+  val sampleQuantileRollupOracle: String =
+    s"""WITH samp AS (
+       |  SELECT n_chars AS v FROM (
+       |    SELECT n_chars,
+       |      row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM documents)
+       |  WHERE rk <= $SqK),
+       |est AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS sample_m,
+       |    CAST(max(CASE WHEN rn = (m + 1) // 2 THEN v END) AS BIGINT) AS est_p50,
+       |    CAST(max(CASE WHEN rn = (m * 9 + 9) // 10 THEN v END) AS BIGINT) AS est_p90
+       |  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |               count(*) OVER () AS m
+       |        FROM samp)),
+       |exact AS (
+       |  SELECT CAST(max(cnt) AS BIGINT) AS n_docs,
+       |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT) AS exact_p50,
+       |    CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_chars END) AS BIGINT) AS exact_p90
+       |  FROM (SELECT n_chars,
+       |          row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+       |          count(*) OVER () AS cnt
+       |        FROM documents))
+       |SELECT 'all' AS scope, x.n_docs, e.sample_m,
+       |  e.est_p50, x.exact_p50, abs(e.est_p50 - x.exact_p50) AS err_p50,
+       |  e.est_p90, x.exact_p90, abs(e.est_p90 - x.exact_p90) AS err_p90
+       |FROM exact x CROSS JOIN est e""".stripMargin
 }

@@ -376,4 +376,108 @@ object TrainPrep {
        |    FROM sampled)
        |ORDER BY stage""".stripMargin
   }
+
+  /** q124 — token-budget WATER-FILLING allocator: given a total token
+    * budget (4/5 of the corpus here) and a uniform per-language target,
+    * find the EXACT water level — the equal allocation L such that
+    * min(avail, L) sums to the budget — in closed form: sort languages
+    * by availability ascending; the first rank r* whose availability
+    * exceeds the equal share of what remains after fully funding every
+    * smaller language marks the open set, which splits that remainder
+    * equally (the DIV remainder goes one token each to the first open
+    * ranks, so the budget is conserved EXACTLY — pinned by Round4bSpec).
+    * This turns target weights (q47/q75) into an achievable allocation
+    * when some languages are smaller than their share (cf. the
+    * per-source caps in public LLM data recipes, Rae et al. 2021 §A3).
+    * All allocation arithmetic is integer (DIV/%); utilization is the
+    * one ratio, decimal-routed at 6. Shape: one per-language token
+    * aggregate (map-side combine over the corpus), then every window
+    * runs on the |langs|-row relation (the q117 grid discipline). */
+  def q124TokenWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val w = Window.partitionBy()
+    val wOrd = Window.partitionBy()
+      .orderBy(col("avail_tokens"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val avail = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("avail_tokens"))
+    avail
+      .withColumn("total", sum(col("avail_tokens")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("budget", expr("(total * 4) DIV 5"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy().orderBy(col("avail_tokens"), col("lang")))
+        .cast("long"))
+      .withColumn("p", sum(col("avail_tokens")).over(wOrd))
+      // equal share of what remains if every smaller language is funded
+      // in full — valid exactly up to the first rank that exceeds it
+      .withColumn("share",
+        expr("(budget - (p - avail_tokens)) DIV (n - r + 1)"))
+      .withColumn("rstar", coalesce(
+        min(when(col("avail_tokens") > col("share"), col("r"))).over(w),
+        col("n") + 1))
+      .withColumn("capped", col("r") < col("rstar"))
+      .withColumn("pstar", coalesce(
+        sum(when(col("capped"), col("avail_tokens"))).over(w), lit(0L)))
+      .withColumn("open_n", col("n") - col("rstar") + 1)
+      .withColumn("level",
+        expr("CASE WHEN open_n > 0 THEN (budget - pstar) DIV open_n END"))
+      .withColumn("rem",
+        expr("CASE WHEN open_n > 0 THEN (budget - pstar) % open_n END"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("avail_tokens"))
+          .otherwise(col("level") +
+            when(col("r") - col("rstar") < col("rem"), 1L).otherwise(0L)))
+      .select(col("lang"), col("avail_tokens"), col("capped"),
+        col("alloc_tokens"),
+        round((col("alloc_tokens").cast("double") /
+               col("avail_tokens").cast("double")).cast(dec), 6)
+          .cast("double").as("util6"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenWaterfillOracle: String =
+    """WITH avail AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY lang),
+      |ranked AS (
+      |  SELECT lang, avail_tokens,
+      |    (sum(avail_tokens) OVER () * 4) // 5 AS budget,
+      |    count(*) OVER () AS n,
+      |    row_number() OVER (ORDER BY avail_tokens, lang) AS r,
+      |    sum(avail_tokens) OVER (ORDER BY avail_tokens, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM avail),
+      |shared AS (
+      |  SELECT *, (budget - (p - avail_tokens)) // (n - r + 1) AS share
+      |  FROM ranked),
+      |star AS (
+      |  SELECT *,
+      |    coalesce(min(CASE WHEN avail_tokens > share THEN r END) OVER (),
+      |             n + 1) AS rstar
+      |  FROM shared),
+      |lev AS (
+      |  SELECT *, r < rstar AS capped,
+      |    coalesce(sum(CASE WHEN r < rstar THEN avail_tokens END) OVER (), 0)
+      |      AS pstar,
+      |    n - rstar + 1 AS open_n
+      |  FROM star),
+      |alloc AS (
+      |  SELECT lang, avail_tokens, capped,
+      |    CASE WHEN capped THEN avail_tokens
+      |         ELSE (budget - pstar) // open_n +
+      |           CASE WHEN r - rstar < (budget - pstar) % open_n
+      |                THEN 1 ELSE 0 END
+      |    END AS alloc_tokens
+      |  FROM lev)
+      |SELECT lang, avail_tokens, capped,
+      |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+      |  CAST(round(CAST(CAST(alloc_tokens AS DOUBLE) /
+      |    CAST(avail_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS util6
+      |FROM alloc ORDER BY lang""".stripMargin
 }
