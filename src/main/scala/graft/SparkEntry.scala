@@ -143,6 +143,8 @@ object SparkEntry {
     "q123_source_novelty"   -> (Corpus.q123SourceNovelty _),
     "q124_token_waterfill"  -> (TrainPrep.q124TokenWaterfill _),
     "q125_dup_burden"       -> (Dedup.q125DupBurden _),
+    "q126_chunk_dup"        -> (Corpus.q126ChunkDupProfile _),
+    "q127_quality_quota"    -> (TrainPrep.q127QualityQuota _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -428,5 +430,7 @@ object SparkEntry {
     "q123_source_novelty"    -> Corpus.sourceNoveltyOracle,
     "q124_token_waterfill"   -> TrainPrep.tokenWaterfillOracle,
     "q125_dup_burden"        -> Dedup.dupBurdenOracle,
+    "q126_chunk_dup"         -> Corpus.chunkDupProfileOracle,
+    "q127_quality_quota"     -> TrainPrep.qualityQuotaOracle,
   )
 }

@@ -957,6 +957,55 @@ object Corpus {
        |    AS straddles
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q126 — chunk-level DUPLICATION profile: per document, how many of
+    * its token chunks (q79's stride-[[ChunkStride]] windows) also appear
+    * verbatim in at least one OTHER document. This is dedup at the
+    * paragraph/span granularity of public pipelines (Dolma's paragraph
+    * dedup, Soldaini et al. 2024) — document-level near-dup (q29) misses
+    * shared boilerplate spans inside otherwise-distinct docs, and the
+    * exact-substring pass (q105) works at token offsets; this is the
+    * cheap hash-granular middle. Shape: the chunk relation carries only
+    * (doc_id, chunk_hash); the cross-doc test is one countDistinct
+    * aggregate keyed by hash (map-side combine) re-joined to the chunk
+    * stream — hashes shuffle, text never does. The per-doc rollup is the
+    * dedup-pressure readout a pipeline thresholds on (dup_frac ≥ x ⇒
+    * drop or re-chunk). */
+  def q126ChunkDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val ch = q79ChunkWindows(spark, dir).select(col("doc_id"), col("chunk_hash"))
+    val spread = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+    ch.join(spread, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_frac6",
+        round((col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+                .cast(dec), 6).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDupProfileOracle: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |           FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(t, chunk_start + 1,
+       |        chunk_start + $ChunkLen), ' ')) AS chunk_hash
+       |  FROM (SELECT doc_id, unnest(range(0, len(t), $ChunkStride)) AS chunk_start, t
+       |        FROM t)),
+       |spread AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) AS docs_with
+       |  FROM ch GROUP BY chunk_hash)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(round(CAST(CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)), 6)
+       |    AS DOUBLE) AS dup_frac6
+       |FROM ch JOIN spread USING (chunk_hash)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q123 — source NOVELTY curve: scanning sources in a deterministic
     * order (lexicographic name — any fixed acquisition order works the
     * same way), how many 3-gram shingles does each source contribute

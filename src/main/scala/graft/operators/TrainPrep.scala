@@ -438,6 +438,96 @@ object TrainPrep {
       .orderBy(col("lang"))
   }
 
+  /** q127 — quality-weighted source QUOTAS by largest-remainder
+    * (Hamilton) apportionment: the companion allocator to q124's
+    * water-fill. Each source's quota of a token budget is proportional
+    * to its RULE-CLEAN tokens (tokens in docs passing every q113 Gopher
+    * rule — quality gating composed INTO the mixture math, the way
+    * public recipes weight cleaner sources up); fractional quotas are
+    * settled exactly: base = floor(B·cₛ/C), and the leftover B − Σbase
+    * seats go one each to the largest remainders (ties by source name).
+    * Σalloc == B ALWAYS — pinned by Round4bSpec. The B·cₛ product is
+    * routed through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at 100 TB
+    * token counts overflow a BIGINT product, and both engines' wide
+    * types compute the exact integer. Shape: one per-source aggregate
+    * over the flagged corpus, then rank/sum windows on the
+    * |sources|-row relation (the q117 grid discipline). */
+  def q127QualityQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val flags = TextOps.qualityFlags(spark, dir).select(col("doc_id"), col("f_any"))
+    val perSource = Tables.documents(spark, dir)
+      .join(flags, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(when(!col("f_any"), 1L).otherwise(0L)).as("clean_docs"),
+           sum(when(!col("f_any"),
+                    size(TextOps.tokens(col("text"))).cast("long"))
+                 .otherwise(0L)).as("clean_tokens"))
+    perSource
+      .withColumn("c_total", sum(col("clean_tokens")).over(w))
+      .withColumn("budget", expr("c_total DIV 3"))
+      .withColumn("base",
+        expr("CAST(budget AS DECIMAL(38,0)) * clean_tokens DIV c_total"))
+      .withColumn("rem",
+        expr("CAST(CAST(budget AS DECIMAL(38,0)) * clean_tokens % c_total AS DECIMAL(38,0))"))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("extra_seats", col("budget") - sum(col("base")).over(w))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rem_rank") <= col("extra_seats"), 1L).otherwise(0L))
+      .select(col("source"), col("clean_docs"), col("clean_tokens"),
+              col("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val qualityQuotaOracle: String = {
+    val stops = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, source, len(t) AS n,
+       |         len(array_to_string(t, '')) AS chars,
+       |         len(list_filter(t, x -> x IN ($stops))) AS stops
+       |  FROM tok),
+       |rep AS (
+       |  SELECT doc_id, max(c) AS maxc FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |flagged AS (
+       |  SELECT s.doc_id, s.source, s.n,
+       |    ((n < 20 OR n > 80) OR (chars < 3*n OR chars > 5*n)
+       |      OR (stops < 2) OR (maxc*5 > n)) AS f_any
+       |  FROM stats s JOIN rep USING (doc_id)),
+       |per_source AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN NOT f_any THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS clean_docs,
+       |    CAST(sum(CASE WHEN NOT f_any THEN n ELSE 0 END) AS BIGINT)
+       |      AS clean_tokens
+       |  FROM flagged GROUP BY source),
+       |quota AS (
+       |  SELECT source, clean_docs, clean_tokens,
+       |    CAST(sum(clean_tokens) OVER () AS BIGINT) AS c_total,
+       |    CAST(sum(clean_tokens) OVER () AS BIGINT) // 3 AS budget
+       |  FROM per_source),
+       |seats AS (
+       |  SELECT *,
+       |    CAST(CAST(budget AS HUGEINT) * clean_tokens // c_total AS BIGINT)
+       |      AS base,
+       |    CAST(budget AS HUGEINT) * clean_tokens % c_total AS rem
+       |  FROM quota),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+       |    budget - sum(base) OVER () AS extra_seats
+       |  FROM seats)
+       |SELECT source, clean_docs, clean_tokens,
+       |  CAST(base + CASE WHEN rem_rank <= extra_seats THEN 1 ELSE 0 END
+       |       AS BIGINT) AS alloc_tokens
+       |FROM ranked ORDER BY source""".stripMargin
+  }
+
   val tokenWaterfillOracle: String =
     """WITH avail AS (
       |  SELECT lang,

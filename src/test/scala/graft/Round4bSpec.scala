@@ -150,6 +150,42 @@ class Round4bSpec extends AnyFunSuite {
       "fixture fires neither capped nor uncapped branch")
   }
 
+  // ---- q126 chunk-level duplication -------------------------------------
+
+  test("q126 equals a naive per-chunk recount, and shared chunks always " +
+       "touch at least two docs") {
+    val chunks = Corpus.q79ChunkWindows(spark, dir)
+      .select("doc_id", "chunk_hash").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docsWith = chunks.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val expect = chunks.groupBy(_._1).view.mapValues { ch =>
+      (ch.length.toLong, ch.count(c => docsWith(c._2) > 1).toLong)
+    }.toMap
+    val got = Corpus.q126ChunkDupProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+    val dupDocs = got.count(_._2._2 > 0)
+    assert(dupDocs != 1, "a shared chunk must touch >= 2 docs")
+  }
+
+  // ---- q127 quality quotas -----------------------------------------------
+
+  test("q127 Hamilton apportionment: budget conserved exactly and every " +
+       "quota within one token of its exact proportional share") {
+    val rows = TrainPrep.q127QualityQuota(spark, dir).collect()
+    val clean = rows.map(_.getAs[Long]("clean_tokens"))
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    val cTotal = clean.sum
+    val budget = cTotal / 3
+    assert(alloc.sum === budget, "apportionment must conserve the budget")
+    rows.indices.foreach { i =>
+      val base = BigInt(budget) * clean(i) / cTotal
+      assert(alloc(i) == base.toLong || alloc(i) == base.toLong + 1,
+        s"row $i quota ${alloc(i)} outside [${base}, ${base + 1}]")
+      if (clean(i) == 0) assert(alloc(i) === 0L)
+    }
+  }
+
   // ---- q125 dup burden ---------------------------------------------------
 
   test("q125 ties out against the verified pair set: sum(dup_docs) = " +
