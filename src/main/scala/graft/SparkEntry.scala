@@ -145,6 +145,8 @@ object SparkEntry {
     "q125_dup_burden"       -> (Dedup.q125DupBurden _),
     "q126_chunk_dup"        -> (Corpus.q126ChunkDupProfile _),
     "q127_quality_quota"    -> (TrainPrep.q127QualityQuota _),
+    "q128_pq_encode"        -> (Similarity.q128PqEncode _),
+    "q129_pq_recall"        -> (Similarity.q129PqRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -432,5 +434,7 @@ object SparkEntry {
     "q125_dup_burden"        -> Dedup.dupBurdenOracle,
     "q126_chunk_dup"         -> Corpus.chunkDupProfileOracle,
     "q127_quality_quota"     -> TrainPrep.qualityQuotaOracle,
+    "q128_pq_encode"         -> Similarity.pqEncodeOracle,
+    "q129_pq_recall"         -> Similarity.pqRecallOracle,
   )
 }

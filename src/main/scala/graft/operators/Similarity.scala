@@ -574,4 +574,183 @@ object Similarity {
        |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. TPAMI 2011, public) — the memory
+  // side of the ANN story: IVF (q33/q53) prunes WHICH vectors a query
+  // scans; PQ compresses WHAT is scanned. A 64-dim float vector (256 B)
+  // becomes PQ_M=8 one-byte codes: per subspace, the id of the nearest
+  // codebook centroid. At 100 TB the corpus lives in Parquet as 8 small
+  // ints; full vectors are fetched only to re-rank a final candidate
+  // handful. Codebooks here are SEED codebooks (the first PQ_K vectors'
+  // subvectors — the q71 seed rule): a production build trains them with
+  // per-subspace k-means (q71's iteration applies unchanged per
+  // subspace), and every operator below is agnostic to where the
+  // codebook came from. Determinism: all distances are decimal-routed
+  // to 4dp BEFORE any argmin/rank, ties break by code/vec id — the q71
+  // discipline.
+  // ---------------------------------------------------------------------
+
+  val PQ_M = 8      // subspaces
+  val PQ_SUBDIM = 8 // dims per subspace (8×8 = 64)
+  val PQ_K = 16     // centroids per subspace
+
+  private val dec4 = org.apache.spark.sql.types.DecimalType(28, 4)
+  private def d2dec(sq: Column): Column =
+    round(sq.cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4).cast(dec4)
+
+  /** (vec_id, m, sv) subvector explode — one row per (vector, subspace). */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PQ_M - 1)), m =>
+        slice(col("v"), m * PQ_SUBDIM + 1, lit(PQ_SUBDIM)))).as(Seq("m", "sv")))
+
+  /** Seed codebook: (m, code, cv, cvn) — PQ_M·PQ_K rows, broadcast-scale
+    * at any corpus size. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    pqSub(e.filter(col("vec_id") < PQ_K))
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      .withColumn("cvn", dot(col("cv"), col("cv")))
+
+  /** (vec_id, m, code): nearest centroid per subspace. One broadcast
+    * join corpus-subvectors × codebook; the argmin window partitions by
+    * (vec_id, m) — bounded at PQ_K rows. */
+  private[operators] def pqCodes(e: DataFrame): DataFrame = {
+    val sub = pqSub(e).withColumn("svn", dot(col("sv"), col("sv")))
+    val d2 = d2dec(col("svn") + col("cvn") - lit(2.0) * dot(col("sv"), col("cv")))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    sub.join(broadcast(pqCodebook(e)), Seq("m"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** q128 — PQ ENCODE: every vector's 8 subspace codes, wide. The
+    * persistable compressed corpus (8 bytes/vector + one shared
+    * codebook). */
+  def q128PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodes(vecs(spark, dir))
+    val wide = (0 until PQ_M).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"c$m"))
+    codes.groupBy(col("vec_id"))
+      .agg(wide.head, wide.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q129 — ADC recall AUDIT (the q89/q95 honest-readout family, for
+    * the compression step): asymmetric-distance top-k from codes alone
+    * vs exact-L2 top-k from full vectors, recall@k per query. ADC: the
+    * query precomputes a (m, code) → d² lookup table against the
+    * codebook (PQ_M·PQ_K rows per query — broadcast), and a corpus
+    * vector's estimated d² is the SUM of its codes' table entries: the
+    * scan touches only the 8 small codes per vector, never the floats.
+    * All component distances are exact decimals, so the sum — and the
+    * ranking — is bit-identical across engines and partitionings. */
+  def q129PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val codes = pqCodes(e)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // per-query subspace LUT against the codebook
+    val qsub = pqSub(q.select(col("q_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .withColumn("qsvn", dot(col("qsv"), col("qsv")))
+    val lut = qsub.join(pqCodebook(e), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        d2dec(col("qsvn") + col("cvn") -
+              lit(2.0) * dot(col("qsv"), col("cv"))).as("d2m"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2m")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val topAdc = adc.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= TOP_K).select(col("q_id"), col("vec_id").as("n_id"))
+    // exact-L2 ground truth over full vectors
+    val d2e = d2dec(col("qn") + col("nrm") - lit(2.0) * dot(col("qv"), col("v")))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("d2x"), col("vec_id"))
+    val topExact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2x", d2e)
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= TOP_K).select(col("q_id"), col("vec_id").as("n_id"))
+    topExact.join(topAdc.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / TOP_K).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  private def pqCommonCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, m*$PQ_SUBDIM + 1, m*$PQ_SUBDIM + $PQ_SUBDIM) AS sv
+       |  FROM e, generate_series(0, ${PQ_M - 1}) AS g(m)),
+       |cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PQ_K),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(round(CAST(list_dot_product(s.sv, s.sv)
+       |          + list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(s.sv, c.cv)
+       |          AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)), c.code) AS rn
+       |    FROM sub s JOIN cb c USING (m))
+       |  WHERE rn = 1)""".stripMargin
+
+  val pqEncodeOracle: String = {
+    val cols = (0 until PQ_M).map(m =>
+      s"CAST(max(CASE WHEN m = $m THEN code END) AS BIGINT) AS c$m").mkString(",\n  ")
+    s"""WITH $pqCommonCtes
+       |SELECT vec_id, $cols
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  val pqRecallOracle: String =
+    s"""WITH $pqCommonCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),
+       |qsub AS (
+       |  SELECT q_id, m,
+       |    list_slice(qv, m*$PQ_SUBDIM + 1, m*$PQ_SUBDIM + $PQ_SUBDIM) AS qsv
+       |  FROM q, generate_series(0, ${PQ_M - 1}) AS g(m)),
+       |lut AS (
+       |  SELECT s.q_id, s.m, c.code,
+       |    CAST(round(CAST(list_dot_product(s.qsv, s.qsv)
+       |      + list_dot_product(c.cv, c.cv)
+       |      - 2.0 * list_dot_product(s.qsv, c.cv)
+       |      AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)) AS d2m
+       |  FROM qsub s JOIN cb c USING (m)),
+       |adc AS (
+       |  SELECT l.q_id, x.vec_id, sum(l.d2m) AS adc
+       |  FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
+       |  WHERE x.vec_id <> l.q_id
+       |  GROUP BY l.q_id, x.vec_id),
+       |top_adc AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+       |    FROM adc)
+       |  WHERE rk <= $TOP_K),
+       |top_exact AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q.q_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        CAST(round(CAST(list_dot_product(q.qv, q.qv)
+       |          + list_dot_product(n.v, n.v)
+       |          - 2.0 * list_dot_product(q.qv, n.v)
+       |          AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)), n.vec_id) AS rk
+       |    FROM e n CROSS JOIN q WHERE n.vec_id <> q.q_id)
+       |  WHERE rk <= $TOP_K)
+       |SELECT t.q_id, CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $TOP_K AS recall_at_k
+       |FROM top_exact t
+       |LEFT JOIN top_adc a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 }

@@ -186,6 +186,56 @@ class Round4bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q128/q129 product quantization -----------------------------------
+
+  test("q128 PQ codes equal a naive per-subspace argmin with the same " +
+       "decimal rounding, and seed vectors self-encode") {
+    import graft.operators.Similarity
+    def r4(d: Double): BigDecimal =
+      BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val vs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def sub(v: Array[Double], m: Int) =
+      v.slice(m * Similarity.PQ_SUBDIM, (m + 1) * Similarity.PQ_SUBDIM)
+    def dotv(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val seeds = vs.take(Similarity.PQ_K)
+    val expect = (for {
+      (id, v) <- vs; m <- 0 until Similarity.PQ_M
+    } yield {
+      val sv = sub(v, m)
+      val best = seeds.map { case (code, cv) =>
+        val c = sub(cv, m)
+        (r4(dotv(sv, sv) + dotv(c, c) - 2.0 * dotv(sv, c)), code)
+      }.min
+      (id, m.toLong) -> best._2
+    }).toMap
+    val got = Similarity.q128PqEncode(spark, dir).collect().flatMap { r =>
+      val id = r.getLong(0)
+      (0 until Similarity.PQ_M).map(m => (id, m.toLong) -> r.getLong(1 + m))
+    }.toMap
+    assert(got === expect)
+    // a codebook seed's nearest centroid in every subspace is itself
+    seeds.foreach { case (id, _) =>
+      (0 until Similarity.PQ_M).foreach(m =>
+        assert(got((id, m.toLong)) === id, s"seed $id subspace $m"))
+    }
+  }
+
+  test("q129 recall audit: 16 query rows, hits bounded by k, ratio " +
+       "consistent") {
+    val rows = graft.operators.Similarity.q129PqRecall(spark, dir).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Double]("recall_at_k") === h.toDouble / 5)
+    }
+  }
+
   // ---- q125 dup burden ---------------------------------------------------
 
   test("q125 ties out against the verified pair set: sum(dup_docs) = " +
