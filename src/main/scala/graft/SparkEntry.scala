@@ -147,6 +147,7 @@ object SparkEntry {
     "q127_quality_quota"    -> (TrainPrep.q127QualityQuota _),
     "q128_pq_encode"        -> (Similarity.q128PqEncode _),
     "q129_pq_recall"        -> (Similarity.q129PqRecall _),
+    "q130_ivfpq_recall"     -> (Similarity.q130IvfPqRecall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -436,5 +437,6 @@ object SparkEntry {
     "q127_quality_quota"     -> TrainPrep.qualityQuotaOracle,
     "q128_pq_encode"         -> Similarity.pqEncodeOracle,
     "q129_pq_recall"         -> Similarity.pqRecallOracle,
+    "q130_ivfpq_recall"      -> Similarity.ivfPqRecallOracle,
   )
 }

@@ -225,14 +225,18 @@ class Round4bSpec extends AnyFunSuite {
     }
   }
 
-  test("q129 recall audit: 16 query rows, hits bounded by k, ratio " +
-       "consistent") {
-    val rows = graft.operators.Similarity.q129PqRecall(spark, dir).collect()
-    assert(rows.length === 16)
-    rows.foreach { r =>
-      val h = r.getAs[Long]("n_hits")
-      assert(h >= 0 && h <= 5)
-      assert(r.getAs[Double]("recall_at_k") === h.toDouble / 5)
+  test("q129/q130 recall audits: 16 query rows each, hits bounded by k, " +
+       "ratio consistent") {
+    import graft.operators.Similarity
+    Seq(Similarity.q129PqRecall(spark, dir),
+        Similarity.q130IvfPqRecall(spark, dir)).foreach { df =>
+      val rows = df.collect()
+      assert(rows.length === 16)
+      rows.foreach { r =>
+        val h = r.getAs[Long]("n_hits")
+        assert(h >= 0 && h <= 5)
+        assert(r.getAs[Double]("recall_at_k") === h.toDouble / 5)
+      }
     }
   }
 
