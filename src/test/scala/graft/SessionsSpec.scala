@@ -352,4 +352,74 @@ class SessionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming CDC replays the batch snapshot diff: two releases as " +
+       "micro-batches classify exactly like q120, replays absorb as " +
+       "unchanged") {
+    import graft.streaming.Cdc
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val prev = docs.filter(_._1 % 11 != 0)
+      .map { case (id, t) => Cdc.Upsert(id, md5hex(t), deleted = false) }
+    val cur = docs.filter(_._1 % 7 != 0)
+      .map { case (id, t) =>
+        val t2 = if (id % 5 == 0) t + " rev2" else t
+        Cdc.Upsert(id, md5hex(t2), deleted = false)
+      }
+    val tombstones = prev.map(_.doc_id).toSet
+      .diff(cur.map(_.doc_id).toSet)
+      .map(id => Cdc.Upsert(id, "", deleted = true)).toSeq
+    val input = MemoryStream[Cdc.Upsert]
+    val q = Cdc.changes(input.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    try {
+      input.addData(prev.toSeq); q.processAllAvailable()
+      input.addData(cur.toSeq ++ tombstones); q.processAllAvailable()
+      // replay only keys release 2 already knew (an added key's replay
+      // would legitimately read "unchanged" and blur the per-key rule)
+      val prevKeys = prev.map(_.doc_id).toSet
+      val replay = cur.filter(u => prevKeys(u.doc_id)).take(25)
+      input.addData(replay.toSeq); q.processAllAvailable()
+      val emitted = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // per-key classification: the one non-"added" emission (if any) is
+      // the release-2 verdict; keys only ever added are release-2 adds
+      // (replays re-read "unchanged", which release 2 already emitted for
+      // unchanged keys — dedupe per key)
+      val byKey = emitted.groupBy(_._1).map { case (k, es) =>
+        val statuses = es.map(_._2).distinct
+        k -> statuses.filter(_ != "added").sorted.headOption.getOrElse("added")
+      }
+      val want = graft.operators.Snapshot
+        .q120SnapshotDiff(spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byKey === want)
+      // exact emission counts: replays may only add "unchanged" rows
+      val counts = emitted.groupBy(_._2).view.mapValues(_.length).toMap
+      val wantByStatus = want.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(counts("added") ===
+        prev.length + want.count { case (k, s) => s == "added" })
+      assert(counts("removed") === wantByStatus.getOrElse("removed", 0))
+      assert(counts("changed") === wantByStatus.getOrElse("changed", 0))
+      assert(counts("unchanged") ===
+        wantByStatus.getOrElse("unchanged", 0) + replay.length)
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
