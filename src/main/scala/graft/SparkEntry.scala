@@ -148,6 +148,9 @@ object SparkEntry {
     "q128_pq_encode"        -> (Similarity.q128PqEncode _),
     "q129_pq_recall"        -> (Similarity.q129PqRecall _),
     "q130_ivfpq_recall"     -> (Similarity.q130IvfPqRecall _),
+    "q131_ppl_buckets"      -> (Corpus.q131PerplexityBuckets _),
+    "q132_temperature_quota" -> (TrainPrep.q132TemperatureQuota _),
+    "q133_epoch_plan"       -> (TrainPrep.q133EpochPlan _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -438,5 +441,8 @@ object SparkEntry {
     "q128_pq_encode"         -> Similarity.pqEncodeOracle,
     "q129_pq_recall"         -> Similarity.pqRecallOracle,
     "q130_ivfpq_recall"      -> Similarity.ivfPqRecallOracle,
+    "q131_ppl_buckets"       -> Corpus.perplexityBucketsOracle,
+    "q132_temperature_quota" -> TrainPrep.temperatureQuotaOracle,
+    "q133_epoch_plan"        -> TrainPrep.epochPlanOracle,
   )
 }

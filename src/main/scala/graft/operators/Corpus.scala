@@ -1048,4 +1048,96 @@ object Corpus {
        |FROM (SELECT DISTINCT source FROM documents) s
        |LEFT JOIN novel n USING (source)
        |ORDER BY s.source""".stripMargin
+
+  /** q131 — per-language PERPLEXITY BUCKETS (CCNet, Wenzek et al. 2020
+    * §4.3): split each language's scored docs into head/middle/tail
+    * tertiles by the q118 LM score (higher = more fluent), the bucketing
+    * public pipelines use to keep the head, sample the middle, and drop
+    * the tail. Boundaries are INTEGER-exact and tie-safe: a doc's bucket
+    * depends only on r_hi = #(strictly better scores in its language) —
+    * head iff 3·r_hi < n, middle iff 3·r_hi < 2n, else tail — so equal
+    * scores always share a bucket and no float quantile is involved.
+    * Shape: the corpus aggregates once to a (lang, score) GRID (≤ 1e6·
+    * score-range rows per lang — the 6-decimal score lattice, not the
+    * corpus); ranking windows run per-lang on the grid (the q117 grid
+    * discipline), and the corpus itself never enters a window. Bucket
+    * means stay exact: Σscore is a DECIMAL(18,6) sum whose scaled value
+    * is far below 2^53, so the final double cast is exact in both
+    * engines (the q118 magnitude argument). */
+  def q131PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val scored = lmPerDoc(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+    val grid = scored.groupBy(col("lang"), col("lm6"))
+      .agg(count(lit(1)).as("c"), sum(col("lm6")).as("ssum"))
+    val wLang = Window.partitionBy(col("lang"))
+    val wOrd = Window.partitionBy(col("lang")).orderBy(col("lm6").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n", sum(col("c")).over(wLang))
+      .withColumn("r_hi", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("bucket",
+        when(col("r_hi") * 3 < col("n"), "head")
+          .when(col("r_hi") * 3 < col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"),
+           min(col("lm6")).cast("double").as("lo6"),
+           max(col("lm6")).cast("double").as("hi6"),
+           round((sum(col("ssum")).cast("double") /
+                  sum(col("c")).cast("double")).cast(dec), 6)
+             .cast("double").as("mean6"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val perplexityBucketsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tok WHERE len(t) >= 2),
+      |counts AS (
+      |  SELECT bg, str_split(bg, ' ')[1] AS w1, count(*) AS c12
+      |  FROM occ GROUP BY bg),
+      |heads AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+      |lm AS (
+      |  SELECT bg,
+      |    CAST(round(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS p
+      |  FROM counts JOIN heads USING (w1)),
+      |s AS (
+      |  SELECT doc_id, sum(p) AS sm, CAST(count(*) AS BIGINT) AS n_bigrams
+      |  FROM occ JOIN lm USING (bg) GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.lang,
+      |    CAST(round(CAST(CAST(sm AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS lm6
+      |  FROM s JOIN documents d USING (doc_id)),
+      |grid AS (
+      |  SELECT lang, lm6, CAST(count(*) AS BIGINT) AS c,
+      |         sum(lm6) AS ssum
+      |  FROM scored GROUP BY lang, lm6),
+      |rk AS (
+      |  SELECT *,
+      |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY lm6 DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS r_hi
+      |  FROM grid),
+      |b AS (
+      |  SELECT *,
+      |    CASE WHEN r_hi * 3 < n THEN 'head'
+      |         WHEN r_hi * 3 < n * 2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM rk)
+      |SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(min(lm6) AS DOUBLE) AS lo6,
+      |  CAST(max(lm6) AS DOUBLE) AS hi6,
+      |  CAST(round(CAST(CAST(sum(ssum) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+      |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean6
+      |FROM b GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
 }

@@ -570,4 +570,164 @@ object TrainPrep {
       |    CAST(avail_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
       |    AS util6
       |FROM alloc ORDER BY lang""".stripMargin
+
+  /** Integer temperature weight: floor(sqrt(tokens)·1e6) — the α = 1/2
+    * sampling temperature (the smoothing exponent family of mT5 §3.2 /
+    * GPT-3 appendix A) made bit-portable: IEEE-754 sqrt is correctly
+    * rounded in both engines (java.lang.Math.sqrt / libm), the ·1e6
+    * product and floor are exact double ops, so both engines derive the
+    * IDENTICAL integer micro-weight and every downstream step is integer
+    * or wide-decimal arithmetic. α = 1/4 would be sqrt∘sqrt — any
+    * dyadic temperature stays portable by chaining; pow(x, 0.3) would
+    * not be (libm pow is not correctly rounded), which is why the
+    * exponent is a code choice, not a parameter. */
+  private def tempWeight(c: Column): Column =
+    floor(sqrt(c.cast("double")) * lit(1000000.0)).cast("long")
+
+  /** Shared allocator: Hamilton largest-remainder apportionment of
+    * `budget` over integer weights (the q127 machinery with the weight
+    * column abstracted). Input must carry source, avail_tokens, wgt;
+    * budget is an integer column expression over the grid. */
+  private def hamiltonAlloc(grid: DataFrame, budget: Column): DataFrame = {
+    val w = Window.partitionBy()
+    grid
+      .withColumn("wtot", sum(col("wgt")).over(w))
+      .withColumn("budget", budget)
+      .withColumn("base",
+        expr("CAST(budget AS DECIMAL(38,0)) * wgt DIV wtot"))
+      .withColumn("rem",
+        expr("CAST(CAST(budget AS DECIMAL(38,0)) * wgt % wtot AS DECIMAL(38,0))"))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("extra_seats", col("budget") - sum(col("base")).over(w))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rem_rank") <= col("extra_seats"), 1L).otherwise(0L))
+  }
+
+  /** q132 — TEMPERATURE-scaled source quotas at α = 1/2: the
+    * proportional-mixture counterweight. Proportional sampling lets the
+    * biggest crawl drown the small high-value sources; temperature
+    * sampling allocates by tokens^α, flattening the mixture (small
+    * sources get MORE than their share, big ones less — the
+    * multilingual-sampling rule of mT5/XLM-R applied to source mixing).
+    * Weights are the portable integer micro-weights of `tempWeight`;
+    * seats are settled by the q127 Hamilton machinery, so Σalloc ==
+    * budget EXACTLY (pinned by Round4cSpec, along with the flattening
+    * law: every below-average source's allocated share exceeds its
+    * proportional share). Budget = half the corpus tokens. Shape: one
+    * map-side-combined per-source aggregate, then windows on the
+    * |sources|-row grid (the q117 grid discipline). */
+  def q132TemperatureQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val avail = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("wgt", tempWeight(col("avail_tokens")))
+      .withColumn("total", sum(col("avail_tokens")).over(w))
+    hamiltonAlloc(avail, expr("total DIV 2"))
+      .select(col("source"), col("avail_tokens"),
+              col("wgt").as("weight_micro"), col("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureQuotaOracle: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |wgt AS (
+      |  SELECT source, avail_tokens,
+      |    CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS weight_micro,
+      |    CAST(sum(avail_tokens) OVER () AS BIGINT) // 2 AS budget
+      |  FROM avail),
+      |seats AS (
+      |  SELECT *,
+      |    CAST(sum(weight_micro) OVER () AS BIGINT) AS wtot,
+      |    CAST(CAST(budget AS HUGEINT) * weight_micro //
+      |         CAST(sum(weight_micro) OVER () AS BIGINT) AS BIGINT) AS base,
+      |    CAST(budget AS HUGEINT) * weight_micro %
+      |         CAST(sum(weight_micro) OVER () AS BIGINT) AS rem
+      |  FROM wgt),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+      |    budget - sum(base) OVER () AS extra_seats
+      |  FROM seats)
+      |SELECT source, avail_tokens, weight_micro,
+      |  CAST(base + CASE WHEN rem_rank <= extra_seats THEN 1 ELSE 0 END
+      |       AS BIGINT) AS alloc_tokens
+      |FROM ranked ORDER BY source""".stripMargin
+
+  /** q133 — DATA-CONSTRAINED EPOCH PLAN (the Muennighoff et al. 2022
+    * repeat rule): when a temperature quota asks a small source for more
+    * tokens than it has, the dataloader REPEATS it — but repeated data
+    * decays in value and public scaling studies cap the useful repeats
+    * (~4 epochs). This operator turns q132's quota at an over-corpus
+    * budget (3× total tokens here, a multi-epoch training run) into the
+    * executable plan: epochs = ceil(alloc/avail) capped at 4, served =
+    * min(alloc, 4·avail), deficit = alloc − served (the tokens the
+    * recipe WANTED from the source but the cap refuses — the signal to
+    * go acquire more of it). All integer arithmetic; conservation
+    * Σserved + Σdeficit == budget is pinned by Round4cSpec. Shape:
+    * identical to q132 — everything past the per-source aggregate runs
+    * on the |sources|-row grid. */
+  def q133EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val avail = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("wgt", tempWeight(col("avail_tokens")))
+      .withColumn("total", sum(col("avail_tokens")).over(w))
+    hamiltonAlloc(avail, expr("total * 3"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(alloc_tokens + avail_tokens - 1) DIV avail_tokens")))
+      .withColumn("served_tokens",
+        least(col("alloc_tokens"), col("avail_tokens") * 4))
+      .withColumn("deficit_tokens", col("alloc_tokens") - col("served_tokens"))
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+              col("epochs"), col("served_tokens"), col("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val epochPlanOracle: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |wgt AS (
+      |  SELECT source, avail_tokens,
+      |    CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS weight_micro,
+      |    CAST(sum(avail_tokens) OVER () AS BIGINT) * 3 AS budget
+      |  FROM avail),
+      |seats AS (
+      |  SELECT *,
+      |    CAST(CAST(budget AS HUGEINT) * weight_micro //
+      |         CAST(sum(weight_micro) OVER () AS BIGINT) AS BIGINT) AS base,
+      |    CAST(budget AS HUGEINT) * weight_micro %
+      |         CAST(sum(weight_micro) OVER () AS BIGINT) AS rem
+      |  FROM wgt),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+      |    budget - sum(base) OVER () AS extra_seats
+      |  FROM seats),
+      |alloc AS (
+      |  SELECT source, avail_tokens,
+      |    CAST(base + CASE WHEN rem_rank <= extra_seats THEN 1 ELSE 0 END
+      |         AS BIGINT) AS alloc_tokens
+      |  FROM ranked)
+      |SELECT source, avail_tokens, alloc_tokens,
+      |  CAST(least(4, (alloc_tokens + avail_tokens - 1) // avail_tokens)
+      |       AS BIGINT) AS epochs,
+      |  CAST(least(alloc_tokens, avail_tokens * 4) AS BIGINT)
+      |    AS served_tokens,
+      |  CAST(alloc_tokens - least(alloc_tokens, avail_tokens * 4) AS BIGINT)
+      |    AS deficit_tokens
+      |FROM alloc ORDER BY source""".stripMargin
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Corpus, TrainPrep}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 third-batch property tests: the CCNet perplexity-bucket
+  * boundary rule (q131), the temperature-quota conservation and
+  * flattening laws (q132), and the epoch-plan repeat-cap accounting
+  * (q133). */
+class Round4cSpec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- q131 perplexity buckets ------------------------------------------
+
+  test("q131 buckets conserve each language's scored-doc count and " +
+       "order cleanly: head scores >= middle scores >= tail scores") {
+    val b = Corpus.q131PerplexityBuckets(spark, dir).collect()
+    // conservation: per-lang bucket sums == per-lang scored docs
+    val scoredPerLang = Corpus.q118LmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketSums = b.groupBy(_.getString(0))
+      .map { case (lang, rows) => lang -> rows.map(_.getLong(2)).sum }
+    bucketSums.foreach { case (lang, n) =>
+      assert(n === scoredPerLang(lang), s"lang $lang")
+    }
+    // disjoint score ranges: head.lo >= middle.hi >= middle.lo >= tail.hi
+    b.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val by = rows.map(r => r.getString(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+      for (h <- by.get("head"); m <- by.get("middle"))
+        assert(h._1 >= m._2, s"$lang head.lo < middle.hi")
+      for (m <- by.get("middle"); t <- by.get("tail"))
+        assert(m._1 >= t._2, s"$lang middle.lo < tail.hi")
+    }
+  }
+
+  test("q131 bucket rule matches a naive per-doc strict-rank computation") {
+    val scored = Corpus.q118LmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select("lang", "lm_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val naive = scored.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val scores = rows.map(_._2)
+      val n = scores.length.toLong
+      scores.toSeq.map { s =>
+        val rHi = scores.count(_ > s).toLong
+        val bucket =
+          if (rHi * 3 < n) "head"
+          else if (rHi * 3 < n * 2) "middle"
+          else "tail"
+        (lang, bucket)
+      }
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val got = Corpus.q131PerplexityBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(naive.toMap === got)
+  }
+
+  // ---- q132 temperature quota -------------------------------------------
+
+  test("q132 conserves the budget exactly and alpha=1/2 flattens the " +
+       "mixture: sub-proportional share for the largest source, " +
+       "super-proportional for the smallest") {
+    val rows = TrainPrep.q132TemperatureQuota(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    assert(rows.map(_._4).sum === budget, "sum(alloc) != budget")
+    // integer cross-multiplication: share comparisons without division
+    val largest = rows.maxBy(_._2)
+    val smallest = rows.minBy(_._2)
+    assert(BigInt(largest._4) * total <= BigInt(largest._2) * budget,
+      "largest source not flattened down")
+    assert(BigInt(smallest._4) * total >= BigInt(smallest._2) * budget,
+      "smallest source not flattened up")
+    // weight law: weight_micro == floor(sqrt(avail)*1e6) for every source
+    rows.foreach { case (_, avail, wgt, _) =>
+      assert(wgt === math.floor(math.sqrt(avail.toDouble) * 1e6).toLong)
+    }
+  }
+
+  // ---- q133 epoch plan ---------------------------------------------------
+
+  test("q133 conserves budget as served+deficit, caps epochs at 4, and " +
+       "deficits exactly the over-cap allocations") {
+    val rows = TrainPrep.q133EpochPlan(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = rows.map(_._1).sum
+    assert(rows.map(r => r._4 + r._5).sum === total * 3,
+      "sum(served+deficit) != budget")
+    rows.foreach { case (avail, alloc, epochs, served, deficit) =>
+      assert(epochs >= 1 && epochs <= 4)
+      assert(epochs === math.min(4L, (alloc + avail - 1) / avail))
+      assert(served === math.min(alloc, avail * 4))
+      assert(deficit === alloc - served)
+      assert((deficit > 0) === (alloc > avail * 4), "deficit iff over cap")
+    }
+    // the repeat cap has teeth on this fixture: at a 3x-corpus budget with
+    // alpha=1/2 weights, at least one small source must hit 4 epochs
+    assert(rows.exists(_._3 === 4L), "no source hit the epoch cap")
+  }
+}
