@@ -151,6 +151,7 @@ object SparkEntry {
     "q131_ppl_buckets"      -> (Corpus.q131PerplexityBuckets _),
     "q132_temperature_quota" -> (TrainPrep.q132TemperatureQuota _),
     "q133_epoch_plan"       -> (TrainPrep.q133EpochPlan _),
+    "q134_ks_drift"         -> (Corpus.q134KsDrift _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -444,5 +445,6 @@ object SparkEntry {
     "q131_ppl_buckets"       -> Corpus.perplexityBucketsOracle,
     "q132_temperature_quota" -> TrainPrep.temperatureQuotaOracle,
     "q133_epoch_plan"        -> TrainPrep.epochPlanOracle,
+    "q134_ks_drift"          -> Corpus.ksDriftOracle,
   )
 }

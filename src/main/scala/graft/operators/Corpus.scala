@@ -1140,4 +1140,109 @@ object Corpus {
       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean6
       |FROM b GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin
+
+  /** q134 — per-source KOLMOGOROV–SMIRNOV drift audit, integer-exact:
+    * the DISTRIBUTIONAL counterpart to q117's categorical TV distance.
+    * For each source, the two-sample KS statistic between its LM-score
+    * distribution and the REST of the corpus — the standard
+    * monitoring check that a new crawl/dump hasn't shifted quality
+    * (cf. the per-dump drift findings in public corpus reports). No
+    * float ECDF anywhere: at every grid score, |F_s − F_rest| =
+    * |cum_s·n_g − cum_g·n_s| / (n_s·(n_g−n_s)) by cross-multiplication,
+    * the numerator max is taken as an exact DECIMAL(38,0) (BIGINT
+    * products overflow at 100 TB doc counts — the q127 route), and the
+    * result is reported as KS·1e6 via integer division: bit-identical
+    * at any scale and parallelism. Shape: the corpus aggregates once to
+    * a (source × score-lattice) dense grid (the q117 grid idiom —
+    * missing scores still carry their cumulative weight, so the grid
+    * must be complete); every window runs on the grid, never the
+    * corpus. */
+  def q134KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmPerDoc(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+    val counts = scored.groupBy(col("source"), col("lm6"))
+      .agg(count(lit(1)).as("c"))
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.select(col("lm6")).distinct())
+    val full = grid.join(counts, Seq("source", "lm6"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("lm6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full
+      .withColumn("cum_s", sum(col("c")).over(wCum))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("cum_g", sum(col("cum_s")).over(Window.partitionBy(col("lm6"))))
+      .withColumn("n_g", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("num",
+        expr("abs(CAST(cum_s AS DECIMAL(38,0)) * n_g - CAST(cum_g AS DECIMAL(38,0)) * n_s)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+           max(col("num")).as("maxnum"),
+           max(col("n_g")).as("n_g"))
+      .withColumn("ks_ppm",
+        expr("CAST(maxnum * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_g - n_docs)) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("ks_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val ksDriftOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tok WHERE len(t) >= 2),
+      |counts0 AS (
+      |  SELECT bg, str_split(bg, ' ')[1] AS w1, count(*) AS c12
+      |  FROM occ GROUP BY bg),
+      |heads AS (SELECT w1, sum(c12) AS c1 FROM counts0 GROUP BY w1),
+      |lm AS (
+      |  SELECT bg,
+      |    CAST(round(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS p
+      |  FROM counts0 JOIN heads USING (w1)),
+      |s AS (
+      |  SELECT doc_id, sum(p) AS sm, CAST(count(*) AS BIGINT) AS n_bigrams
+      |  FROM occ JOIN lm USING (bg) GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.source,
+      |    CAST(round(CAST(CAST(sm AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |         AS DECIMAL(28,12)), 6) AS DECIMAL(18,6)) AS lm6
+      |  FROM s JOIN documents d USING (doc_id)),
+      |counts AS (
+      |  SELECT source, lm6, CAST(count(*) AS BIGINT) AS c
+      |  FROM scored GROUP BY source, lm6),
+      |grid AS (
+      |  SELECT s.source, v.lm6
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN (SELECT DISTINCT lm6 FROM counts) v),
+      |full_ AS (
+      |  SELECT g.source, g.lm6, coalesce(c.c, 0) AS c
+      |  FROM grid g LEFT JOIN counts c
+      |    ON g.source = c.source AND g.lm6 = c.lm6),
+      |stats AS (
+      |  SELECT source, lm6, c,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY lm6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_s,
+      |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+      |    CAST(sum(c) OVER () AS BIGINT) AS n_g
+      |  FROM full_),
+      |gcum AS (
+      |  SELECT *,
+      |    CAST(sum(cum_s) OVER (PARTITION BY lm6) AS BIGINT) AS cum_g
+      |  FROM stats),
+      |nums AS (
+      |  SELECT source, n_s, n_g,
+      |    abs(CAST(cum_s AS HUGEINT) * n_g - CAST(cum_g AS HUGEINT) * n_s)
+      |      AS num
+      |  FROM gcum)
+      |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+      |  CAST(max(num) * 1000000 //
+      |       (CAST(max(n_s) AS HUGEINT) * (max(n_g) - max(n_s))) AS BIGINT)
+      |    AS ks_ppm
+      |FROM nums GROUP BY source
+      |ORDER BY source""".stripMargin
 }

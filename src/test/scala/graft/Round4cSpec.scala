@@ -111,4 +111,32 @@ class Round4cSpec extends AnyFunSuite {
     // alpha=1/2 weights, at least one small source must hit 4 epochs
     assert(rows.exists(_._3 === 4L), "no source hit the epoch cap")
   }
+
+  // ---- q134 KS drift -----------------------------------------------------
+
+  test("q134 matches a naive two-sample KS computation and stays in " +
+       "[0, 1e6]") {
+    val scored = Corpus.q118LmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "lm_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val all = scored.map(_._2).sorted
+    val nG = all.length.toLong
+    val naive = scored.groupBy(_._1).map { case (src, rows) =>
+      val s = rows.map(_._2)
+      val nS = s.length.toLong
+      // evaluate |F_s - F_rest| at every observed score (max is attained
+      // at a jump point); cross-multiplied integers, no float ECDF
+      val maxNum = all.distinct.map { v =>
+        val cumS = s.count(_ <= v).toLong
+        val cumG = all.count(_ <= v).toLong
+        (BigInt(cumS) * nG - BigInt(cumG) * nS).abs
+      }.max
+      src -> (maxNum * 1000000 / (BigInt(nS) * (nG - nS))).toLong
+    }
+    val got = Corpus.q134KsDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(naive.toMap === got)
+    got.values.foreach(v => assert(v >= 0 && v <= 1000000L))
+  }
 }
