@@ -152,6 +152,7 @@ object SparkEntry {
     "q132_temperature_quota" -> (TrainPrep.q132TemperatureQuota _),
     "q133_epoch_plan"       -> (TrainPrep.q133EpochPlan _),
     "q134_ks_drift"         -> (Corpus.q134KsDrift _),
+    "q135_vocab_coverage"   -> (Corpus.q135VocabCoverage _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -446,5 +447,6 @@ object SparkEntry {
     "q132_temperature_quota" -> TrainPrep.temperatureQuotaOracle,
     "q133_epoch_plan"        -> TrainPrep.epochPlanOracle,
     "q134_ks_drift"          -> Corpus.ksDriftOracle,
+    "q135_vocab_coverage"    -> Corpus.vocabCoverageOracle,
   )
 }

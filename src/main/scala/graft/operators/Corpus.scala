@@ -1245,4 +1245,68 @@ object Corpus {
       |    AS ks_ppm
       |FROM nums GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** q135 — VOCABULARY COVERAGE / OOV curve: token-occurrence coverage
+    * of the top-k vocabulary at log-spaced k, the readout that picks a
+    * tokenizer vocab size (coverage_ppm at k, oov_ppm = the mass a
+    * k-entry vocab would shatter into unknowns/bytes). Integer-exact:
+    * coverage = cum(k)·1e6 DIV T with the product routed DECIMAL(38,0)/
+    * HUGEINT (T·1e6 overflows BIGINT at 100 TB token counts). Shape:
+    * one token-count aggregate (map-side combined); the top-128 head is
+    * taken by orderBy+limit — TakeOrderedAndProject, per-partition
+    * heaps, NO global window over the vocab — and the only windows run
+    * on that ≤128-row head relation; the k-grid joins against the head
+    * as a broadcast. */
+  def q135VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val wHead = Window.partitionBy().orderBy(col("c").desc, col("token"))
+    val ranked = tf.orderBy(col("c").desc, col("token")).limit(128)
+      .withColumn("r", row_number().over(wHead).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        wHead.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = spark.range(1)
+      .select(explode(array((0 to 7).map(i => lit(1L << i)): _*)).as("k"))
+    ks.crossJoin(broadcast(tot))
+      .join(broadcast(ranked), col("r") <= col("k"), "left")
+      .groupBy(col("k"), col("t"), col("v"))
+      .agg(coalesce(max(col("cum")), lit(0L)).as("cov"))
+      .withColumn("vocab_k", least(col("k"), col("v")))
+      .withColumn("coverage_ppm",
+        expr("CAST(CAST(cov AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)"))
+      .withColumn("oov_ppm", lit(1000000L) - col("coverage_ppm"))
+      .select(col("k"), col("vocab_k"), col("coverage_ppm"), col("oov_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH tf AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+      |  FROM tf),
+      |ranked AS (
+      |  SELECT token, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS r
+      |  FROM tf ORDER BY c DESC, token LIMIT 128),
+      |cum AS (
+      |  SELECT r,
+      |    CAST(sum(c) OVER (ORDER BY r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM ranked),
+      |ks AS (SELECT CAST(unnest([1,2,4,8,16,32,64,128]) AS BIGINT) AS k)
+      |SELECT k, least(k, v) AS vocab_k,
+      |  CAST(CAST(coalesce(max(cum), 0) AS HUGEINT) * 1000000 // t AS BIGINT)
+      |    AS coverage_ppm,
+      |  1000000 - CAST(CAST(coalesce(max(cum), 0) AS HUGEINT) * 1000000 // t
+      |    AS BIGINT) AS oov_ppm
+      |FROM ks CROSS JOIN tot LEFT JOIN cum ON cum.r <= k
+      |GROUP BY k, t, v
+      |ORDER BY k""".stripMargin
 }

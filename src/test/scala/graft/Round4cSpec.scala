@@ -139,4 +139,37 @@ class Round4cSpec extends AnyFunSuite {
     assert(naive.toMap === got)
     got.values.foreach(v => assert(v >= 0 && v <= 1000000L))
   }
+
+  // ---- q135 vocab coverage curve ----------------------------------------
+
+  test("q135 coverage is monotone in k, saturates to exactly 1e6 at " +
+       "k >= |vocab|, and matches a naive token count") {
+    val rows = Corpus.q135VocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"coverage not monotone at k=${b._1}")
+    }
+    rows.foreach { case (_, _, cov, oov) => assert(cov + oov === 1000000L) }
+    // naive recount
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    val byCount = toks.groupBy(x => x).map { case (t, v) => (t, v.size.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    rows.foreach { case (k, vocabK, cov, _) =>
+      assert(vocabK === math.min(k, byCount.size.toLong))
+      val cum = byCount.take(k.toInt).map(_._2).sum
+      assert(cov === cum * 1000000L / total, s"k=$k")
+    }
+    // saturation: any k >= |vocab| covers everything exactly
+    rows.filter(_._1 >= byCount.size).foreach { case (_, _, cov, _) =>
+      assert(cov === 1000000L)
+    }
+    // plan: the vocab head is a TakeOrdered, not a global sort/window
+    val plan = Corpus.q135VocabCoverage(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
