@@ -153,6 +153,7 @@ object SparkEntry {
     "q133_epoch_plan"       -> (TrainPrep.q133EpochPlan _),
     "q134_ks_drift"         -> (Corpus.q134KsDrift _),
     "q135_vocab_coverage"   -> (Corpus.q135VocabCoverage _),
+    "q136_cluster_sample"   -> (Similarity.q136ClusterSample _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -448,5 +449,6 @@ object SparkEntry {
     "q133_epoch_plan"        -> TrainPrep.epochPlanOracle,
     "q134_ks_drift"          -> Corpus.ksDriftOracle,
     "q135_vocab_coverage"    -> Corpus.vocabCoverageOracle,
+    "q136_cluster_sample"    -> Similarity.clusterSampleOracle,
   )
 }

@@ -886,4 +886,72 @@ object Similarity {
        |FROM top_exact t
        |LEFT JOIN top_adc a ON a.q_id = t.q_id AND a.n_id = t.n_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
+  /** q136 — CLUSTER-BALANCED sample: the diversity-preserving
+    * subsample used by embedding-curation pipelines (the
+    * SSL-prototypes/SemDeDup family): assign every vector to its
+    * nearest k-means seed (the q71 assignment, decimal-routed d2), then
+    * take a fixed-size hash-priority sample PER CLUSTER (the q103
+    * machinery keyed by cluster) — dense regions stop dominating the
+    * subsample because every cluster contributes at most k docs
+    * regardless of its population. No RNG state: the sample is a pure
+    * function of the data, extensible by raising k. Shape: the
+    * rank-≤-k filter compiles to WindowGroupLimit (per-partition
+    * k-heaps — only k·K rows shuffle even when a cluster holds half
+    * the corpus); cluster sizes ride in on a broadcast of the K-row
+    * size relation. */
+  def q136ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val seeds = e.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"),
+              col("nrm").as("sn"))
+    val d2 = round(((col("nrm") + col("sn")) - lit(2.0) * dot(col("v"), col("sv")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 4)
+      .cast("double")
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    val sw = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(sw).cast("long"))
+      .filter(col("rk") <= 5)
+      .join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("cluster_id"), col("rk"), col("vec_id"), col("cluster_n"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  val clusterSampleOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn
+       |          FROM e WHERE vec_id < $KMEANS_K),
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cluster_id FROM (
+       |    SELECT n.vec_id, s.seed_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(round(CAST((n.nrm + s.sn) - 2.0 * list_dot_product(n.v, s.sv)
+       |             AS DECIMAL(28,12)), 4) AS DOUBLE),
+       |        s.seed_id) AS rn
+       |    FROM e n CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sizes AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+       |  FROM assigned GROUP BY cluster_id),
+       |samp AS (
+       |  SELECT cluster_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+       |  FROM assigned)
+       |SELECT s.cluster_id, s.rk, s.vec_id, z.cluster_n
+       |FROM samp s JOIN sizes z USING (cluster_id)
+       |WHERE s.rk <= 5
+       |ORDER BY s.cluster_id, s.rk""".stripMargin
 }

@@ -172,4 +172,28 @@ class Round4cSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  // ---- q136 cluster-balanced sample -------------------------------------
+
+  test("q136 takes min(5, cluster_n) per cluster, covers every cluster, " +
+       "and the rank filter plans as WindowGroupLimit") {
+    val rows = graft.operators.Similarity.q136ClusterSample(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (c, rs) =>
+      val n = rs.head._4
+      assert(rs.length.toLong === math.min(5L, n), s"cluster $c")
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length.toLong), s"ranks $c")
+    }
+    // every vector is in exactly one cluster; sizes sum to the corpus
+    val total = Tables.embeddings(spark, dir).count()
+    assert(byCluster.values.map(_.head._4).sum === total)
+    // balance: no cluster contributes more than 5 no matter its size
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    val plan = graft.operators.Similarity.q136ClusterSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank filter not a group-limit")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
