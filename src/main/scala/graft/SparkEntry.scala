@@ -154,6 +154,7 @@ object SparkEntry {
     "q134_ks_drift"         -> (Corpus.q134KsDrift _),
     "q135_vocab_coverage"   -> (Corpus.q135VocabCoverage _),
     "q136_cluster_sample"   -> (Similarity.q136ClusterSample _),
+    "q137_pack_audit"       -> (Corpus.q137PackAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -450,5 +451,6 @@ object SparkEntry {
     "q134_ks_drift"          -> Corpus.ksDriftOracle,
     "q135_vocab_coverage"    -> Corpus.vocabCoverageOracle,
     "q136_cluster_sample"    -> Similarity.clusterSampleOracle,
+    "q137_pack_audit"        -> Corpus.packAuditOracle,
   )
 }

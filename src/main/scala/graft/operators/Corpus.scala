@@ -1309,4 +1309,66 @@ object Corpus {
       |FROM ks CROSS JOIN tot LEFT JOIN cum ON cum.r <= k
       |GROUP BY k, t, v
       |ORDER BY k""".stripMargin
+
+  /** q137 — PACKING INTEGRITY audit: the q82/q88 audit standard applied
+    * to the q68 sequence packer. Every doc's token span is split across
+    * the packs it overlaps ([start, start+n) against the 2048-token
+    * slot grid), and per pack the audit reports docs starting, docs
+    * touching, and the exact token fill. The laws a dataloader depends
+    * on fall out as checkable facts: contiguous greedy packing leaves
+    * NO internal gaps (fill == 2048 for every pack but the last) and
+    * conserves tokens exactly (Σfill == Σn_tokens) — both pinned by
+    * Round4cSpec. Shape: the span explode emits 1 + n_tokens/2048 rows
+    * per doc (≈1 for normal docs), then one pack-keyed aggregate of
+    * small integer rows; nothing re-tokenizes and no window runs. */
+  def q137PackAudit(spark: SparkSession, dir: String): DataFrame = {
+    val L = PackSeqLen
+    q68PackSequences(spark, dir)
+      .withColumn("last_pack", expr(s"(start_offset + n_tokens - 1) DIV $L"))
+      .withColumn("p", explode(sequence(col("pack_id"), col("last_pack"))))
+      .withColumn("ov",
+        least(col("start_offset") + col("n_tokens"), (col("p") + 1) * L) -
+          greatest(col("start_offset"), col("p") * L))
+      .groupBy(col("p"))
+      .agg(sum(when(col("pack_id") === col("p"), 1L).otherwise(0L))
+             .as("n_docs_starting"),
+           count(lit(1)).as("n_docs_touching"),
+           sum(col("ov")).as("fill_tokens"))
+      .select(col("p").as("pack_id"), col("n_docs_starting"),
+              col("n_docs_touching"), col("fill_tokens"))
+      .orderBy(col("pack_id"))
+  }
+
+  val packAuditOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM d),
+       |spans AS (
+       |  SELECT start_offset, n_tokens,
+       |    start_offset // $PackSeqLen AS first_pack,
+       |    (start_offset + n_tokens - 1) // $PackSeqLen AS last_pack
+       |  FROM c),
+       |ex AS (
+       |  SELECT start_offset, n_tokens, first_pack,
+       |    unnest(range(first_pack, last_pack + 1)) AS p
+       |  FROM spans),
+       |ov AS (
+       |  SELECT p, first_pack,
+       |    least(start_offset + n_tokens, (p + 1) * $PackSeqLen) -
+       |      greatest(start_offset, p * $PackSeqLen) AS ov
+       |  FROM ex)
+       |SELECT CAST(p AS BIGINT) AS pack_id,
+       |  CAST(sum(CASE WHEN first_pack = p THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_starting,
+       |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+       |  CAST(sum(ov) AS BIGINT) AS fill_tokens
+       |FROM ov GROUP BY p
+       |ORDER BY pack_id""".stripMargin
 }

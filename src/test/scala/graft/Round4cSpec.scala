@@ -196,4 +196,33 @@ class Round4cSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), "rank filter not a group-limit")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ---- q137 packing integrity audit -------------------------------------
+
+  test("q137: contiguous packing has no internal gaps and conserves " +
+       "tokens exactly") {
+    val rows = Corpus.q137PackAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val L = Corpus.PackSeqLen
+    // pack ids are dense 0..P-1
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong))
+    // no internal gaps: every pack but the last fills to exactly L
+    rows.init.foreach { case (p, _, _, fill) =>
+      assert(fill === L, s"pack $p underfilled")
+    }
+    assert(rows.last._4 >= 1L && rows.last._4 <= L)
+    // conservation: sum of fills == total corpus tokens
+    val total = Tables.documents(spark, dir)
+      .select(sum(size(split(lower(col("text")), "\\s+")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum === total)
+    // touching >= starting, and straddlers tie out with q68's flags
+    rows.foreach { case (_, st, tch, _) => assert(tch >= st) }
+    val straddlers = Corpus.q68PackSequences(spark, dir)
+      .filter(col("straddles")).count()
+    val extraTouches = rows.map(r => r._3 - r._2).sum
+    // a doc spanning m packs contributes m-1 non-starting touches
+    assert(extraTouches >= straddlers, "straddle touches undercounted")
+  }
 }
