@@ -155,6 +155,7 @@ object SparkEntry {
     "q135_vocab_coverage"   -> (Corpus.q135VocabCoverage _),
     "q136_cluster_sample"   -> (Similarity.q136ClusterSample _),
     "q137_pack_audit"       -> (Corpus.q137PackAudit _),
+    "q138_split_leakage"    -> (Dedup.q138SplitLeakage _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -452,5 +453,6 @@ object SparkEntry {
     "q135_vocab_coverage"    -> Corpus.vocabCoverageOracle,
     "q136_cluster_sample"    -> Similarity.clusterSampleOracle,
     "q137_pack_audit"        -> Corpus.packAuditOracle,
+    "q138_split_leakage"     -> Dedup.splitLeakageOracle,
   )
 }

@@ -903,4 +903,71 @@ object Dedup {
        |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) s
        |LEFT JOIN per USING (source)
        |ORDER BY s.source""".stripMargin
+
+  /** q138 — SPLIT-LEAKAGE audit: near-dup pairs that STRADDLE a
+    * train/val/test split — the number dataset papers report to show
+    * their held-out sets are actually held out (a val doc whose
+    * near-duplicate sits in train is leaked supervision; exact-match
+    * decontamination misses it, which is why the check runs on the
+    * VERIFIED near-dup pair set, q29). The split is the library's
+    * deterministic md5 gate (75/12.5/12.5 by doc_id hash prefix — the
+    * q44/q58 family, no RNG state), so the audit is reproducible at any
+    * parallelism and both engines agree by string comparison. Output is
+    * the unordered split-pair matrix with a `leaky` flag; conservation
+    * (Σ n_pairs == |pair set|) is pinned by Round4cSpec. Shape: two
+    * broadcast-friendly joins of the tiny pair set against the
+    * (doc_id, split) projection, then a 6-row aggregate. */
+  def q138SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val gate = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val split = when(gate < "c0", "train").when(gate < "e0", "val")
+      .otherwise("test")
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+    q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+            Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+            Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+              greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  val splitLeakageOracle: String =
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |            CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |            AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |    FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+       |  WHERE jaccard >= 0.5),
+       |splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+       |           THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0'
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |m AS (
+       |  SELECT least(x.split, y.split) AS split_lo,
+       |         greatest(x.split, y.split) AS split_hi
+       |  FROM pairs p
+       |  JOIN splits x ON x.doc_id = p.doc_a
+       |  JOIN splits y ON y.doc_id = p.doc_b)
+       |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  split_lo <> split_hi AS leaky
+       |FROM m GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
 }

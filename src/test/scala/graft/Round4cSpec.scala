@@ -225,4 +225,33 @@ class Round4cSpec extends AnyFunSuite {
     // a doc spanning m packs contributes m-1 non-starting touches
     assert(extraTouches >= straddlers, "straddle touches undercounted")
   }
+
+  // ---- q138 split-leakage audit -----------------------------------------
+
+  test("q138 matrix conserves the verified pair set, flags exactly the " +
+       "off-diagonal cells, and derives from the md5 split gate") {
+    val rows = graft.operators.Dedup.q138SplitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val pairCount = graft.operators.Dedup.q29LshNearDup(spark, dir).count()
+    assert(rows.map(_._3).sum === pairCount, "matrix loses pairs")
+    rows.foreach { case (lo, hi, _, leaky) =>
+      assert(leaky === (lo != hi))
+      assert(lo <= hi, "cells not canonical unordered")
+    }
+    // the matrix agrees with a naive per-pair split assignment
+    val splitOf: Long => String = { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "c0") "train" else if (hex < "e0") "val" else "test"
+    }
+    val naive = graft.operators.Dedup.q29LshNearDup(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => {
+        val (a, b) = (splitOf(r.getLong(0)), splitOf(r.getLong(1)))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      })
+      .groupBy(x => x).map { case (k, v) => k -> v.length.toLong }
+    assert(naive.toMap === rows.map(r => (r._1, r._2) -> r._3).toMap)
+  }
 }
