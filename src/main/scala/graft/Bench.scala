@@ -34,10 +34,17 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    // Materialize via the query's own physical plan (`toRdd.count()`), NOT
+    // `df.count()`: the latter rewrites to Aggregate(count(1)) and Catalyst
+    // may then prune any subtree that provably doesn't change the row count
+    // (e.g. q106's row-preserving splice join measured only its probe side
+    // in round 4). toRdd executes the optimized plan exactly as the query
+    // declares it — every output column is computed.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Long, Boolean) = {
       clean()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+               catch { case _: Throwable => false }
       (System.nanoTime() - t0, ok)
     }
     // Optional local-iteration filter (the driver never sets this; full-run

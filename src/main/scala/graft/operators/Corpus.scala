@@ -1027,6 +1027,10 @@ object Corpus {
     docs.select(col("source")).distinct()
       .join(novel, Seq("source"), "left")
       .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      // global Window.orderBy(source) — bounded BY THE DIMENSION, not the
+      // corpus: its input is the |sources|-row rollup (one row per source,
+      // ~20 at any data scale), the q21/q60 bounded-dimension pattern.
+      // ScaleSpec pins the single-partition exchange's input to ≤|sources|.
       .withColumn("cum_shingles",
         sum(col("new_shingles")).over(Window.orderBy(col("source"))))
       .orderBy(col("source"))
@@ -1180,8 +1184,12 @@ object Corpus {
       .agg(max(col("n_s")).as("n_docs"),
            max(col("num")).as("maxnum"),
            max(col("n_g")).as("n_g"))
+      // single-source corpus: n_g == n_docs makes the divisor 0 (and the
+      // numerator is identically 0 — rest-of-corpus is empty, drift is
+      // undefined); pin ks_ppm = 0 in BOTH engines rather than letting
+      // Spark yield NULL where DuckDB raises a division error
       .withColumn("ks_ppm",
-        expr("CAST(maxnum * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_g - n_docs)) AS BIGINT)"))
+        expr("CAST(CASE WHEN n_g = n_docs THEN 0 ELSE maxnum * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_g - n_docs)) END AS BIGINT)"))
       .select(col("source"), col("n_docs"), col("ks_ppm"))
       .orderBy(col("source"))
   }
@@ -1240,9 +1248,10 @@ object Corpus {
       |      AS num
       |  FROM gcum)
       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
-      |  CAST(max(num) * 1000000 //
-      |       (CAST(max(n_s) AS HUGEINT) * (max(n_g) - max(n_s))) AS BIGINT)
-      |    AS ks_ppm
+      |  CAST(CASE WHEN max(n_g) = max(n_s) THEN 0
+      |       ELSE max(num) * 1000000 //
+      |            (CAST(max(n_s) AS HUGEINT) * (max(n_g) - max(n_s))) END
+      |    AS BIGINT) AS ks_ppm
       |FROM nums GROUP BY source
       |ORDER BY source""".stripMargin
 
@@ -1325,6 +1334,13 @@ object Corpus {
     val L = PackSeqLen
     q68PackSequences(spark, dir)
       .withColumn("last_pack", expr(s"(start_offset + n_tokens - 1) DIV $L"))
+      // n_tokens == 0 would make last_pack < pack_id, and Spark's sequence()
+      // counts DOWN for descending bounds (phantom packs, negative overlap)
+      // while DuckDB's range() yields empty — the shingles3 trap. Today's
+      // tokenizer never emits 0 tokens (split('\s+') is never empty), but
+      // the guard must not depend on that: drop zero-token docs, matching
+      // the oracle's empty-range behavior.
+      .filter(col("n_tokens") >= 1)
       .withColumn("p", explode(sequence(col("pack_id"), col("last_pack"))))
       .withColumn("ov",
         least(col("start_offset") + col("n_tokens"), (col("p") + 1) * L) -

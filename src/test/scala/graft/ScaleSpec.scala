@@ -127,6 +127,30 @@ class ScaleSpec extends AnyFunSuite {
         s"in the plan tree:\n$bloomPlan")
   }
 
+  test("q123 cumulative window is bounded by the source dimension") {
+    // q123's trailing Window.orderBy(source) IS a single-partition exchange —
+    // sanctioned because its input is the per-source rollup (one row per
+    // source), never the corpus. Machine-check the bound: in the plan tree
+    // the SinglePartition exchange must sit below the Window and must consume
+    // a HashAggregate keyed by source (the |sources|-row relation); and the
+    // window's output row count equals |distinct sources|.
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.operators.Corpus.q123SourceNovelty(spark, dir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window")
+    val spIdx = plan.indexOf("Exchange SinglePartition", wIdx)
+    assert(wIdx >= 0 && spIdx > wIdx,
+      s"expected Window over a single-partition exchange in q123 plan:\n$plan")
+    val aggIdx = plan.indexOf("HashAggregate(keys=[source", spIdx)
+    assert(aggIdx > spIdx,
+      "the single-partition exchange must consume the per-source rollup " +
+        s"(≤|sources| rows), not the corpus:\n$plan")
+    val nSources = Tables.documents(spark, dir)
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong === nSources)
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
