@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   graft listen  <dropZone> <tableDir> <checkpoint>   — streaming ingest
   *   graft serve   <dataDir> <port> [tableDir]          — query API
-  *   graft fill    <tableDir> (chain=genesis)*          — gap repair plan
+  *   graft fill    <tableDir> [--node=<url> [--version=<v>]] (chain=genesis)*
+  *                 — gap repair: plan only, or executed against the node
   *   graft single  <tableDir> <chainId> <height>        — one-block plan
   *   graft fill-events <tableDir> <startHeight>         — events gap plan
   *   graft backfill-transfers <tableDir> <activation> <numChains> [chunk]
@@ -109,12 +110,30 @@ object Main {
       println(s"serving on :${api.boundPort}")
       Thread.currentThread.join()
 
-    case ("fill" | "gaps" | "backfill") :: tables :: genesis =>
+    // With --node the plan is EXECUTED against the node (plan → fetch →
+    // flatten → merge, the reference's fill worker); without it the plan is
+    // printed for an out-of-engine fetcher, as before.
+    case ("fill" | "gaps" | "backfill") :: tables :: rest =>
+      val (flags, genesis) = rest.partition(a =>
+        a.startsWith("--node=") || a.startsWith("--version="))
       val g = genesis.map { kv =>
         val Array(c, h) = kv.split("="); c.toLong -> h.toLong
       }.toMap
+      val node = flags.collectFirst {
+        case f if f.startsWith("--node=") => f.stripPrefix("--node=") }
+      val ver = flags.collectFirst {
+        case f if f.startsWith("--version=") => f.stripPrefix("--version=") }
+        .getOrElse("mainnet01")
       val spark = session()
-      fillCmd(spark, tables, g).foreach(println)
+      node match {
+        case Some(base) =>
+          val (plan, counts) = ingest.Fetch.fill(spark, base, ver, tables, g)
+          println(s"ranges\t${plan.size}")
+          counts.toSeq.sortBy(_._1)
+            .foreach { case (t, n) => println(s"inserted\t$t\t$n") }
+        case None =>
+          fillCmd(spark, tables, g).foreach(println)
+      }
       spark.stop()
 
     case "single" :: tables :: cid :: height :: Nil =>

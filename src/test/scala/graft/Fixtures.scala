@@ -65,6 +65,28 @@ object Fixtures {
       |"target":"123","weight":"2","epochStart":1599999000000000,
       |"featureFlags":0,"powHash":"pow2"}""".stripMargin.replaceAll("\n", "")
 
+  /** Parametrized minimal header for fetch/fill tests: the shape of
+    * [[header1]] at an arbitrary (chain, height) with linked hashes. */
+  def mkHeader(chain: Long, height: Long): String = {
+    val h = s"c${chain}h$height"
+    s"""{"chainId":$chain,"height":$height,"hash":"blk-$h","parent":"blk-c${chain}h${height - 1}",""" +
+      s""""creationTime":${1600000000000000L + height * 30000000L},"payloadHash":"ph-$h","nonce":"1",""" +
+      s""""target":"1","weight":"1","epochStart":1599999000000000,"featureFlags":0,"powHash":"pow1"}"""
+  }
+
+  /** Parametrized minimal payload (no user txs, one coinbase TRANSFER) —
+    * enough to land rows in blocks/minerkeys/events/transfers. */
+  def mkPayload(chain: Long, height: Long): String = {
+    val h = s"c${chain}h$height"
+    s"""{"payloadHash":"ph-$h","minerData":{"account":"miner1","publicKeys":["k1"]},""" +
+      s""""transactions":[],"coinbase":{"gas":0,"status":"success","events":[""" +
+      s"""{"name":"TRANSFER","module":{"namespace":null,"name":"coin"},"moduleHash":"mh1","params":["","miner1",0.98]}]}}"""
+  }
+
+  /** A `blocksBetween` response item (Lookups.hs:116-127 wire shape). */
+  def mkItem(chain: Long, height: Long): String =
+    s"""{"header":${mkHeader(chain, height)},"payloadWithOutputs":${mkPayload(chain, height)}}"""
+
   val payload2 =
     """{"payloadHash":"ph2",
       |"minerData":{"account":"miner2","publicKeys":["k3"]},
