@@ -39,7 +39,13 @@ object Upsert {
     // stage the new rows, then append the staged copy.
     val staged = fresh.persist()
     val n = staged.count()
-    if (n > 0) staged.write.mode("append").parquet(path)
+    if (n > 0) {
+      staged.write.mode("append").parquet(path)
+      // Version the new state: paged readers pin the pre-merge manifest and
+      // stay consistent while this append lands (Server.hs:600's REPEATABLE
+      // READ, re-expressed as copy-on-write snapshots — Snapshots scaladoc).
+      graft.sources.Snapshots.commit(spark, path): Unit
+    }
     staged.unpersist()
     n
   }

@@ -122,8 +122,11 @@ object BoundedScan {
     * matching rows plus the continuation to resume from (None = exhausted).
     *
     * The reference wraps both phases in a REPEATABLE READ transaction; the
-    * Spark analog is that both phases read the same immutable parquet
-    * snapshot (SURVEY §4 — with Delta, pin one table version for both).
+    * Spark analog: pass `src = Snapshots.readPinned(spark, path)` (or
+    * `Snapshots.read` of a version carried in the continuation token) —
+    * both phases, and every later page, then read one committed manifest's
+    * file set, immune to concurrent [[graft.ingest.Upsert.merge]] appends
+    * (SnapshotSpec interleaves merges with a paging loop to prove it).
     */
   def performBoundedScan(src: DataFrame, spec: CursorSpec, matchCol: Column,
                          scanLimit: Int, resultLimit: Int,

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Version-pinned table snapshots over plain parquet directories — the
+  * Spark analog of the REPEATABLE READ transaction the reference wraps
+  * around the two bounded-scan phases (chainweb-data
+  * haskell-src/exec/Chainweb/Server.hs:600 `serializedHandler` /
+  * BoundedScan's two-phase read), and of a lakehouse format's version pin
+  * (SURVEY §4: "with Delta, pin one table version for both").
+  *
+  * Mechanism: a `_manifests/` subdirectory beside the data files holds
+  * numbered manifest files, each listing the data files of one committed
+  * table version (one relative path per line). [[commit]] writes the next
+  * manifest atomically — temp file + same-directory rename, atomic on
+  * POSIX and HDFS — so a reader never observes a partial manifest.
+  * [[read]] hands Spark the pinned file list instead of the directory, so
+  * the scan reads exactly that version no matter how many merges append
+  * afterwards. Readers and the (single) writer never block each other:
+  * writers only add files and manifests, never mutate them — the
+  * copy-on-write discipline every table format at this scale uses.
+  *
+  * Scale: a manifest is O(#files) text written once per merge; reads list
+  * nothing (the manifest IS the listing — at 100 TB this also removes the
+  * slow recursive directory listing from the read path, which is the main
+  * reason real lakehouse formats exist). Pinning across requests works by
+  * carrying `version` in the continuation token and calling
+  * [[at]]/[[read]] with it.
+  */
+object Snapshots {
+
+  final case class Snapshot(table: String, version: Long, files: Seq[String])
+
+  private val ManifestDir = "_manifests"
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files of the table directory right now (recursive, parquet parts
+    * only — manifests, _SUCCESS markers and hidden files excluded). */
+  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    def walk(p: Path): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Seq.empty
+      }
+    walk(root).sorted
+  }
+
+  private def manifestPath(path: String, v: Long) =
+    new Path(s"$path/$ManifestDir/v$v.manifest")
+
+  /** Commit the table's CURRENT file set as the next version. Single-writer
+    * (the reference's ingest is too); the write is temp + atomic rename so
+    * concurrent readers see either the old latest or the new one, never a
+    * torn file. Returns the committed snapshot. */
+  def commit(spark: SparkSession, path: String): Snapshot = {
+    val f = fs(spark, path)
+    val v = latestVersion(spark, path).getOrElse(0L) + 1
+    val files = listDataFiles(spark, path)
+    val dir = new Path(s"$path/$ManifestDir")
+    if (!f.exists(dir)) { f.mkdirs(dir): Unit }
+    val tmp = new Path(dir, s".v$v.manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(path, v)))
+      throw new IllegalStateException(
+        s"concurrent writer: manifest v$v already exists at $path")
+    Snapshot(path, v, files)
+  }
+
+  private def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/$ManifestDir")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .maxOption
+  }
+
+  /** The newest committed snapshot, if any version was ever committed. */
+  def latest(spark: SparkSession, path: String): Option[Snapshot] =
+    latestVersion(spark, path).map(at(spark, path, _))
+
+  /** A specific committed version (for continuation tokens that pin one). */
+  def at(spark: SparkSession, path: String, version: Long): Snapshot = {
+    val f = fs(spark, path)
+    val mp = manifestPath(path, version)
+    val in = f.open(mp)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    Snapshot(path, version, text.split("\n").toSeq.filter(_.nonEmpty))
+  }
+
+  /** Read exactly the snapshot's files — immune to concurrent appends. An
+    * empty version (table created but no files) reads as an empty relation
+    * only if a schema can be inferred, so callers with empty snapshots
+    * should guard; merged graft tables always have ≥1 file per commit. */
+  def read(spark: SparkSession, snap: Snapshot): DataFrame =
+    spark.read.parquet(snap.files: _*)
+
+  /** Pin-and-read convenience: latest committed version, else (for tables
+    * written before snapshotting existed) commit the current state first. */
+  def readPinned(spark: SparkSession, path: String): DataFrame =
+    read(spark, latest(spark, path).getOrElse(commit(spark, path)))
+}
