@@ -156,6 +156,7 @@ object SparkEntry {
     "q136_cluster_sample"   -> (Similarity.q136ClusterSample _),
     "q137_pack_audit"       -> (Corpus.q137PackAudit _),
     "q138_split_leakage"    -> (Dedup.q138SplitLeakage _),
+    "q139_weighted_maxdf"   -> (SimJoin.q139WeightedJaccardMaxDf _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -454,5 +455,8 @@ object SparkEntry {
     "q136_cluster_sample"    -> Similarity.clusterSampleOracle,
     "q137_pack_audit"        -> Corpus.packAuditOracle,
     "q138_split_leakage"     -> Dedup.splitLeakageOracle,
+    // the q92 hatch-declaration pattern: q139's oracle IS q93's naive spec,
+    // verbatim — the relative-df cut must cost nothing in correctness
+    "q139_weighted_maxdf"    -> SimJoin.weightedJaccardJoinOracle,
   )
 }

@@ -196,9 +196,38 @@ object SimJoin {
   private val WTN = 4
   private val WTD = 5
 
+  /** q139 — the weighted skew hatch (q92's pattern applied to q93): cut
+    * the weighted inverted index at df > N/[[WeightedDfFracDen]] BEFORE
+    * any candidate pair exists. The cut is RELATIVE to corpus size where
+    * q92's is absolute, because the two distributions differ: a qualifying
+    * 3-shingle pair always shares a rare shingle (df ≈ cluster size), but
+    * qualifying BIGRAM pairs in templated text share terms whose df grows
+    * WITH the corpus (measured here: the rarest shared term of a
+    * qualifying pair reaches 4.6% of N at sf0.01 and 5.7% at sf0.1 — any
+    * fixed absolute cut transferring between those corpora would either
+    * not bite or lose pairs). df > N/5 keeps every qualifying pair at both
+    * SFs with a 3× margin while still excising true boilerplate (a banner
+    * bigram's df ≈ N). Same contract as q92: verify sees FULL postings —
+    * no false positives ever; a pair is missed only if every prefix
+    * collision is above the cut, so pairs whose terms ALL have df ≤ N/5
+    * are guaranteed found (SimJoinSpec pins both on an adversarial banner
+    * corpus). Oracle: q93's naive spec VERBATIM — equality IS the check. */
+  def q139WeightedJaccardMaxDf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = bigramTf(spark, dir)
+    // control scalar (|docs|), the sanctioned bounded collect
+    val n = tf.select(countDistinct(col("doc_id")).as("n")).head().getLong(0)
+    weightedJaccardJoinOn(tf, maxDf = Some(math.max(1L, n / WeightedDfFracDen)))
+  }
+
+  /** q139's relative-cut denominator: index terms with df > N/5 are cut. */
+  val WeightedDfFracDen = 5L
+
   /** The weighted-PPJoin core over any `(doc_id, term, tf)` relation;
-    * threshold TN/TD defaults to the q93 setting. */
-  def weightedJaccardJoinOn(tf: DataFrame, TN: Int = WTN, TD: Int = WTD): DataFrame = {
+    * threshold TN/TD defaults to the q93 setting. `maxDf` is the opt-in
+    * index cut (q139 scaladoc above): applied to the PREFIX postings only,
+    * never the verify postings, so emitted pairs are always exact. */
+  def weightedJaccardJoinOn(tf: DataFrame, TN: Int = WTN, TD: Int = WTD,
+                            maxDf: Option[Long] = None): DataFrame = {
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ordW = wDoc.orderBy(col("df"), col("term"))
@@ -215,7 +244,12 @@ object SimJoin {
     // per-doc minimum overlap o_min = ⌈TN·W/TD⌉; prefix keeps postings
     // whose exclusion would not yet disprove the threshold
     val oMin = expr(s"(w*$TN + ${TD - 1}) DIV $TD")
+    // The maxDf cut applies HERE (the q82/q92 discipline): cut postings
+    // never enter the index self-join, so no candidate — and no
+    // dedup-shuffle row — is ever generated through a stop term. cum_excl/
+    // rem/w come from the UNCUT ranking, so every filter stays exact.
     val pref = ranked.filter(col("cum_excl") <= col("w") - oMin)
+      .filter(maxDf.map(m => col("df") <= m).getOrElse(lit(true)))
     val a = pref.select(col("term"), col("doc_id").as("doc_a"),
                         col("w").as("wa"), col("rem").as("rema"))
     val b = pref.select(col("term"), col("doc_id").as("doc_b"),

@@ -125,6 +125,55 @@ class SimJoinSpec extends AnyFunSuite {
       s"banding missed pairs on the fixture: ${(exact -- lsh).take(5)}")
   }
 
+  test("weighted maxDf hatch (q139's cut): no false positives, clean pairs " +
+       "guaranteed, pure-boilerplate pairs sacrificed, no-bite = exact") {
+    import spark.implicits._
+    // banner bigrams have df = |corpus|; bodies are unique per doc except
+    // the planted pairs
+    val banner = "copyright acme corp all rights reserved"
+    val rnd = new scala.util.Random(37)
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, banner + " " + Seq.fill(12)(s"w${rnd.nextInt(400)}_$i").mkString(" "))
+    } ++ Seq(
+      (100L, banner + " alpha beta alpha beta gamma gamma delta epsilon"),
+      (101L, banner + " alpha beta alpha beta gamma gamma delta epsilon"),
+      (102L, banner),   // pure boilerplate: every bigram has df ≈ 64
+      (103L, banner))).toDF("doc_id", "text")
+    val t = split(lower(col("text")), "\\s+")
+    val tf = docs.filter(size(t) >= 2)
+      .select(col("doc_id"),
+              explode(transform(sequence(lit(1), size(t) - 1), i =>
+                concat(element_at(t, i), lit(" "),
+                       element_at(t, i + 1)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(SimJoin.weightedJaccardJoinOn(tf, 1, 2))
+    val cut = pairsOf(SimJoin.weightedJaccardJoinOn(tf, 1, 2, Some(10L)))
+    // (a) verify sees full postings → subset, never false positives
+    assert(cut.subsetOf(exact), s"false positives: ${(cut -- exact).take(5)}")
+    // (b) the planted pair's body bigrams have df = 2 ≤ 10: guaranteed kept
+    assert(cut.contains((100L, 101L)), "lost a pair whose terms are below the cut")
+    // (c) the pure-banner pair shares ONLY df≈64 terms: exactly what the
+    // hatch sacrifices
+    assert(exact.contains((102L, 103L)))
+    assert(!cut.contains((102L, 103L)),
+      "cut at 10 should drop the pure-boilerplate pair")
+    // (d) formal per-PAIR guarantee, exhaustively: every qualifying pair
+    // both of whose docs have max term-df ≤ cut must survive
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val maxDfPerDoc = tf.join(dfRel, "term").groupBy("doc_id")
+      .agg(max("df").as("mx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mustFind = exact.filter { case (a, b) =>
+      maxDfPerDoc(a) <= 10L && maxDfPerDoc(b) <= 10L }
+    assert(mustFind.subsetOf(cut),
+      s"cut lost guaranteed pairs: ${(mustFind -- cut).take(5)}")
+    // (e) a cut above every df changes nothing
+    assert(pairsOf(SimJoin.weightedJaccardJoinOn(tf, 1, 2, Some(100000L))) == exact)
+  }
+
   test("guarantee is per-PAIR clean shingles, checked exhaustively") {
     // brute-force the naive join AND per-doc max df; every qualifying
     // pair where BOTH docs are entirely below the cut must be in the cut
