@@ -157,6 +157,7 @@ object SparkEntry {
     "q137_pack_audit"       -> (Corpus.q137PackAudit _),
     "q138_split_leakage"    -> (Dedup.q138SplitLeakage _),
     "q139_weighted_maxdf"   -> (SimJoin.q139WeightedJaccardMaxDf _),
+    "q140_image_decode"     -> (Multimodal.q140ImageDecode _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -458,5 +459,8 @@ object SparkEntry {
     // the q92 hatch-declaration pattern: q139's oracle IS q93's naive spec,
     // verbatim — the relative-df cut must cost nothing in correctness
     "q139_weighted_maxdf"    -> SimJoin.weightedJaccardJoinOracle,
+    // real-codec proof: Spark round-trips pixels through actual PNG/BMP
+    // encode+decode; the oracle recomputes the same pixels analytically
+    "q140_image_decode"      -> Multimodal.imageDecodeOracle,
   )
 }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus decode/feature-extract/
   * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic STUB (clearly marked below); everything Spark-side —
-  * schema, batch shape, partition-parallel decode via `mapPartitions`,
-  * metadata pushdown — is real. Swapping the stub for a JNI/FFI codec call
-  * changes nothing structurally.
+  * Codec status: PNG and BMP decode is REAL (the JDK ships lossless
+  * javax.imageio codecs — q140 round-trips actual pixels through them,
+  * oracle-checked). The remaining DECODE steps are deterministic STUBS
+  * (clearly marked below) only where the container genuinely lacks a
+  * codec: audio/video, and lossy JPEG (not oracle-able bit-exactly).
+  * Everything Spark-side — schema, batch shape, partition-parallel decode
+  * via `mapPartitions`, metadata pushdown — is real either way; swapping
+  * a stub for a JNI/FFI codec call changes nothing structurally.
   *
   * Scale: payloads travel as parquet binary chunks; the decode stage is a
   * row-map (no shuffle) whose parallelism is file-split-driven. Metadata
@@ -153,6 +156,123 @@ object Multimodal {
       |      FROM documents WHERE doc_id % 3 = 2),
       |     unnest(generate_series(0, len, 256)) AS t(off)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // REAL image codec path (q140) — the JDK ships lossless PNG and BMP
+  // codecs (javax.imageio), so for those two formats the decode stage is
+  // NOT a stub: real encoded bytes, real ImageIO decode, real
+  // nearest-neighbor pixel resample. Oracle-ability comes from
+  // determinism, not from DuckDB parsing images: the pixel matrix is an
+  // arithmetic function of (doc_id, x, y), so the oracle recomputes the
+  // resampled pixels analytically while Spark round-trips them through
+  // the actual codec — equality proves the encode → decode → resample
+  // pipeline is pixel-exact. The ??? stubs above now cover only codecs
+  // the JDK genuinely lacks (JPEG is shipped but lossy — not
+  // oracle-able; audio/video need external libs).
+  // ---------------------------------------------------------------------
+
+  /** The deterministic pixel formula shared verbatim with the oracle. */
+  private def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Real encoded images over the documents dimension table: PNG for even
+    * doc_ids, BMP for odd — both JDK codecs, both lossless. Geometry uses
+    * [[mediaTable]]'s width/height formulas. Encode is partition-parallel
+    * and shuffle-free like every decode stage here. */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = pixel(id, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v) // grey: r=g=b
+            x += 1
+          }
+          y += 1
+        }
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val out = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(img, fmt, out))
+          throw new IllegalStateException(s"no JDK $fmt writer")
+        (id, fmt, w, h, out.toByteArray)
+      })
+      .toDF("doc_id", "fmt", "width", "height", "payload")
+  }
+
+  /** REAL decode + resize: ImageIO parses the encoded payload (format
+    * auto-detected from the byte stream, as a real pipeline must — the
+    * `fmt` column is metadata, not a decode hint) and the thumbnail is a
+    * nearest-neighbor resample of the decoded raster: out(gx,gy) =
+    * px(gx·W div outW, gy·H div outH), integer-exact. A payload that
+    * fails to decode fails the task loudly — silently skipping corrupt
+    * media is how training corpora rot. */
+  def decodeResize(images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("doc_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, doc $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
+        val raster = img.getRaster
+        var sum = 0L
+        var p00 = 0
+        var pLL = 0
+        var gy = 0
+        while (gy < outH) {
+          var gx = 0
+          while (gx < outW) {
+            // r=g=b by construction: band 0 is the grey value either way
+            val v = raster.getSample(gx * w / outW, gy * h / outH, 0)
+            sum += v
+            if (gx == 0 && gy == 0) p00 = v
+            if (gx == outW - 1 && gy == outH - 1) pLL = v
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, fmt, w.toLong, h.toLong, sum, p00.toLong, pLL.toLong)
+      })
+      .toDF("doc_id", "fmt", "width", "height", "thumb_sum", "p00", "p77")
+  }
+
+  /** q140 — real-codec image decode + resize, oracle-checked end to end:
+    * encode (PNG/BMP) → ImageIO decode → 8×8 nearest-neighbor resample,
+    * vs the oracle's analytic recomputation of the same pixels. */
+  def q140ImageDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeResize(imageTable(spark, dir), 8, 8).orderBy(col("doc_id"))
+
+  val imageDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id*37 + 11) % 48 AS w,
+      |    16 + (doc_id*53 + 7) % 48 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, w, h, gx, gy,
+      |    (doc_id*31 + ((gx*w)//8)*7 + ((gy*h)//8)*13) % 256 AS px
+      |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy))
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum(px) AS BIGINT) AS thumb_sum,
+      |  CAST(max(CASE WHEN gx = 0 AND gy = 0 THEN px END) AS BIGINT) AS p00,
+      |  CAST(max(CASE WHEN gx = 7 AND gy = 7 THEN px END) AS BIGINT) AS p77
+      |FROM cells GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
 
   val multimodalOracle: String =
     """SELECT doc_id,
