@@ -158,6 +158,9 @@ object SparkEntry {
     "q138_split_leakage"    -> (Dedup.q138SplitLeakage _),
     "q139_weighted_maxdf"   -> (SimJoin.q139WeightedJaccardMaxDf _),
     "q140_image_decode"     -> (Multimodal.q140ImageDecode _),
+    "q141_hll_persist"      -> (Sketches.q141HllPersistRollup _),
+    "q142_kmv_persist"      -> (Sketches.q142KmvPersistRollup _),
+    "q143_cms_persist"      -> (Sketches.q143CmsPersistRollup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -462,5 +465,10 @@ object SparkEntry {
     // real-codec proof: Spark round-trips pixels through actual PNG/BMP
     // encode+decode; the oracle recomputes the same pixels analytically
     "q140_image_decode"      -> Multimodal.imageDecodeOracle,
+    // persistence round-trips declared against the from-scratch GLOBAL
+    // builds, verbatim — storage must cost nothing (the q92/q100 pattern)
+    "q141_hll_persist"       -> Sketches.hllRollupOracle,
+    "q142_kmv_persist"       -> Sketches.kmvRollupOracle,
+    "q143_cms_persist"       -> Sketches.cmsRollupOracle,
   )
 }

@@ -529,6 +529,88 @@ object Sketches {
        |SELECT 'all' AS scope, exact.n_exact, est.occupied, $KmvEstSql AS kmv_estimate
        |FROM exact CROSS JOIN est""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Sketch PERSISTENCE across releases (q141/q142/q143) — the steady-state
+  // deployment the rollup scaladocs promise: per-release sketch states
+  // written as parquet sketch TABLES, with the rollup reading ONLY the
+  // persisted rows (never the raw data of past releases). Each family
+  // exercises its merge algebra through the storage round-trip:
+  //   - HLL registers   → bucket-wise MAX        (q141, vs q90's oracle)
+  //   - KMV bottom-k    → union + re-truncate    (q142, vs q108's oracle)
+  //   - CMS cells       → cell-wise SUM          (q143, vs q99's oracle)
+  // The oracles are the existing from-scratch GLOBAL builds, VERBATIM —
+  // equality proves the persist/merge path loses nothing (the q92/q100
+  // hatch-declaration discipline applied to storage). Stores are tiny
+  // (m·|releases| / k·|releases| / d·w·|releases| rows); at 100 TB the
+  // release column is the ingest date and the rollup touches kilobytes.
+  // ---------------------------------------------------------------------
+
+  /** The release dimension: a deterministic 4-way split of events. */
+  private def withRelease(ev: DataFrame): DataFrame =
+    ev.withColumn("release", pmod(col("event_id"), lit(4L)))
+
+  private def tempStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** q141 — HLL persist + merge: per-release register tables written as
+    * parquet keyed by release, then the rollup estimate computed from the
+    * PERSISTED states alone. */
+  def q141HllPersistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withRelease(Tables.events(spark, dir))
+    val store = tempStore("graft_hll_store")
+    registers(ev, Seq("release"), col("user_id"), bucketBits = B)
+      .write.mode("overwrite").partitionBy("release").parquet(store)
+    val persisted = spark.read.parquet(store) // (bucket, reg, release)
+    val merged = persisted.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    estimate(merged, Seq.empty, bucketBits = B)
+      .select(lit("all").as("scope"), col("occupied"), col("hll_estimate"))
+  }
+
+  /** q142 — KMV persist + merge: per-release bottom-k tables, rollup =
+    * union of persisted hash sets, re-truncate to k, estimate; the exact
+    * count is the audit leg (the q107/q108 pattern). */
+  def q142KmvPersistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withRelease(Tables.events(spark, dir))
+    val store = tempStore("graft_kmv_store")
+    kmvBottom(ev, Seq("release"), col("user_id"))
+      .write.mode("overwrite").partitionBy("release").parquet(store)
+    val merged = spark.read.parquet(store)
+      .select(col("h")).dropDuplicates("h")
+      .orderBy(col("h")).limit(KmvK)
+    val est = kmvEstimate(merged, Seq.empty)
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(est)
+      .select(lit("all").as("scope"), col("n_exact"), col("occupied"),
+              col("kmv_estimate"))
+  }
+
+  /** q143 — CMS persist + merge: per-source cell tables, rollup =
+    * cell-wise sum of the persisted cells, probed for the exact top-10
+    * (q99's readout through the storage round-trip). */
+  def q143CmsPersistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val occ = shingleOccurrences(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+    val store = tempStore("graft_cms_store")
+    occ.select(col("source"),
+               explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"),
+               col("g"))
+      .select(col("source"), col("row_i"),
+              cmsBucket(col("row_i"), col("g")).as("bucket"))
+      .groupBy(col("source"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").partitionBy("source").parquet(store)
+    val merged = spark.read.parquet(store)
+      .groupBy(col("row_i"), col("bucket")).agg(sum(col("c")).as("c"))
+    val top = shingleOccurrences(spark, dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("df_exact"))
+      .orderBy(col("df_exact").desc, col("g")).limit(10)
+    top.join(cmsEstimate(merged, top.select(col("g")), col("g")),
+             top("g") === col("k"))
+      .select(col("g").as("shingle"), col("df_exact"), col("cms_estimate"))
+      .orderBy(col("df_exact").desc, col("shingle"))
+  }
+
   /** q114 — the q102 histogram sketch at an ARBITRARY quantile (p90
     * here), plus the merge leg: per-source bin histograms cell-sum into
     * the global histogram (bin counts are linear, like CMS cells), and
