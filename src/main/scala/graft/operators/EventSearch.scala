@@ -33,7 +33,10 @@ object EventSearch {
   def source(spark: SparkSession, tableDir: String,
              minHeight: Option[Long] = None,
              maxHeight: Option[Long] = None): DataFrame = {
-    val ev = spark.read.parquet(s"$tableDir/events")
+    // Pinned read: both bounded-scan phases of one request see a single
+    // committed table version even while ingest merges land — the per-
+    // request REPEATABLE READ of Server.hs:600 (Snapshots scaladoc).
+    val ev = graft.sources.Snapshots.readPinned(spark, s"$tableDir/events")
       .select(col("block"), col("chainid"), col("height"), col("requestkey"),
               col("idx"), col("qualname"), col("module"), col("modulehash"),
               col("paramtext"))

@@ -27,7 +27,8 @@ object TxSearch {
     * [[graft.plans.BoundedScan.performBoundedScan]] with the txs cursor
     * (height DESC, requestkey DESC — Queries.hs:85-88). */
   def source(spark: SparkSession, tableDir: String): DataFrame = {
-    val tx = spark.read.parquet(s"$tableDir/transactions")
+    // Pinned read — per-request REPEATABLE READ (see EventSearch.source)
+    val tx = graft.sources.Snapshots.readPinned(spark, s"$tableDir/transactions")
     val hist = ContHistory.chains(spark, tableDir)
       .select(col("requestkey"),
               col("chain_code").as("initial_code"),

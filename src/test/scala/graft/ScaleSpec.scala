@@ -80,6 +80,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(!wjPlan.contains("CartesianProduct"), s"cartesian in q93:\n$wjPlan")
     assert(!wjPlan.contains("Exchange SinglePartition"),
       s"single-partition exchange in q93 plan:\n$wjPlan")
+    // q139 (the relative max-df hatch) keeps the same shape
+    val wjCut = graft.operators.SimJoin.q139WeightedJaccardMaxDf(spark, dir)
+    wjCut.collect()
+    val wjCutPlan = wjCut.queryExecution.executedPlan.toString
+    assert(!wjCutPlan.contains("CartesianProduct"), s"cartesian in q139:\n$wjCutPlan")
+    assert(!wjCutPlan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q139 plan:\n$wjCutPlan")
     // q94 projection: a map-only pass — the plan may contain NO Exchange
     // at all before its (presentation-only) output ordering
     val jl = graft.Tables.embeddings(spark, dir)
