@@ -161,6 +161,9 @@ object SparkEntry {
     "q141_hll_persist"      -> (Sketches.q141HllPersistRollup _),
     "q142_kmv_persist"      -> (Sketches.q142KmvPersistRollup _),
     "q143_cms_persist"      -> (Sketches.q143CmsPersistRollup _),
+    "q144_pii_scan"         -> (Pii.q144PiiScan _),
+    "q145_pii_redact"       -> (Pii.q145PiiRedact _),
+    "q146_bpe_merges"       -> (Bpe.q146BpeMerges _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -470,5 +473,12 @@ object SparkEntry {
     "q141_hll_persist"       -> Sketches.hllRollupOracle,
     "q142_kmv_persist"       -> Sketches.kmvRollupOracle,
     "q143_cms_persist"       -> Sketches.cmsRollupOracle,
+    // PII fixture derived deterministically from doc_id (q140's pattern);
+    // the md5 fingerprints in q145 pin byte-identical redaction output
+    "q144_pii_scan"          -> Pii.piiScanOracle,
+    "q145_pii_redact"        -> Pii.piiRedactOracle,
+    // independent from-scratch replay: the oracle re-learns all 8 merges
+    // as a generated CTE chain, not a dump of the Spark output
+    "q146_bpe_merges"        -> Bpe.bpeMergesOracle,
   )
 }

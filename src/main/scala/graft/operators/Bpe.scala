@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge LEARNING (Sennrich et al., ACL 2016) — the
+  * tokenizer-training step of an LLM pipeline, not just tokenization:
+  * iteratively find the most frequent adjacent symbol pair in the corpus
+  * vocabulary and fuse it, emitting the learned merge table.
+  *
+  * Classic formulation: the corpus compresses to `(word, count)` rows;
+  * each word is a space-separated symbol sequence (initially characters);
+  * one round = count adjacent pairs weighted by word count, take the
+  * arg-max (count DESC, then pair lexicographic — a total, engine-neutral
+  * tiebreak), and merge that pair inside every word.
+  *
+  * Merging is expressed as bounded repeated string replacement on the
+  * space-padded symbol string: `replace(' a b ' → ' ab ')` six times.
+  * Plain left-to-right non-overlapping replace has identical semantics in
+  * Spark and DuckDB, and adjacent matches share their separator space, so
+  * one pass can skip every other occurrence of a run — six passes reach
+  * the fixpoint for any run up to 2^6 pairs, far beyond the 16-char word
+  * cap. Round5Spec machine-checks the fixpoint (a 7th pass changes
+  * nothing) rather than trusting this argument.
+  *
+  * The DuckDB oracle is the SAME algorithm as an 8-step generated CTE
+  * chain — an independent from-scratch replay, not a dump of the Spark
+  * output.
+  *
+  * Scale: the iterated state is the vocabulary table (distinct words —
+  * millions of narrow rows at 100 TB, not the corpus), pair counting is a
+  * partial-aggregated groupBy over 3-column rows, and the only driver
+  * materialization is the 1-row arg-max per round (bounded by
+  * construction, the sanctioned pattern of ContHistory's fixpoint loop).
+  * `localCheckpoint` cuts the 8-deep iterative lineage so no round
+  * re-runs its predecessors.
+  */
+object Bpe {
+
+  /** Rounds learned; the oracle CTE chain is generated for the same K. */
+  val K = 8
+
+  /** Max word length kept in the vocabulary (both engines filter alike;
+    * the substr-expansion below is generated to this width). */
+  val MaxWord = 16
+
+  /** 'word' → 'w o r d': concat_ws skips NULLs and substr past the end is
+    * '' in both engines, so nullif(substr(w,i,1),'') expands any length ≤
+    * MaxWord without padding artifacts. */
+  private def spacedCol(w: Column): Column =
+    concat_ws(" ", (1 to MaxWord).map(i => nullif(substring(w, i, 1), lit(""))): _*)
+
+  /** One merge pass: six bounded replaces of ' l r ' with ' lr ' on the
+    * space-padded symbol string (see scaladoc for why six). */
+  def mergePass(spaced: Column, l: String, r: String): Column = {
+    val pat = s" $l $r "
+    val rep = s" $l$r "
+    val padded = concat(lit(" "), spaced, lit(" "))
+    trim((1 to 6).foldLeft(padded)((c, _) => replace(c, lit(pat), lit(rep))))
+  }
+
+  /** q146 — the learned merge table: (iter, left_sym, right_sym,
+    * pair_count) for K rounds over the document vocabulary. */
+  def q146BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, MaxWord))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(spacedCol(col("w")).as("spaced"), col("cnt"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to K) {
+      val top = vocab
+        .select(col("cnt"), split(col("spaced"), " ").as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) would count DOWN
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+                      element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // 1 row/round — bounded by construction
+      require(top.nonEmpty, s"BPE round $it: vocabulary ran out of pairs")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((it, l, r, c))
+      vocab = vocab
+        .select(mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("iter", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("iter"))
+  }
+
+  /** The generated K-step CTE replay (see object scaladoc). */
+  val bpeMergesOracle: String = {
+    val spaced = (1 to MaxWord).map(i => s"nullif(substr(w,$i,1),'')")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val head =
+      s"""toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+        |wc AS (
+        |  SELECT w, count(*) AS cnt FROM toks
+        |  WHERE length(w) BETWEEN 1 AND $MaxWord GROUP BY w),
+        |v0 AS (SELECT $spaced AS spaced, cnt FROM wc)""".stripMargin
+    val rep6 = {
+      val one = (s: String) => s"replace($s, ' '||l||' '||r||' ', ' '||l||r||' ')"
+      (1 to 6).foldLeft("' ' || spaced || ' '")((s, _) => one(s))
+    }
+    val steps = (1 to K).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT string_split(spaced, ' ') AS s, cnt FROM v$p),
+        |j$i AS (SELECT s, cnt, unnest(range(1, len(s))) AS j FROM s$i),
+        |p$i AS (SELECT s[j] AS l, s[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |        FROM j$i GROUP BY 1, 2),
+        |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |v$i AS (SELECT trim($rep6) AS spaced, cnt FROM v$p, m$i)""".stripMargin
+    }
+    val union = (1 to K)
+      .map(i => s"SELECT $i AS it, l, r, c FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${(head +: steps).mkString(",\n")}
+      |SELECT CAST(it AS INT) AS iter, l AS left_sym, r AS right_sym,
+      |       c AS pair_count
+      |FROM ($union) ORDER BY iter""".stripMargin
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Bpe, Pii}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 property tests: the BPE merge-pass fixpoint claim (q146), PII
+  * detector specificity / redaction completeness and idempotence
+  * (q144/q145), and the one-exchange plan shape of the PII aggregates. */
+class Round5Spec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- q146 BPE ----------------------------------------------------------
+
+  test("q146 six-pass merge replacement is a fixpoint: a seventh pass " +
+       "changes no word at any of the 8 rounds") {
+    val merges = Bpe.q146BpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length === 8)
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, Bpe.MaxWord))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(?s)(.)", "$1 ").as("sp"), col("cnt"))
+      .select(trim(col("sp")).as("spaced"), col("cnt"))
+    merges.foreach { case (l, r) =>
+      vocab = vocab.select(Bpe.mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
+      val pat = s" $l $r "
+      val rep = s" $l$r "
+      val seventh = replace(concat(lit(" "), col("spaced"), lit(" ")), lit(pat), lit(rep))
+      val changed = vocab
+        .filter(trim(seventh) =!= col("spaced")).count()
+      assert(changed === 0L, s"merge ($l,$r) not at fixpoint after 6 passes")
+    }
+  }
+
+  test("q146 merged symbol sequences still concatenate back to the " +
+       "original words (merging never loses or reorders characters)") {
+    val merges = Bpe.q146BpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, Bpe.MaxWord))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), regexp_replace(col("w"), "(?s)(.)", "$1 ").as("sp"), col("cnt"))
+      .select(col("w"), trim(col("sp")).as("spaced"), col("cnt"))
+    merges.foreach { case (l, r) =>
+      vocab = vocab.select(col("w"),
+        Bpe.mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
+    }
+    val broken = vocab
+      .filter(replace(col("spaced"), lit(" "), lit("")) =!= col("w")).count()
+    assert(broken === 0L)
+  }
+
+  // ---- q144/q145 PII -----------------------------------------------------
+
+  test("q144 detector is specific: zero matches of any pattern on the " +
+       "clean corpus text (every hit in the report comes from the fixture)") {
+    val clean = Tables.documents(spark, dir)
+      .select(col("text").as("pii_text"))
+    val hits = clean.select(
+      (size(regexp_extract_all(col("pii_text"), lit(Pii.emailPat), lit(0)))
+        + size(regexp_extract_all(col("pii_text"), lit(Pii.phonePat), lit(0)))
+        + size(regexp_extract_all(col("pii_text"), lit(Pii.ipPat), lit(0)))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(hits === 0L)
+  }
+
+  test("q145 redaction is complete and idempotent: the redacted text " +
+       "contains no residual matches, and redacting twice is identity") {
+    val red = Pii.piiTable(spark, dir)
+      .select(col("pii_text"), Pii.redact(col("pii_text")).as("redacted"))
+    val residual = red.select(
+      (size(regexp_extract_all(col("redacted"), lit(Pii.emailPat), lit(0)))
+        + size(regexp_extract_all(col("redacted"), lit(Pii.phonePat), lit(0)))
+        + size(regexp_extract_all(col("redacted"), lit(Pii.ipPat), lit(0)))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(residual === 0L)
+    val notIdempotent = red
+      .filter(Pii.redact(col("redacted")) =!= col("redacted")).count()
+    assert(notIdempotent === 0L)
+  }
+
+  test("q144/q145 plans are one scan + the aggregate exchanges only " +
+       "(no join, no window, no shuffle of text)") {
+    // q145's count(DISTINCT md5) legitimately plans the two-phase distinct
+    // aggregate: partial by (source, md5-hex) then final by source — both
+    // partial-aggregated, both carrying 32-byte keys, never the text.
+    for ((df, want) <- Seq(Pii.q144PiiScan(spark, dir) -> 1,
+                           Pii.q145PiiRedact(spark, dir) -> 2)) {
+      df.collect()
+      // AdaptiveSparkPlan.toString renders Final AND Initial plans — count
+      // exchanges in the final section only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === want, s"expected $want hash exchange(s):\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"unexpected join in PII plan:\n$plan")
+    }
+  }
+}
