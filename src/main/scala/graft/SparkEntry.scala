@@ -164,6 +164,7 @@ object SparkEntry {
     "q144_pii_scan"         -> (Pii.q144PiiScan _),
     "q145_pii_redact"       -> (Pii.q145PiiRedact _),
     "q146_bpe_merges"       -> (Bpe.q146BpeMerges _),
+    "q147_bpe_apply"        -> (Bpe.q147BpeApply _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -480,5 +481,8 @@ object SparkEntry {
     // independent from-scratch replay: the oracle re-learns all 8 merges
     // as a generated CTE chain, not a dump of the Spark output
     "q146_bpe_merges"        -> Bpe.bpeMergesOracle,
+    // train→apply closed: the oracle re-learns the segmentation from
+    // scratch, then re-tokenizes the corpus against it
+    "q147_bpe_apply"         -> Bpe.bpeApplyOracle,
   )
 }

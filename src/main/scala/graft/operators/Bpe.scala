@@ -60,15 +60,15 @@ object Bpe {
     trim((1 to 6).foldLeft(padded)((c, _) => replace(c, lit(pat), lit(rep))))
   }
 
-  /** q146 — the learned merge table: (iter, left_sym, right_sym,
-    * pair_count) for K rounds over the document vocabulary. */
-  def q146BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The K-round learning loop: returns the merge table AND the final
+    * word → symbol-sequence vocabulary (the trained tokenizer — applying
+    * BPE to a known word IS looking up its final segmentation). */
+  def learn(spark: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")).between(1, MaxWord))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(spacedCol(col("w")).as("spaced"), col("cnt"))
+      .select(col("w"), spacedCol(col("w")).as("spaced"), col("cnt"))
       .localCheckpoint()
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -87,15 +87,47 @@ object Bpe {
       val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((it, l, r, c))
       vocab = vocab
-        .select(mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
+        .select(col("w"), mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
         .localCheckpoint()
     }
-    merges.result().toDF("iter", "left_sym", "right_sym", "pair_count")
+    (merges.result(), vocab)
+  }
+
+  /** q146 — the learned merge table: (iter, left_sym, right_sym,
+    * pair_count) for K rounds over the document vocabulary. */
+  def q146BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    learn(spark, dir)._1.toDF("iter", "left_sym", "right_sym", "pair_count")
       .orderBy(col("iter"))
   }
 
-  /** The generated K-step CTE replay (see object scaladoc). */
-  val bpeMergesOracle: String = {
+  /** q147 — APPLY the trained tokenizer: every corpus word occurrence is
+    * looked up in the final segmentation and the per-source subword token
+    * economics reported (total whitespace words, total subword tokens,
+    * total chars — chars/subtokens is the compression the 8 merges buy).
+    *
+    * Scale: the corpus never holds symbol arrays — the vocabulary (already
+    * ≪ corpus; symbol counts, not symbols) broadcasts to an equi-join on
+    * the word, then one partial-aggregated groupBy(source). Past broadcast
+    * size the same plan degrades to a shuffled equi-join on `w`, still
+    * narrow rows. */
+  def q147BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val seg = learn(spark, dir)._2
+      .select(col("w"), size(split(col("spaced"), " ")).cast("long").as("n_syms"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, MaxWord))
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("total_subtokens"),
+        sum(length(col("w")).cast("long")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The generated K-step CTE chain shared by both oracles: learns the
+    * merges AND carries the evolving word → spaced segmentation. */
+  private val oracleChain: String = {
     val spaced = (1 to MaxWord).map(i => s"nullif(substr(w,$i,1),'')")
       .mkString("concat_ws(' ', ", ", ", ")")
     val head =
@@ -104,7 +136,7 @@ object Bpe {
         |wc AS (
         |  SELECT w, count(*) AS cnt FROM toks
         |  WHERE length(w) BETWEEN 1 AND $MaxWord GROUP BY w),
-        |v0 AS (SELECT $spaced AS spaced, cnt FROM wc)""".stripMargin
+        |v0 AS (SELECT w, $spaced AS spaced, cnt FROM wc)""".stripMargin
     val rep6 = {
       val one = (s: String) => s"replace($s, ' '||l||' '||r||' ', ' '||l||r||' ')"
       (1 to 6).foldLeft("' ' || spaced || ' '")((s, _) => one(s))
@@ -116,14 +148,35 @@ object Bpe {
         |p$i AS (SELECT s[j] AS l, s[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
         |        FROM j$i GROUP BY 1, 2),
         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-        |v$i AS (SELECT trim($rep6) AS spaced, cnt FROM v$p, m$i)""".stripMargin
+        |v$i AS (SELECT w, trim($rep6) AS spaced, cnt FROM v$p, m$i)""".stripMargin
     }
+    "WITH " + (head +: steps).mkString(",\n")
+  }
+
+  /** The independent from-scratch replay (see object scaladoc). */
+  val bpeMergesOracle: String = {
     val union = (1 to K)
       .map(i => s"SELECT $i AS it, l, r, c FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH ${(head +: steps).mkString(",\n")}
-      |SELECT CAST(it AS INT) AS iter, l AS left_sym, r AS right_sym,
-      |       c AS pair_count
-      |FROM ($union) ORDER BY iter""".stripMargin
+    oracleChain + "\n" +
+      s"""SELECT CAST(it AS INT) AS iter, l AS left_sym, r AS right_sym,
+        |       c AS pair_count
+        |FROM ($union) ORDER BY iter""".stripMargin
   }
+
+  /** q147's oracle: re-learn the segmentation, then re-tokenize the corpus
+    * against it. */
+  val bpeApplyOracle: String =
+    oracleChain + ",\n" +
+      s"""toks2 AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        |  FROM documents),
+        |app AS (
+        |  SELECT t.source, t.w, len(string_split(v.spaced, ' ')) AS n_syms
+        |  FROM toks2 t JOIN v$K v ON t.w = v.w
+        |  WHERE length(t.w) BETWEEN 1 AND $MaxWord)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_syms) AS BIGINT) AS total_subtokens,
+        |  CAST(sum(length(w)) AS BIGINT) AS total_chars
+        |FROM app GROUP BY source ORDER BY source""".stripMargin
 }

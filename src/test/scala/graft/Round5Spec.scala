@@ -63,6 +63,24 @@ class Round5Spec extends AnyFunSuite {
     assert(broken === 0L)
   }
 
+  test("q147 tokenizer economics are conserved: per-source word counts " +
+       "match a direct recount, and n_words <= subtokens <= chars with " +
+       "strict compression overall") {
+    val rows = operators.Bpe.q147BpeApply(spark, dir).collect()
+    val direct = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, operators.Bpe.MaxWord))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, nw, st, ch) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw === direct(src), s"word count mismatch for $src")
+      assert(nw <= st && st <= ch, s"ordering violated for $src: $nw/$st/$ch")
+    }
+    // 8 merges must actually compress the corpus, not just the vocab
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum)
+  }
+
   // ---- q144/q145 PII -----------------------------------------------------
 
   test("q144 detector is specific: zero matches of any pattern on the " +
