@@ -165,6 +165,8 @@ object SparkEntry {
     "q145_pii_redact"       -> (Pii.q145PiiRedact _),
     "q146_bpe_merges"       -> (Bpe.q146BpeMerges _),
     "q147_bpe_apply"        -> (Bpe.q147BpeApply _),
+    "q148_url_blocklist"    -> (UrlOps.q148UrlBlocklist _),
+    "q149_funnel_v3"        -> (TrainPrep.q149FunnelV3 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -484,5 +486,11 @@ object SparkEntry {
     // train→apply closed: the oracle re-learns the segmentation from
     // scratch, then re-tokenizes the corpus against it
     "q147_bpe_apply"         -> Bpe.bpeApplyOracle,
+    // blocklist literal shared: ONE Scala Seq renders into the Spark
+    // broadcast dimension AND this VALUES list
+    "q148_url_blocklist"     -> UrlOps.urlBlocklistOracle,
+    // funnel v3: URL gate -> PII redact -> dedup-on-redacted -> sample,
+    // same stage definitions chained as CTEs
+    "q149_funnel_v3"         -> TrainPrep.funnelV3Oracle,
   )
 }

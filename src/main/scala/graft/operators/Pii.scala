@@ -37,18 +37,28 @@ object Pii {
     * on %9 (exercises per-doc counts > 1), phone on %13, IPv4 on %7 — the
     * moduli are coprime to the source stride (20) so every source sees a
     * mix. The SQL twin lives in the oracle CTE `pii`. */
-  def piiTable(spark: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id")
+  /** The injected tail alone (composable — funnel v3 stacks it with
+    * [[UrlOps.urlTail]]); `d` is the doc_id column. */
+  def piiTail(d: Column): Column = {
     def s(c: Column) = c.cast("string")
-    Tables.documents(spark, dir).select(d, col("source"),
-      concat(col("text"),
-        when(d % 3 === 0, concat(lit(" contact user"), s(d), lit("@example.com"))).otherwise(""),
-        when(d % 9 === 0, concat(lit(" cc admin"), s(d), lit("@ex"), s(d % 7), lit(".net"))).otherwise(""),
-        when(d % 13 === 0, concat(lit(" call +1-555-"), lpad(s(d % 10000), 4, "0"))).otherwise(""),
-        when(d % 7 === 0, concat(lit(" host 10."), s(d % 256), lit("."), s((d * 3) % 256),
-                                 lit("."), s((d * 7) % 256))).otherwise(""))
-        .as("pii_text"))
+    concat(
+      when(d % 3 === 0, concat(lit(" contact user"), s(d), lit("@example.com"))).otherwise(""),
+      when(d % 9 === 0, concat(lit(" cc admin"), s(d), lit("@ex"), s(d % 7), lit(".net"))).otherwise(""),
+      when(d % 13 === 0, concat(lit(" call +1-555-"), lpad(s(d % 10000), 4, "0"))).otherwise(""),
+      when(d % 7 === 0, concat(lit(" host 10."), s(d % 256), lit("."), s((d * 3) % 256),
+                               lit("."), s((d * 7) % 256))).otherwise(""))
   }
+
+  /** The SQL twin of [[piiTail]] — `'' || <this>` appends the markers. */
+  val piiTailSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || doc_id || '@ex' || (doc_id % 7) || '.net' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id*3) % 256) || '.' || ((doc_id*7) % 256) ELSE '' END"""
+
+  def piiTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(col("text"), piiTail(col("doc_id"))).as("pii_text"))
 
   private def nMatches(pat: String): Column =
     size(regexp_extract_all(col("pii_text"), lit(pat), lit(0))).cast("long")
@@ -98,16 +108,11 @@ object Pii {
         countDistinct(md5(col("redacted"))).as("n_distinct"))
       .orderBy(col("source"))
 
+  // built by concatenation: piiTailSql's '||' continuation lines must
+  // never pass under a stripMargin
   private val piiCte =
-    """WITH pii AS (
-      |  SELECT doc_id, source,
-      |    text
-      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
-      |    || CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || doc_id || '@ex' || (doc_id % 7) || '.net' ELSE '' END
-      |    || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-      |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id*3) % 256) || '.' || ((doc_id*7) % 256) ELSE '' END
-      |    AS pii_text
-      |  FROM documents)""".stripMargin
+    "WITH pii AS (\n  SELECT doc_id, source,\n    text || " + piiTailSql +
+    "\n    AS pii_text\n  FROM documents)"
 
   // NB: piiCte is concatenated, not interpolated inside a stripMargin
   // template — its '||' continuation lines would be re-stripped.

@@ -377,6 +377,96 @@ object TrainPrep {
        |ORDER BY stage""".stripMargin
   }
 
+  /** q149 — curation funnel v3, composing the round-5 hygiene stages the
+    * way q116 composed round 4's: URL blocklist GATE (q148's broadcast
+    * blocklist — drop any doc citing a blocked domain), PII REDACTION
+    * (q145's replace-all chain — a transform, reported as the count of
+    * docs actually modified), exact dedup keeper on the REDACTED text
+    * (redaction before dedup is the production order: two docs differing
+    * only in scrubbed PII must dedup together), and the per-lang priority
+    * sample (q103's md5-rank rule). Runs on the combined PII+URL fixture
+    * so every stage has teeth.
+    *
+    * Scale: the gate is an exploded narrow (doc_id, domain) row set
+    * against a broadcast dimension; redaction is a codegen'd map; the
+    * keeper/sample windows are per-hash / per-lang (WindowGroupLimit) —
+    * nothing global, nothing corpus-sized on the driver. */
+  def q149FunnelV3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = col("doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select(d, col("source"), col("lang"),
+        concat(col("text"), Pii.piiTail(d), UrlOps.urlTail(d)).as("ft"))
+    val bad = docs.select(d,
+        explode(regexp_extract_all(col("ft"), lit(UrlOps.urlPat), lit(1))).as("host"))
+      .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+      .join(broadcast(UrlOps.blockedDomains.toDF("domain")), Seq("domain"))
+      .select(d).distinct()
+    val r1 = docs.join(bad, Seq("doc_id"), "left_anti")
+    val r2 = r1.withColumn("rt", Pii.redact(col("ft")))
+    val w = Window.partitionBy(col("k"))
+    val dd = r2
+      .withColumn("k", md5(trim(regexp_replace(lower(col("rt")), "\\s+", " "))))
+      .withColumn("keep", min(d).over(w))
+      .filter(d === col("keep")).drop("k", "keep")
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(md5(d.cast("string")), d)
+    val sampled = dd.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= FunnelV2SampleK)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("0_all", docs)
+      .unionAll(stage("1_urlgate", r1))
+      .unionAll(stage("2_redacted", r2.filter(col("rt") =!= col("ft"))))
+      .unionAll(stage("3_dedup", dd))
+      .unionAll(stage("4_sample", sampled))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle: the same stage definitions as CTEs over the same fixture
+    * (tails concatenated — never under a stripMargin). */
+  val funnelV3Oracle: String = {
+    val values = UrlOps.blockedDomains.map(dm => s"('$dm')").mkString(", ")
+    "WITH fx AS (\n  SELECT doc_id, source, lang,\n    text || " +
+      Pii.piiTailSql + "\n || " + UrlOps.urlTailSql + " AS ft\n  FROM documents),\n" +
+    s"block(domain) AS (VALUES $values),\n" +
+    """hosts AS (
+      |  SELECT doc_id,
+      |    regexp_replace(unnest(regexp_extract_all(ft, 'https?://([A-Za-z0-9.-]+)/', 1)),
+      |                   '^www\.', '') AS domain
+      |  FROM fx),
+      |bad AS (SELECT DISTINCT doc_id FROM hosts JOIN block USING (domain)),
+      |r1 AS (SELECT * FROM fx WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      |r2 AS (
+      |  SELECT doc_id, source, lang, ft,
+      |    regexp_replace(regexp_replace(regexp_replace(ft,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS rt
+      |  FROM r1),
+      |dd AS (
+      |  SELECT doc_id, lang FROM (
+      |    SELECT doc_id, lang,
+      |      min(doc_id) OVER (PARTITION BY
+      |        md5(trim(regexp_replace(lower(rt), '\s+', ' ', 'g')))) AS keep
+      |    FROM r2)
+      |  WHERE doc_id = keep),
+      |sampled AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |    FROM dd)
+      |  WHERE rk <= """.stripMargin + FunnelV2SampleK + """)
+      |SELECT stage, n FROM (
+      |  SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n FROM fx
+      |  UNION ALL SELECT '1_urlgate', CAST(count(*) AS BIGINT) FROM r1
+      |  UNION ALL SELECT '2_redacted', CAST(count(*) AS BIGINT) FROM r2 WHERE rt <> ft
+      |  UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
+      |  UNION ALL SELECT '4_sample', CAST(count(*) AS BIGINT) FROM sampled)
+      |ORDER BY stage""".stripMargin
+  }
+
   /** q124 — token-budget WATER-FILLING allocator: given a total token
     * budget (4/5 of the corpus here) and a uniform per-language target,
     * find the EXACT water level — the equal allocation L such that

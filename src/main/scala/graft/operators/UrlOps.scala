@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL / domain filtering over `documents` — the provenance-hygiene stage
+  * of a web-scale curation pipeline (RefinedWeb, Penedo et al. 2023 §3.1:
+  * URL blocklists run before any content heuristic).
+  *
+  * Like [[Pii]], the synthetic corpus carries no URLs, so [[urlTable]]
+  * embeds deterministic doc_id-derived markers recomputed identically by
+  * the oracle; the EXTRACTOR runs over the full text and Round5Spec pins
+  * zero matches on the clean corpus. The blocklist is one shared Scala
+  * literal ([[blockedDomains]]) rendered into BOTH the Spark broadcast
+  * dimension and the oracle's VALUES list — one source of truth.
+  *
+  * Cross-engine notes: `regexp_extract_all(s, pat, 1)` group extraction
+  * has identical semantics in Spark and DuckDB; the `^www\.` strip is an
+  * anchored pattern (no lookaround); patterns stay in the Java ∩ RE2
+  * subset.
+  *
+  * Scale: extraction is a codegen'd row-wise map; the explode emits one
+  * narrow (source, doc_id, domain) row per URL — the text never travels
+  * past the extract. The blocklist is a broadcast dimension (10 rows
+  * here; real blocklists are ~1e6 rows — still broadcast range), so the
+  * only shuffles are the two partial-aggregated groupBys.
+  */
+object UrlOps {
+
+  /** Host-capture pattern: group 1 is the authority. */
+  val urlPat = "https?://([A-Za-z0-9.-]+)/"
+
+  /** The shared blocklist literal — five of each injected URL class. */
+  val blockedDomains: Seq[String] =
+    (0 until 50 by 10).map(k => s"site$k.com") ++
+    (5 until 50 by 10).map(k => s"cdn.site$k.org")
+
+  /** documents + deterministic URL tail: an https www-host on doc_id%4,
+    * an http cdn-host on doc_id%6 (both moduli share docs with the PII
+    * fixture's — multi-marker docs exist), 50 distinct sites each. */
+  /** The injected tail alone (composable — funnel v3 stacks it with
+    * [[Pii.piiTail]]); `d` is the doc_id column. */
+  def urlTail(d: Column): Column = {
+    def s(c: Column) = c.cast("string")
+    concat(
+      when(d % 4 === 0, concat(lit(" see https://www.site"), s(d % 50),
+                               lit(".com/p/"), s(d))).otherwise(""),
+      when(d % 6 === 0, concat(lit(" ref http://cdn.site"), s(d % 50),
+                               lit(".org/a"), s(d), lit(".html"))).otherwise(""))
+  }
+
+  /** The SQL twin of [[urlTail]]. */
+  val urlTailSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 50) || '.com/p/' || doc_id ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn.site' || (doc_id % 50) || '.org/a' || doc_id || '.html' ELSE '' END"""
+
+  def urlTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(col("text"), urlTail(col("doc_id"))).as("url_text"))
+
+  /** q148 — per-source URL triage: doc/url counts, blocklist hits, and
+    * distinct-domain fan-out (the crawl-mix readout that decides which
+    * sources need domain-level review). */
+  def q148UrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = urlTable(spark, dir)
+    val hosts = base.select(col("source"), col("doc_id"),
+        explode(regexp_extract_all(col("url_text"), lit(urlPat), lit(1))).as("host"))
+      .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+    val block = broadcast(blockedDomains.toDF("domain")
+      .withColumn("is_blocked", lit(1L)))
+    val perDoc = hosts.join(block, Seq("domain"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(coalesce(col("is_blocked"), lit(0L))).as("n_blocked"))
+    val domains = hosts.join(block, Seq("domain"), "left")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("domain")).as("n_domains"),
+        countDistinct(when(col("is_blocked") === 1L, col("domain"))).as("n_blocked_domains"))
+    base.select(col("source"), col("doc_id"))
+      .join(perDoc, Seq("source", "doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_urls"), lit(0L)) > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(when(coalesce(col("n_blocked"), lit(0L)) > 0, 1L).otherwise(0L)).as("docs_blocked"),
+        sum(coalesce(col("n_urls"), lit(0L))).as("total_urls"),
+        sum(coalesce(col("n_blocked"), lit(0L))).as("blocked_urls"))
+      .join(domains, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("docs_with_url"),
+        col("docs_blocked"), col("total_urls"), col("blocked_urls"),
+        coalesce(col("n_domains"), lit(0L)).as("n_domains"),
+        coalesce(col("n_blocked_domains"), lit(0L)).as("n_blocked_domains"))
+      .orderBy(col("source"))
+  }
+
+  val urlBlocklistOracle: String = {
+    val values = blockedDomains.map(d => s"('$d')").mkString(", ")
+    """WITH urls AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 50) || '.com/p/' || doc_id ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn.site' || (doc_id % 50) || '.org/a' || doc_id || '.html' ELSE '' END
+      |    AS url_text
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT source, doc_id,
+      |    regexp_replace(unnest(regexp_extract_all(url_text, 'https?://([A-Za-z0-9.-]+)/', 1)),
+      |                   '^www\.', '') AS domain
+      |  FROM urls),""".stripMargin + "\n" +
+    s"block(domain) AS (VALUES $values),\n" +
+    """marked AS (
+      |  SELECT h.source, h.doc_id, h.domain,
+      |    CASE WHEN b.domain IS NULL THEN 0 ELSE 1 END AS is_blocked
+      |  FROM hosts h LEFT JOIN block b ON h.domain = b.domain),
+      |per_doc AS (
+      |  SELECT source, doc_id, count(*) AS n_urls, sum(is_blocked) AS n_blocked
+      |  FROM marked GROUP BY source, doc_id),
+      |per_src AS (
+      |  SELECT source, count(DISTINCT domain) AS n_domains,
+      |    count(DISTINCT CASE WHEN is_blocked = 1 THEN domain END) AS n_blocked_domains
+      |  FROM marked GROUP BY source)
+      |SELECT u.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN coalesce(p.n_urls, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+      |  CAST(sum(CASE WHEN coalesce(p.n_blocked, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_blocked,
+      |  CAST(sum(coalesce(p.n_urls, 0)) AS BIGINT) AS total_urls,
+      |  CAST(sum(coalesce(p.n_blocked, 0)) AS BIGINT) AS blocked_urls,
+      |  CAST(coalesce(any_value(s.n_domains), 0) AS BIGINT) AS n_domains,
+      |  CAST(coalesce(any_value(s.n_blocked_domains), 0) AS BIGINT) AS n_blocked_domains
+      |FROM urls u
+      |LEFT JOIN per_doc p ON u.source = p.source AND u.doc_id = p.doc_id
+      |LEFT JOIN per_src s ON u.source = s.source
+      |GROUP BY u.source ORDER BY u.source""".stripMargin
+  }
+}

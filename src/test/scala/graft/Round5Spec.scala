@@ -81,6 +81,31 @@ class Round5Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum)
   }
 
+  // ---- q148 URL blocklist ------------------------------------------------
+
+  test("q148 extractor is specific (zero URLs in clean text) and the " +
+       "report obeys containment: blocked <= total at url and domain level") {
+    val clean = Tables.documents(spark, dir).select(
+      size(regexp_extract_all(col("text"), lit(operators.UrlOps.urlPat), lit(1))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(clean === 0L)
+    operators.UrlOps.q148UrlBlocklist(spark, dir).collect().foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4), s"blocked_urls > total_urls: $r")
+      assert(r.getLong(3) <= r.getLong(2), s"docs_blocked > docs_with_url: $r")
+      assert(r.getLong(7) <= r.getLong(6), s"blocked domains > domains: $r")
+    }
+  }
+
+  test("q149 funnel stages are monotone and every stage has teeth on " +
+       "the fixture") {
+    val n = operators.TrainPrep.q149FunnelV3(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("1_urlgate") < n("0_all"), "URL gate dropped nothing")
+    assert(n("2_redacted") > 0 && n("2_redacted") <= n("1_urlgate"))
+    assert(n("3_dedup") <= n("1_urlgate"))
+    assert(n("4_sample") <= n("3_dedup") && n("4_sample") > 0)
+  }
+
   // ---- q144/q145 PII -----------------------------------------------------
 
   test("q144 detector is specific: zero matches of any pattern on the " +
