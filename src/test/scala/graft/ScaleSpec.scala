@@ -158,6 +158,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.length.toLong === nSources)
   }
 
+  test("round-5 operators keep the scale shapes: broadcast dimensions, " +
+       "no cartesian, no single-partition data exchange") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // q147: the segmentation (vocab) side must broadcast — the corpus
+    // word explode never shuffles for the join
+    val apply = finalPlan(graft.operators.Bpe.q147BpeApply(spark, dir))
+    assert(apply.contains("BroadcastHashJoin"), s"q147 vocab not broadcast:\n$apply")
+    assert(!apply.contains("SortMergeJoin"), s"q147 shuffled its join:\n$apply")
+    // q148: the blocklist is a broadcast dimension
+    val url = finalPlan(graft.operators.UrlOps.q148UrlBlocklist(spark, dir))
+    assert(url.contains("BroadcastHashJoin"), s"q148 blocklist not broadcast:\n$url")
+    assert(!url.contains("CartesianProduct"), s"cartesian in q148:\n$url")
+    // q149: the URL gate is a broadcast anti-join and nothing is a
+    // cartesian. (The stage COUNTS are global aggregates, so their final
+    // 1-row-per-partition partials legitimately land on one partition —
+    // that is not a data-sized exchange.)
+    val fun = finalPlan(graft.operators.TrainPrep.q149FunnelV3(spark, dir))
+    assert(!fun.contains("CartesianProduct"), s"cartesian in q149:\n$fun")
+    assert(fun.contains("BroadcastHashJoin"), s"q149 gate not broadcast:\n$fun")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
