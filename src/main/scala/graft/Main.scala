@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   graft migrate <tableDir> [--check]                 — ordered migrations
   *   graft richlist <tableDir> <outDir>                 — maintenance pass
   *   graft check-schema <tableDir>                      — schema contract
-  *   graft funnel <sfDir>                               — curation funnel counts
+  *   graft funnel <sfDir> [v1|v2|v3]                    — curation funnel counts
   *
   * `server`, `gaps` and `backfill` are accepted as aliases (the reference
   * marks the latter two DEPRECATED; their work is the `fill` plan here —
@@ -94,10 +94,17 @@ object Main {
 
   /** `funnel` — the curation pipeline face (beyond reference parity: the
     * LLM-data surface): run [[operators.TrainPrep.q104CurationFunnel]]
-    * over a documents table and print the per-stage survivor counts. */
-  def funnelCmd(spark: SparkSession, sfDir: String): Seq[String] =
-    operators.TrainPrep.q104CurationFunnel(spark, sfDir)
-      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
+    * (or v2/v3 when asked) over a documents table and print the
+    * per-stage survivor counts. */
+  def funnelCmd(spark: SparkSession, sfDir: String,
+                version: String = "v1"): Seq[String] = {
+    val df = version match {
+      case "v3" => operators.TrainPrep.q149FunnelV3(spark, sfDir)
+      case "v2" => operators.TrainPrep.q116FunnelV2(spark, sfDir)
+      case _    => operators.TrainPrep.q104CurationFunnel(spark, sfDir)
+    }
+    df.collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
+  }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
@@ -180,9 +187,9 @@ object Main {
       println(s"richlist=${rep.richlistRows} supply=${rep.totalSupply}")
       spark.stop()
 
-    case "funnel" :: sfDir :: Nil =>
+    case "funnel" :: sfDir :: rest if rest.size <= 1 =>
       val spark = session()
-      funnelCmd(spark, sfDir).foreach(println)
+      funnelCmd(spark, sfDir, rest.headOption.getOrElse("v1")).foreach(println)
       spark.stop()
 
     case "check-schema" :: tables :: Nil =>

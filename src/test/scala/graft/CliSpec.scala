@@ -96,4 +96,12 @@ class CliSpec extends AnyFunSuite {
     assert(docCounts == docCounts.sorted.reverse && docCounts.head > 0)
     assert(stages.last._2 > 0) // some packs survive on the fixture
   }
+
+  test("funnel v3: the hygiene pipeline dispatches and reports its stages") {
+    val lines = Main.funnelCmd(spark, "/root/testdata/sf0.001", "v3")
+    val stages = lines.map(_.split("\t")).map(a => a(0) -> a(1).toLong)
+    assert(stages.map(_._1) ==
+      Seq("0_all", "1_urlgate", "2_redacted", "3_dedup", "4_sample"))
+    assert(stages.head._2 > stages(1)._2) // the URL gate drops docs
+  }
 }
