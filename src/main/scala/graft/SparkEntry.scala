@@ -167,6 +167,7 @@ object SparkEntry {
     "q147_bpe_apply"        -> (Bpe.q147BpeApply _),
     "q148_url_blocklist"    -> (UrlOps.q148UrlBlocklist _),
     "q149_funnel_v3"        -> (TrainPrep.q149FunnelV3 _),
+    "q150_bm25_topk"        -> (Retrieval.q150Bm25TopK _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -492,5 +493,9 @@ object SparkEntry {
     // funnel v3: URL gate -> PII redact -> dedup-on-redacted -> sample,
     // same stage definitions chained as CTEs
     "q149_funnel_v3"         -> TrainPrep.funnelV3Oracle,
+    // integer-ppm BM25 with log-free linear IDF: the probe query set is
+    // ONE Scala literal rendered into both the broadcast relation and
+    // this VALUES list; every division is an explicit integral DIV
+    "q150_bm25_topk"         -> Retrieval.bm25Oracle,
   )
 }

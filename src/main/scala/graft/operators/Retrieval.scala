@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 top-k text retrieval over `documents` — the keyword-search /
+  * example-mining primitive of a curation pipeline (find the documents
+  * most relevant to a probe query: contamination triage, targeted
+  * inspection, seed selection for importance sampling).
+  *
+  * Scoring is Robertson/Spärck-Jones BM25 (k1 = 1.2, b = 0.75) with two
+  * cross-engine determinism substitutions, both established house rules:
+  *
+  *   - **log-free IDF** (the q70 rule): the `ln` in classic IDF is libm
+  *     (not bit-portable), so the rarity factor is the LINEAR ratio the
+  *     log would be taken of — `(2N - 2df + 1) / (2df + 1)`, i.e.
+  *     `(N - df + 0.5) / (df + 0.5)` with the halves cleared. It is
+  *     positive for df ≤ N and induces the same per-term document
+  *     ranking (log is monotone).
+  *   - **integer-ppm arithmetic** (the q134 rule): every division is an
+  *     explicit integral `DIV` at a declared ppm scale, so both engines
+  *     compute bit-identical BIGINT scores. Products that could exceed
+  *     int64 at corpus scale route through DECIMAL(38,0) / HUGEINT
+  *     (q134's routing).
+  *
+  * Fully expanded, with T = total corpus tokens, N = |corpus| (so
+  * avgdl = T/N), dl = doc tokens, tf = term count in doc:
+  *
+  *   avgdl_ppm = T·10^6 DIV N                      (control scalar)
+  *   ratio_ppm = dl·10^12 DIV avgdl_ppm            (dl/avgdl)
+  *   denom_ppm = tf·10^6 + 0.3·10^6 + 0.9·ratio_ppm
+  *               (= tf + k1·(1-b) + k1·b·dl/avgdl, k1=6/5, b=3/4)
+  *   tfn_ppm   = tf·2.2·10^12 DIV denom_ppm        (= tf·(k1+1)/denom)
+  *   idf_ppm   = (2N - 2df + 1)·10^6 DIV (2df + 1)
+  *   score_ppm = Σ_terms (tfn_ppm · idf_ppm DIV 10^6)
+  *
+  * Scale shape: the probe vocabulary is a LITERAL `IN` filter applied
+  * before the (doc_id, term) aggregate, so the exploded corpus is cut to
+  * query-term rows at the scan — the full-vocabulary TF relation never
+  * materializes (contrast q70, which needs it). df is a query-vocabulary-
+  * sized aggregate broadcast back; the query table itself is a broadcast
+  * literal. Top-k per query is a rank-limit window (WindowGroupLimit
+  * pushes the k=5 heap into the partial aggregation). N and T arrive via
+  * one 1-row control-plane aggregate (the q70 pattern).
+  */
+object Retrieval {
+
+  /** Top-k cutoff per query. */
+  val TopK = 5
+
+  /** The probe query set — ONE Scala literal rendered into both the
+    * Spark broadcast relation and the oracle's VALUES list. Terms are
+    * distinct within a query (qtf = 1; the standard short-query form). */
+  val querySet: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "window", "merge"),
+    2L -> Seq("slow", "query"),
+    3L -> Seq("stream", "batch", "table"),
+    4L -> Seq("customer", "vector"),
+    5L -> Seq("sort", "filter", "agg"),
+    6L -> Seq("big", "small", "fast"))
+
+  private def queryVocab: Seq[String] = querySet.flatMap(_._2).distinct
+
+  def q150Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // Control scalars (one bounded 1-row aggregate, the q70/PrefixSum
+    // driver-loop dimension): corpus size and total token mass.
+    val row = docs.agg(count(lit(1)), sum(col("dl"))).first()
+    val n = row.getLong(0)
+    val avgdlPpm = row.getLong(1) * 1000000L / n // trunc-div == SQL DIV (>0)
+    val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    // Literal IN filter BEFORE the aggregate: only query-term occurrences
+    // survive the explode — the corpus-wide TF relation never exists.
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryVocab: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfRel), "term")
+      .join(broadcast(terms), "term")
+      // dl·10^12 routes through DECIMAL(38,0): at web scale dl can reach
+      // 10^6 tokens and the product would clip int64.
+      .withColumn("ratio_ppm", expr(
+        s"CAST(CAST(dl AS DECIMAL(38,0)) * 1000000000000 DIV ${avgdlPpm}L AS BIGINT)"))
+      .withColumn("denom_ppm",
+        expr("tf * 1000000L + 300000L + 900000L * ratio_ppm DIV 1000000L"))
+      .withColumn("tfn_ppm", expr(
+        "CAST(CAST(tf AS DECIMAL(38,0)) * 2200000 * 1000000 DIV denom_ppm AS BIGINT)"))
+      .withColumn("idf_ppm", expr(
+        s"CAST((2 * ${n}L - 2 * df + 1) * CAST(1000000 AS DECIMAL(38,0)) DIV (2 * df + 1) AS BIGINT)"))
+      .withColumn("term_ppm", expr(
+        "CAST(CAST(tfn_ppm AS DECIMAL(38,0)) * idf_ppm DIV 1000000 AS BIGINT)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_ppm")).as("score_ppm"),
+           count(lit(1)).as("n_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit"),
+              col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25Oracle: String = {
+    val values = querySet
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val vocabIn = queryVocab.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $values),
+       |d AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |           AS avgdl_ppm
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       |  WHERE term IN ($vocabIn)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |parts AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(CAST(tf.tf AS HUGEINT) * 2200000 * 1000000 //
+       |      (tf.tf * 1000000 + 300000 +
+       |       900000 * (CAST(tf.dl AS HUGEINT) * 1000000000000 // s.avgdl_ppm)
+       |         // 1000000)
+       |      AS BIGINT) AS tfn_ppm,
+       |    CAST((2 * s.n - 2 * df.df + 1) * CAST(1000000 AS HUGEINT)
+       |         // (2 * df.df + 1) AS BIGINT) AS idf_ppm
+       |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000) AS BIGINT)
+       |      AS score_ppm,
+       |    CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM parts GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, n_hit, score_ppm FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+}
