@@ -168,6 +168,7 @@ object SparkEntry {
     "q148_url_blocklist"    -> (UrlOps.q148UrlBlocklist _),
     "q149_funnel_v3"        -> (TrainPrep.q149FunnelV3 _),
     "q150_bm25_topk"        -> (Retrieval.q150Bm25TopK _),
+    "q151_winnow"           -> (Winnow.q151Winnow _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -497,5 +498,8 @@ object SparkEntry {
     // ONE Scala literal rendered into both the broadcast relation and
     // this VALUES list; every division is an explicit integral DIV
     "q150_bm25_topk"         -> Retrieval.bm25Oracle,
+    // winnowing fingerprint selection: rightmost-min tie rule encoded
+    // structurally as min over the `hash || lpad(10^9 - pos)` string key
+    "q151_winnow"            -> Winnow.winnowOracle,
   )
 }

@@ -12,22 +12,29 @@ import org.apache.spark.sql.functions._
   * caching, and Catalyst prunes columns per query.
   */
 object Tables {
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate to
-    * microsecond precision (Spark's native timestamp resolution). Oracle SQL
-    * follows the same convention: only `>=` / `<` predicates at whole-micro
-    * boundaries, and `event_id` tiebreaks wherever `ts` orders rows.
+  /** `events.ts` has been written three ways across testdata generations:
+    * TIMESTAMP(NANOS) (read as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong` and floor-truncated to micros),
+    * micros with isAdjustedToUTC=false (Spark 4 infers TIMESTAMP_NTZ), and
+    * instant micros (TimestampType directly). All three normalize to
+    * session-UTC TimestampType carrying the same wall-clock micros, so the
+    * engine and the DuckDB oracle (which reads the file as a naive
+    * timestamp) agree. Oracle SQL keeps the convention: only `>=` / `<`
+    * predicates at whole-micro boundaries, and `event_id` tiebreaks
+    * wherever `ts` orders rows.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      // ts arrives as LongType nanos under the legacy conf; older writers
-      // (micros) arrive as TimestampType already — handle both.
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session timezone is UTC everywhere (builder/Verify/Bench), so
+          // this cast is the identity on the underlying micros
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
