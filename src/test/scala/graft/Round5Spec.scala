@@ -153,4 +153,61 @@ class Round5Spec extends AnyFunSuite {
         s"unexpected join in PII plan:\n$plan")
     }
   }
+
+  // ---- q150 BM25 ---------------------------------------------------------
+
+  test("q150 BM25 invariants: contiguous ranks within top-k, scores " +
+       "nonincreasing with rank, n_hit bounded by the query's term count") {
+    import graft.operators.Retrieval
+    val rows = Retrieval.q150Bm25TopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val termCount = Retrieval.querySet.toMap.view.mapValues(_.length).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length.toLong),
+        s"query $q ranks not contiguous from 1")
+      assert(sorted.length <= Retrieval.TopK)
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores increase with rank: ${scores.toSeq}")
+      sorted.foreach { r =>
+        val hits = r.getLong(3)
+        assert(hits >= 1L && hits <= termCount(q).toLong,
+          s"query $q doc ${r.getLong(2)}: n_hit $hits outside [1, terms]")
+      }
+    }
+  }
+
+  // ---- q151 winnowing ----------------------------------------------------
+
+  test("q151 winnowing guarantee: in every doc, the selected positions " +
+       "cover every full window of W consecutive k-grams") {
+    import graft.operators.Winnow
+    val sel = Winnow.selected(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("fp_pos"))).as("ps"))
+    val kgCount = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (size(graft.operators.TextOps.tokens(col("text"))) - lit(Winnow.K - 1))
+          .cast("long").as("m"))
+      .filter(col("m") >= Winnow.W)
+    val joined = kgCount.join(sel, Seq("doc_id"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val docId = r.getLong(0)
+      val m = r.getLong(1)
+      assert(!r.isNullAt(2), s"doc $docId has $m k-grams but no fingerprints")
+      val ps = r.getSeq[Long](2)
+      // first window [0, W-1] and last window [m-W, m-1] must be covered,
+      // and no two consecutive selections may leave a W-window uncovered
+      assert(ps.head <= (Winnow.W - 1).toLong, s"doc $docId first pick ${ps.head}")
+      assert(ps.last >= m - Winnow.W, s"doc $docId last pick ${ps.last} of $m")
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(b - a <= Winnow.W.toLong,
+          s"doc $docId gap $a -> $b exceeds window ${Winnow.W}")
+      }
+      // compression really happened: never more picks than windows
+      assert(ps.length.toLong <= m - Winnow.W + 1)
+    }
+  }
 }

@@ -181,6 +181,20 @@ class ScaleSpec extends AnyFunSuite {
     val fun = finalPlan(graft.operators.TrainPrep.q149FunnelV3(spark, dir))
     assert(!fun.contains("CartesianProduct"), s"cartesian in q149:\n$fun")
     assert(fun.contains("BroadcastHashJoin"), s"q149 gate not broadcast:\n$fun")
+    // q150: df + query relations are broadcast dimensions, the top-k is a
+    // WindowGroupLimit heap (never a global sort), and the probe-vocab IN
+    // filter cuts the explode before any aggregate
+    val bm = finalPlan(graft.operators.Retrieval.q150Bm25TopK(spark, dir))
+    assert(bm.contains("BroadcastHashJoin"), s"q150 dims not broadcast:\n$bm")
+    assert(!bm.contains("CartesianProduct"), s"cartesian in q150:\n$bm")
+    assert(bm.contains("WindowGroupLimit"), s"q150 top-k not a heap:\n$bm")
+    // q151: everything past the scan is (doc_id, pos, 32-char hash) rows;
+    // the doc-partitioned window must not serialize, and no join may
+    // cartesian
+    val wn = finalPlan(graft.operators.Winnow.q151Winnow(spark, dir))
+    assert(!wn.contains("CartesianProduct"), s"cartesian in q151:\n$wn")
+    assert(!wn.contains("Exchange SinglePartition"),
+      s"q151 serialized a data exchange:\n$wn")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
