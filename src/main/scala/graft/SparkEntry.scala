@@ -169,6 +169,9 @@ object SparkEntry {
     "q149_funnel_v3"        -> (TrainPrep.q149FunnelV3 _),
     "q150_bm25_topk"        -> (Retrieval.q150Bm25TopK _),
     "q151_winnow"           -> (Winnow.q151Winnow _),
+    "q152_domain_pagerank"  -> (UrlOps.q152DomainPagerank _),
+    "q153_encoding_qa"      -> (EncodingQa.q153EncodingQa _),
+    "q154_cluster_canonical" -> (Dedup.q154ClusterCanonical _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -501,5 +504,14 @@ object SparkEntry {
     // winnowing fingerprint selection: rightmost-min tie rule encoded
     // structurally as min over the `hash || lpad(10^9 - pos)` string key
     "q151_winnow"            -> Winnow.winnowOracle,
+    // bounded-iteration PageRank, oracle re-runs all 8 steps as a
+    // generated CTE chain (the q146 discipline); integer-ppm mass
+    "q152_domain_pagerank"   -> UrlOps.domainPagerankOracle,
+    // mojibake/control/non-ASCII scan; injected BMP markers, char-mass
+    // counting idiom (no division), chr()/char() built the same chars
+    "q153_encoding_qa"       -> EncodingQa.encodingQaOracle,
+    // keep-best-quality per near-dup cluster: chains q42's cluster CTE
+    // with q35's quality CTE; keeper = row_number over (quality DESC, id)
+    "q154_cluster_canonical" -> Dedup.clusterCanonicalOracle,
   )
 }

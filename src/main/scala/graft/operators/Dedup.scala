@@ -583,6 +583,73 @@ object Dedup {
        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q154 — CANONICAL SELECTION by quality: q74's keeper rule upgraded to
+    * the production one — inside every near-dup cluster keep the HIGHEST-
+    * QUALITY member (q35's score; ties → min doc_id), not the arbitrary
+    * min-id. This is what RefinedWeb/FineWeb-class pipelines actually ship:
+    * near-dups differ by boilerplate and truncation, and dropping the
+    * better-scored copy throws away the cleanest text.
+    *
+    * Cross-engine: the keeper is `row_number() OVER (PARTITION BY cluster
+    * ORDER BY quality DESC, doc_id)` = 1 — quality values are the
+    * DECIMAL-routed r6 doubles both engines already agree on bit-exactly
+    * (q35), so the ordering (and therefore the keeper set) is identical.
+    *
+    * Scale: clusters/quality are (id, number) relations — the text stays
+    * in the final per-source rollup's scan. The keeper window partitions
+    * by cluster_id (near-dup families are tiny; the q42 convergence guard
+    * fails loud on pathological merging). Min/max — never sums — of the
+    * kept qualities keep the floats order-independent. */
+  def q154ClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = q42DedupClusters(spark, dir).localCheckpoint()
+    val quality = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val member = clusters.join(quality, "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val keep = member.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val drops = clusters.join(keep, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(quality, "doc_id")
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("dropped").isNull, col("quality"))).as("kept_min_q"),
+        max(when(col("dropped").isNull, col("quality"))).as("kept_max_q"))
+      .orderBy(col("source"))
+  }
+
+  val clusterCanonicalOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |clusters AS (
+       |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+       |q AS (SELECT doc_id, quality FROM (
+       |  ${TextOps.qualityOracle.replace("ORDER BY doc_id", "")})),
+       |keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id,
+       |      row_number() OVER (PARTITION BY c.cluster_id
+       |        ORDER BY q.quality DESC, c.doc_id) AS rn
+       |    FROM clusters c JOIN q USING (doc_id))
+       |  WHERE rn = 1),
+       |drops AS (
+       |  SELECT doc_id FROM clusters
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM keep))
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  min(CASE WHEN dr.doc_id IS NULL THEN q.quality END) AS kept_min_q,
+       |  max(CASE WHEN dr.doc_id IS NULL THEN q.quality END) AS kept_max_q
+       |FROM documents d
+       |JOIN q ON d.doc_id = q.doc_id
+       |LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** q96 — CLUSTER-PRECISION audit: the approximation-audit family
     * (q82/q88/q89/q90/q95) extended to the CLUSTERING step. Connected
     * components take the transitive closure of the verified LSH pairs —

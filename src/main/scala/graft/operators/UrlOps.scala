@@ -94,6 +94,112 @@ object UrlOps {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------------------------------------
+  // q152 — domain PageRank over the source↔domain provenance graph
+  // -------------------------------------------------------------------------
+
+  /** PageRank damping factor in ppm (d = 0.85). */
+  val DampPpm = 850000L
+
+  /** Fixed iteration count — the q146 bounded-iteration discipline: the
+    * oracle re-runs the same 8 steps as a generated CTE chain. */
+  val PrIters = 8
+
+  /** q152 — PageRank over the bipartite source↔domain graph (nodes =
+    * crawl sources and extracted domains, edge weight = number of docs of
+    * that source citing that domain): the domain-authority signal a
+    * curation pipeline uses to rank crawl frontiers (the harmonic-
+    * centrality role in Common Crawl's ranking; RefinedWeb §3.1 uses the
+    * inverse as a spam prior).
+    *
+    * Determinism is the q150/q134 integer-ppm rule: mass lives in ppm
+    * units (Σ pr₀ = 10⁶), every division is one truncating integral DIV
+    * per edge — order-independent, so a 1000-way parallel sum and the
+    * oracle's single-threaded sum agree bit-exactly. Per-edge truncation
+    * leaks ≤ 1 ppm per edge per round (Round5bSpec pins the envelope).
+    *
+    * Scale: the ITERATED state is one row per node — the vertex
+    * dimension, never the corpus. Each round is two keyed shuffles
+    * (contrib groupBy dst, pr rebuild join), the q42-CC loop shape, with
+    * `localCheckpoint` cutting the 8-deep lineage. Edge weights come from
+    * one partial-aggregated groupBy of the narrow (source, doc, domain)
+    * extraction — the text never enters the loop. */
+  def q152DomainPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = urlTable(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(regexp_extract_all(col("url_text"), lit(urlPat), lit(1))).as("host"))
+      .select(col("source"), col("doc_id"),
+        regexp_replace(col("host"), "^www\\.", "").as("domain"))
+      .distinct()
+    val edges = hosts
+      .groupBy(concat(lit("src:"), col("source")).as("u"),
+               concat(lit("dom:"), col("domain")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val bi = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    val biDeg = bi.join(
+      bi.groupBy(col("u")).agg(sum(col("w")).as("wdeg")), "u")
+      .localCheckpoint()
+    val nodes = bi.select(col("u")).distinct().localCheckpoint()
+    // control scalars (vertex-dimension bounded, the q150 N pattern)
+    val n = nodes.count()
+    val base = 150000L / n // truncating, == SQL DIV for positives
+    var pr = nodes.withColumn("pr", lit(1000000L / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = biDeg.join(pr, "u")
+        .select(col("v"), expr(
+          s"CAST(CAST(pr AS DECIMAL(38,0)) * $DampPpm * w DIV (1000000L * wdeg) AS BIGINT)")
+          .as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, nodes("u") === contrib("v"), "left")
+        .select(nodes("u"), (lit(base) + coalesce(col("s"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("u").as("node"), col("pr").as("pr_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** Generated 8-step CTE replay — the oracle RE-RUNS PageRank from
+    * scratch (q146's discipline: nothing is dumped from the Spark run). */
+  val domainPagerankOracle: String = {
+    val iters = (0 until PrIters).map { k =>
+      s"""c$k AS (
+         |  SELECT bi.v AS u,
+         |    CAST(sum(CAST(p.pr AS HUGEINT) * $DampPpm * bi.w
+         |             // (1000000 * d.wdeg)) AS BIGINT) AS s
+         |  FROM bi JOIN pr$k p ON bi.u = p.u JOIN deg d ON bi.u = d.u
+         |  GROUP BY bi.v),
+         |pr${k + 1} AS (
+         |  SELECT n.u,
+         |    CAST((SELECT 150000 // n FROM nn) + coalesce(c.s, 0) AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$k c ON n.u = c.u)""".stripMargin
+    }.mkString(",\n")
+    """WITH urls AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 50) || '.com/p/' || doc_id ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn.site' || (doc_id % 50) || '.org/a' || doc_id || '.html' ELSE '' END
+      |    AS url_text
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT DISTINCT source, doc_id,
+      |    regexp_replace(unnest(regexp_extract_all(url_text, 'https?://([A-Za-z0-9.-]+)/', 1)),
+      |                   '^www\.', '') AS domain
+      |  FROM urls),
+      |edges AS (
+      |  SELECT 'src:' || source AS u, 'dom:' || domain AS v, count(*) AS w
+      |  FROM hosts GROUP BY 1, 2),
+      |bi AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+      |deg AS (SELECT u, sum(w) AS wdeg FROM bi GROUP BY u),
+      |nodes AS (SELECT DISTINCT u FROM bi),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |pr0 AS (SELECT u, CAST((SELECT 1000000 // n FROM nn) AS BIGINT) AS pr
+      |        FROM nodes),""".stripMargin + "\n" + iters + "\n" +
+    s"""SELECT u AS node, pr AS pr_ppm FROM pr$PrIters ORDER BY node"""
+  }
+
   val urlBlocklistOracle: String = {
     val values = blockedDomains.map(d => s"('$d')").mkString(", ")
     """WITH urls AS (

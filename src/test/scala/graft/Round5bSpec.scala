@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Dedup, EncodingQa, TextOps, UrlOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 second-half property tests: PageRank mass conservation (q152),
+  * encoding-QA detector specificity (q153), and canonical-selection keeper
+  * invariants against a driver-side naive recomputation (q154). */
+class Round5bSpec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- q152 PageRank -----------------------------------------------------
+
+  test("q152 PageRank conserves probability mass up to integer-truncation " +
+       "leak, and every node holds at least the teleport share") {
+    val rows = UrlOps.q152DomainPagerank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val base = 150000L / n
+    val total = rows.map(_.getLong(1)).sum
+    // mass never exceeds 1e6 (truncation only loses), and the per-round
+    // leak is bounded by one ppm per node (base) plus one per directed
+    // edge (contrib): with ~2 edges/node and 8 rounds that is well under
+    // 10% of the mass for any graph this fixture can produce
+    assert(total <= 1000000L, s"mass grew: $total")
+    assert(total >= 900000L, s"mass leaked implausibly: $total")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= base,
+        s"node ${r.getString(0)} below teleport share: ${r.getLong(1)} < $base")
+    }
+    // bipartite fixture sanity: both node classes present
+    assert(rows.exists(_.getString(0).startsWith("src:")))
+    assert(rows.exists(_.getString(0).startsWith("dom:")))
+  }
+
+  // ---- q153 encoding QA --------------------------------------------------
+
+  test("q153 detectors are specific: the raw corpus carries zero " +
+       "replacement/control/non-ASCII chars (every hit is injected)") {
+    val clean = Tables.documents(spark, dir)
+      .select(
+        EncodingQa.nChar(col("text"), EncodingQa.replChar).as("r"),
+        EncodingQa.nClass(col("text"), EncodingQa.ctrlClass).as("c"),
+        EncodingQa.nClass(col("text"), EncodingQa.nonAsciiClass).as("a"))
+      .agg(sum(col("r")), sum(col("c")), sum(col("a"))).collect()(0)
+    assert(clean.getLong(0) === 0L, "replacement chars in clean corpus")
+    assert(clean.getLong(1) === 0L, "control chars in clean corpus")
+    assert(clean.getLong(2) === 0L, "non-ASCII in clean corpus")
+    // and the injected tails are actually seen: every anomaly class is
+    // nonzero in the report (the fixture has teeth)
+    val rep = EncodingQa.q153EncodingQa(spark, dir).collect()
+    assert(rep.map(_.getLong(5)).sum > 0, "no replacement chars detected")
+    assert(rep.map(_.getLong(6)).sum > 0, "no control chars detected")
+    assert(rep.map(_.getLong(7)).sum > 0, "no non-ASCII detected")
+  }
+
+  test("q153 plan is the q144 shape: one scan, one hash exchange, no join") {
+    val df = EncodingQa.q153EncodingQa(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"unexpected join in q153 plan:\n$plan")
+  }
+
+  // ---- q154 canonical selection ------------------------------------------
+
+  test("q154 keeper counts match a driver-side recomputation, and every " +
+       "cluster keeps exactly its max-quality member") {
+    val clusters = Dedup.q42DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextOps.q35QualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val source = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // naive keeper rule: per cluster, max quality then min doc_id
+    val keepers = clusters.groupBy(_._2).map { case (_, ms) =>
+      ms.map(_._1).minBy(d => (-quality(d), d))
+    }.toSet
+    val expectDropsBySource = clusters.map(_._1)
+      .filterNot(keepers).groupBy(source).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.q154ClusterCanonical(spark, dir).collect()
+    got.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(2) === expectDropsBySource.getOrElse(src, 0L),
+        s"source $src n_dropped mismatch")
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"source $src kept+dropped != docs")
+    }
+    // the quality rule has teeth on this corpus: at least one cluster's
+    // keeper differs from q74's min-id rule
+    val minIdKeepers = clusters.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert((keepers -- minIdKeepers).nonEmpty,
+      "fixture degenerate: quality keeper == min-id keeper everywhere")
+  }
+}
