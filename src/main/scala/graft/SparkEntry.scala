@@ -172,6 +172,8 @@ object SparkEntry {
     "q152_domain_pagerank"  -> (UrlOps.q152DomainPagerank _),
     "q153_encoding_qa"      -> (EncodingQa.q153EncodingQa _),
     "q154_cluster_canonical" -> (Dedup.q154ClusterCanonical _),
+    "q155_hard_negatives"   -> (Similarity.q155HardNegatives _),
+    "q156_domain_quality"   -> (UrlOps.q156DomainQuality _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -513,5 +515,11 @@ object SparkEntry {
     // keep-best-quality per near-dup cluster: chains q42's cluster CTE
     // with q35's quality CTE; keeper = row_number over (quality DESC, id)
     "q154_cluster_canonical" -> Dedup.clusterCanonicalOracle,
+    // contrastive mining: positives + top-3 hard negatives in ONE window
+    // over the (query, same-label) partition key
+    "q155_hard_negatives"    -> Similarity.hardNegativesOracle,
+    // provenance triage: per-domain doc/source counts + integer-ppm
+    // average of q35 quality + q148 blocklist flag
+    "q156_domain_quality"    -> UrlOps.domainQualityOracle,
   )
 }

@@ -400,6 +400,67 @@ object Similarity {
   val annBruteOracle: String = annOracle(sameLabel = false)
   val annIvfOracle: String = annOracle(sameLabel = true)
 
+  /** q155 — contrastive-pair MINING (DPR/SimCSE-style training-data prep):
+    * for every anchor query, the top same-label neighbor (the positive)
+    * and the top-3 highest-cosine DIFFERENT-label neighbors — the hard
+    * negatives that make a contrastive batch informative (random
+    * negatives are trivially separable; the hardest ones carry the
+    * gradient).
+    *
+    * One corpus pass: the q32 broadcast shape scores every (query,
+    * neighbor) pair once, then ONE window partitioned by (query, side)
+    * ranks positives and negatives simultaneously — the side flag joins
+    * the partition key instead of running two searches. Same determinism
+    * contract as the rest of the family (4dp-rounded cosine, vec_id
+    * ties). At 100 TB: queries broadcast, corpus never shuffles, the
+    * rank ≤ 3 filter is a WindowGroupLimit heap per (query, side). */
+  def q155HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              (col("label") === col("q_label")).as("same"),
+              sim.as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    // rank <= 3 first, as its own conjunct: InferWindowGroupLimit only
+    // reads plain rank-limit predicates, so the heap pushdown needs the
+    // bound separated from the per-side disjunction
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3L)
+      .filter(!col("same") || col("rank") === 1L)
+      .select(col("q_id"),
+              when(col("same"), "pos").otherwise("neg").as("kind"),
+              col("rank"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("kind"), col("rank"))
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    CASE WHEN n.label = q.label THEN 1 ELSE 0 END AS same,
+       |    round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |  FROM e q JOIN e n ON n.vec_id != q.vec_id
+       |  WHERE q.vec_id < $N_QUERIES),
+       |ranked AS (
+       |  SELECT q_id, n_id, same, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id, same
+       |      ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT q_id, CASE WHEN same = 1 THEN 'pos' ELSE 'neg' END AS kind,
+       |  rank, n_id, cos_sim
+       |FROM ranked
+       |WHERE (same = 1 AND rank = 1) OR (same = 0 AND rank <= 3)
+       |ORDER BY q_id, kind, rank""".stripMargin
+
   /** q89 — ANN RECALL audit: recall@k of the IVF index (q33) against the
     * brute-force ground truth (q32), per query. The tuning readout every
     * ANN deployment watches (probe more cells? re-train the quantizer?),

@@ -161,6 +161,80 @@ object UrlOps {
       .orderBy(col("node"))
   }
 
+  /** q156 — domain QUALITY triage, the blocklist-candidate generator: for
+    * every extracted domain, how many docs/sources cite it and the average
+    * quality (q35's score) of those docs — the readout that turns a
+    * content signal into a PROVENANCE rule (RefinedWeb §3.1's motivation:
+    * a domain whose citations are uniformly low-quality gets blocked once,
+    * instead of re-scoring its pages forever).
+    *
+    * Float discipline: q35's r6-rounded quality is converted to integer
+    * ppm per doc (`round(quality * 1e6)` recovers the exact integer both
+    * engines already agree on — the multiply's fp error is ≪ 0.5), so the
+    * per-domain average is an exact integer sum + one integral DIV: no
+    * double summation order anywhere.
+    *
+    * Scale: (doc, domain) rows join quality by doc_id (narrow ids), one
+    * partial-aggregated groupBy(domain); the blocklist is the q148
+    * broadcast dimension. */
+  def q156DomainQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = urlTable(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(col("url_text"), lit(urlPat), lit(1))).as("host"))
+      .select(col("doc_id"), col("source"),
+        regexp_replace(col("host"), "^www\\.", "").as("domain"))
+      .distinct()
+    val qual = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("q_ppm"))
+    val block = broadcast(blockedDomains.toDF("domain")
+      .withColumn("is_blocked", lit(1L)))
+    hosts.join(qual, "doc_id")
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           countDistinct(col("source")).as("n_sources"),
+           sum(col("q_ppm")).as("sum_q_ppm"),
+           min(col("q_ppm")).as("min_q_ppm"))
+      .join(block, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_sources"),
+        expr("sum_q_ppm DIV n_docs").as("avg_q_ppm"),
+        col("min_q_ppm"),
+        coalesce(col("is_blocked"), lit(0L)).as("is_blocked"))
+      .orderBy(col("domain"))
+  }
+
+  val domainQualityOracle: String = {
+    val values = blockedDomains.map(d => s"('$d')").mkString(", ")
+    """WITH urls AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 50) || '.com/p/' || doc_id ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn.site' || (doc_id % 50) || '.org/a' || doc_id || '.html' ELSE '' END
+      |    AS url_text
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    regexp_replace(unnest(regexp_extract_all(url_text, 'https?://([A-Za-z0-9.-]+)/', 1)),
+      |                   '^www\.', '') AS domain
+      |  FROM urls),
+      |qual AS (
+      |  SELECT doc_id, CAST(round(quality * 1000000.0) AS BIGINT) AS q_ppm
+      |  FROM (""".stripMargin + "\n" +
+    TextOps.qualityOracle.replace("ORDER BY doc_id", "") + ")),\n" +
+    s"block(domain) AS (VALUES $values)\n" +
+    """SELECT h.domain,
+      |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT h.source) AS BIGINT) AS n_sources,
+      |  CAST(sum(q.q_ppm) // count(DISTINCT h.doc_id) AS BIGINT) AS avg_q_ppm,
+      |  CAST(min(q.q_ppm) AS BIGINT) AS min_q_ppm,
+      |  CAST(CASE WHEN any_value(b.domain) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_blocked
+      |FROM hosts h
+      |JOIN qual q ON h.doc_id = q.doc_id
+      |LEFT JOIN block b ON h.domain = b.domain
+      |GROUP BY h.domain ORDER BY h.domain""".stripMargin
+  }
+
   /** Generated 8-step CTE replay — the oracle RE-RUNS PageRank from
     * scratch (q146's discipline: nothing is dumped from the Spark run). */
   val domainPagerankOracle: String = {

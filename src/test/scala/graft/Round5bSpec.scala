@@ -106,4 +106,41 @@ class Round5bSpec extends AnyFunSuite {
     assert((keepers -- minIdKeepers).nonEmpty,
       "fixture degenerate: quality keeper == min-id keeper everywhere")
   }
+
+  // ---- q155 hard-negative mining -----------------------------------------
+
+  test("q155 emits exactly one positive and three hard negatives per " +
+       "anchor, ranks contiguous, and every negative is at least as " +
+       "similar as any unmined different-label vector would allow") {
+    val rows = graft.operators.Similarity.q155HardNegatives(spark, dir)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val (pos, neg) = rs.partition(_.getString(1) == "pos")
+      assert(pos.length === 1, s"anchor $q: ${pos.length} positives")
+      assert(neg.length === 3, s"anchor $q: ${neg.length} negatives")
+      assert(neg.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // negatives are ordered hardest-first
+      val sims = neg.sortBy(_.getLong(2)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- q156 domain quality triage ----------------------------------------
+
+  test("q156 per-domain rollup: blocked flags match the shared literal, " +
+       "source fan-out bounded by doc count, average above minimum") {
+    val rows = UrlOps.q156DomainQuality(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val blocked = UrlOps.blockedDomains.toSet
+    rows.foreach { r =>
+      val dom = r.getString(0)
+      assert((r.getLong(5) == 1L) === blocked.contains(dom),
+        s"domain $dom blocked flag disagrees with the literal")
+      assert(r.getLong(2) <= r.getLong(1), s"domain $dom sources > docs")
+      assert(r.getLong(3) >= r.getLong(4),
+        s"domain $dom avg below min: ${r.getLong(3)} < ${r.getLong(4)}")
+    }
+  }
 }

@@ -195,6 +195,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(!wn.contains("CartesianProduct"), s"cartesian in q151:\n$wn")
     assert(!wn.contains("Exchange SinglePartition"),
       s"q151 serialized a data exchange:\n$wn")
+    // q155: the query set broadcasts (q32's shape — the corpus side never
+    // shuffles for the scoring join), top-k is a heap
+    val hn = finalPlan(graft.operators.Similarity.q155HardNegatives(spark, dir))
+    assert(hn.contains("Broadcast"), s"q155 queries not broadcast:\n$hn")
+    assert(hn.contains("WindowGroupLimit"), s"q155 top-k not a heap:\n$hn")
+    // q156: the blocklist is a broadcast dimension, no cartesian
+    val dq = finalPlan(graft.operators.UrlOps.q156DomainQuality(spark, dir))
+    assert(dq.contains("BroadcastHashJoin"), s"q156 blocklist not broadcast:\n$dq")
+    assert(!dq.contains("CartesianProduct"), s"cartesian in q156:\n$dq")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
