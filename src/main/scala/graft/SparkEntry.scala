@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_cluster_canonical" -> (Dedup.q154ClusterCanonical _),
     "q155_hard_negatives"   -> (Similarity.q155HardNegatives _),
     "q156_domain_quality"   -> (UrlOps.q156DomainQuality _),
+    "q157_mmr_rerank"       -> (Similarity.q157MmrRerank _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -521,5 +522,8 @@ object SparkEntry {
     // provenance triage: per-domain doc/source counts + integer-ppm
     // average of q35 quality + q148 blocklist flag
     "q156_domain_quality"    -> UrlOps.domainQualityOracle,
+    // MMR greedy diversity re-rank: integer-tenths λ, K-step generated
+    // CTE replay, candidate pool bounded per anchor
+    "q157_mmr_rerank"        -> Similarity.mmrRerankOracle,
   )
 }

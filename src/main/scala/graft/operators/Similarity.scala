@@ -461,6 +461,139 @@ object Similarity {
        |WHERE (same = 1 AND rank = 1) OR (same = 0 AND rank <= 3)
        |ORDER BY q_id, kind, rank""".stripMargin
 
+  // --- q157 — MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98)
+
+  /** MMR selections per query / candidate pool per query / λ as (num, 1-num)
+    * tenths: score = 7·sim(q,d) − 3·max_{s∈S} sim(d,s), all integer. */
+  private val MmrK = 5
+  private val MmrN = 10
+
+  /** 4dp cosine → exact integer ten-thousandths: the 4dp-rounded double is
+    * within fp dust of k/10⁴, so round(·×10⁴) recovers k exactly — the
+    * q156 ppm trick, after which MMR is pure integer arithmetic. */
+  private def simPm(c: Column): Column =
+    round(c * 10000).cast("long")
+
+  /** q157 — MMR re-ranking: from each anchor's top-[[MmrN]] cosine
+    * candidates, greedily select [[MmrK]] maximizing relevance MINUS
+    * redundancy against what's already selected — the diversity-aware
+    * top-k a retrieval-augmented pipeline serves instead of q32's raw
+    * neighbors (near-duplicate neighbors waste context slots).
+    *
+    * Shape: the candidate pool is a BOUNDED dimension (N per anchor), so
+    * the N² pairwise-sim relation and the ≤K-row selection state are
+    * narrow at any corpus size; each of the K−1 greedy rounds is two
+    * keyed joins + one WindowGroupLimit argmax, state under
+    * localCheckpoint (the q152 loop discipline). The corpus is touched
+    * once — by the q32 broadcast pass that builds the pool. */
+  def q157MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qsim = simPm(round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4))
+    val cw = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim_pm").desc, col("n_id"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), qsim.as("qsim_pm"))
+      .withColumn("rnk", row_number().over(cw))
+      .filter(col("rnk") <= MmrN)
+      .select(col("q_id"), col("n_id"), col("qsim_pm"))
+      .localCheckpoint()
+    val withVec = cand.join(
+      e.select(col("vec_id").as("n_id"), col("v"), col("nrm")), "n_id")
+    val psim = simPm(round(
+      call_function("graft_dot", col("av"), col("bv")) /
+        sqrt(col("an") * col("bn")), 4))
+    val cp = withVec.select(col("q_id"), col("n_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("an"))
+      .join(withVec.select(col("q_id"), col("n_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"), psim.as("sim_pm"))
+      .localCheckpoint()
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_pm").desc, col("n_id"))
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(pw))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(step.toLong).as("step"), col("n_id"),
+                col("score_pm"))
+    var sel = pick(cand.select(col("q_id"), col("n_id"),
+      (col("qsim_pm") * 7).as("score_pm")), 1).localCheckpoint()
+    for (k <- 2 to MmrK) {
+      val div = cp.join(sel.select(col("q_id"), col("n_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim_pm")).as("div_pm"))
+      val scored = cand
+        .join(sel.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_anti")
+        .join(div.withColumnRenamed("a_id", "n_id"), Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("n_id"),
+          (col("qsim_pm") * 7 - coalesce(col("div_pm"), lit(0L)) * 3)
+            .as("score_pm"))
+      sel = sel.union(pick(scored, k)).localCheckpoint()
+    }
+    sel.orderBy(col("q_id"), col("step"))
+  }
+
+  /** Generated K-step CTE replay (the q146/q152 discipline). */
+  val mmrRerankOracle: String = {
+    val cos = "round(list_dot_product(%s.v, %s.v) / sqrt(%s.nrm * %s.nrm), 4)"
+    def pm(a: String, b: String) =
+      s"CAST(round(${cos.format(a, b, a, b)} * 10000) AS BIGINT)"
+    val steps = (2 to MmrK).map { k =>
+      s"""div$k AS (
+         |  SELECT cp.q_id, cp.a_id, max(cp.sim_pm) AS div_pm
+         |  FROM cp JOIN sel${k - 1} s ON s.q_id = cp.q_id AND s.n_id = cp.b_id
+         |  GROUP BY cp.q_id, cp.a_id),
+         |scored$k AS (
+         |  SELECT c.q_id, c.n_id,
+         |    7 * c.qsim_pm - 3 * coalesce(d.div_pm, 0) AS score_pm
+         |  FROM cand c LEFT JOIN div$k d
+         |    ON d.q_id = c.q_id AND d.a_id = c.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+         |                    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+         |pick$k AS (
+         |  SELECT q_id, CAST($k AS BIGINT) AS step, n_id, score_pm FROM (
+         |    SELECT q_id, n_id, score_pm,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score_pm DESC, n_id) AS rn
+         |    FROM scored$k) WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cand AS (
+       |  SELECT q_id, n_id, qsim_pm FROM (
+       |    SELECT q_id, n_id, qsim_pm,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qsim_pm DESC, n_id) AS rnk
+       |    FROM (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |            ${pm("q", "n")} AS qsim_pm
+       |          FROM e q JOIN e n ON n.vec_id != q.vec_id
+       |          WHERE q.vec_id < $N_QUERIES))
+       |  WHERE rnk <= $MmrN),
+       |cp AS (
+       |  SELECT ca.q_id, ca.n_id AS a_id, cb.n_id AS b_id,
+       |    ${pm("x", "y")} AS sim_pm
+       |  FROM cand ca JOIN cand cb
+       |    ON ca.q_id = cb.q_id AND ca.n_id != cb.n_id
+       |  JOIN e x ON x.vec_id = ca.n_id
+       |  JOIN e y ON y.vec_id = cb.n_id),
+       |sel1 AS (
+       |  SELECT q_id, CAST(1 AS BIGINT) AS step, n_id, score_pm FROM (
+       |    SELECT q_id, n_id, 7 * qsim_pm AS score_pm,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY 7 * qsim_pm DESC, n_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT q_id, step, n_id, CAST(score_pm AS BIGINT) AS score_pm
+       |FROM sel$MmrK ORDER BY q_id, step""".stripMargin
+  }
+
   /** q89 — ANN RECALL audit: recall@k of the IVF index (q33) against the
     * brute-force ground truth (q32), per query. The tuning readout every
     * ANN deployment watches (probe more cells? re-train the quantizer?),

@@ -143,4 +143,33 @@ class Round5bSpec extends AnyFunSuite {
         s"domain $dom avg below min: ${r.getLong(3)} < ${r.getLong(4)}")
     }
   }
+
+  // ---- q157 MMR re-ranking -----------------------------------------------
+
+  test("q157 MMR: five distinct selections per anchor, the first is the " +
+       "raw top-1 neighbor, and diversity visibly re-orders at least one " +
+       "anchor versus plain cosine top-5") {
+    import graft.operators.Similarity
+    val mmr = Similarity.q157MmrRerank(spark, dir).collect()
+    val brute = Similarity.q32AnnBrute(spark, dir).collect()
+    val bruteTop = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    val byQ = mmr.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === (1L to 5L),
+        s"anchor $q steps not 1..5")
+      val ids = ordered.map(_.getLong(2))
+      assert(ids.distinct.length === ids.length, s"anchor $q reselected a doc")
+      // greedy step 1 has no diversity term -> must equal brute rank-1
+      assert(ids.head === bruteTop(q).head,
+        s"anchor $q first MMR pick != top cosine neighbor")
+    }
+    val reordered = byQ.count { case (q, rs) =>
+      rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq != bruteTop(q).take(5)
+    }
+    assert(reordered > 0,
+      "diversity term never changed a top-5 — λ has no teeth on this corpus")
+  }
 }

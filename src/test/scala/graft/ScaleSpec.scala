@@ -204,6 +204,10 @@ class ScaleSpec extends AnyFunSuite {
     val dq = finalPlan(graft.operators.UrlOps.q156DomainQuality(spark, dir))
     assert(dq.contains("BroadcastHashJoin"), s"q156 blocklist not broadcast:\n$dq")
     assert(!dq.contains("CartesianProduct"), s"cartesian in q156:\n$dq")
+    // q157: the greedy loop's state joins are keyed — no cartesian leaks
+    // into any round (candidate pools are per-anchor bounded dimensions)
+    val mmr = finalPlan(graft.operators.Similarity.q157MmrRerank(spark, dir))
+    assert(!mmr.contains("CartesianProduct"), s"cartesian in q157:\n$mmr")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
