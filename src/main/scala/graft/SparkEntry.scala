@@ -175,6 +175,7 @@ object SparkEntry {
     "q155_hard_negatives"   -> (Similarity.q155HardNegatives _),
     "q156_domain_quality"   -> (UrlOps.q156DomainQuality _),
     "q157_mmr_rerank"       -> (Similarity.q157MmrRerank _),
+    "q158_winnow_pairs"     -> (Winnow.q158WinnowPairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -525,5 +526,8 @@ object SparkEntry {
     // MMR greedy diversity re-rank: integer-tenths λ, K-step generated
     // CTE replay, candidate pool bounded per anchor
     "q157_mmr_rerank"        -> Similarity.mmrRerankOracle,
+    // MOSS-style match pairs off the winnowing index; max-df stop-shingle
+    // cut before the pair join (the q92 hatch on fingerprints)
+    "q158_winnow_pairs"      -> Winnow.winnowPairsOracle,
   )
 }

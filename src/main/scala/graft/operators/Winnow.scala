@@ -109,8 +109,10 @@ object Winnow {
       .orderBy(col("source"))
   }
 
-  val winnowOracle: String =
-    s"""WITH toks AS (
+  /** toks→kg→keyed→sel CTE block, shared by [[winnowOracle]] and
+    * [[winnowPairsOracle]]. */
+  private val selCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
        |  FROM documents),
        |kg AS (
@@ -129,7 +131,10 @@ object Winnow {
        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
        |            ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS wkey
        |        FROM keyed)
-       |  WHERE pos >= ${W - 1}),
+       |  WHERE pos >= ${W - 1})""".stripMargin
+
+  val winnowOracle: String =
+    s"""WITH $selCtes,
        |mass AS (
        |  SELECT source, count(*) AS n_kgrams,
        |    count(DISTINCT doc_id) AS n_docs_kg
@@ -157,4 +162,56 @@ object Winnow {
        |LEFT JOIN picks p ON d.source = p.source
        |LEFT JOIN shared s ON d.source = s.source
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q158 — winnowing MATCH PAIRS (the MOSS readout)
+  // -------------------------------------------------------------------------
+
+  /** Posting-list cap: a fingerprint selected by more than this many docs
+    * is a stop-shingle, not evidence of copying — cut BEFORE the pair
+    * join (the q92 max-df hatch, here on the winnowing index). */
+  val MaxFpDf = 50L
+
+  /** Minimum shared fingerprints to report a pair. */
+  val MinShared = 3L
+
+  /** q158 — candidate match pairs from the winnowing index: doc pairs
+    * sharing ≥ [[MinShared]] selected fingerprints — exactly how MOSS
+    * surfaces plagiarism candidates, and the cheap upstream of the exact
+    * verifiers (q82 can re-check any reported pair). The index the join
+    * runs on is q151's 2/(W+1)-density selection, so the posting lists
+    * are ~2.5× shorter than q105's every-window index; the [[MaxFpDf]]
+    * cut bounds the worst posting list BEFORE candidates exist, making
+    * worst-case pair volume MaxFpDf²·|fps| — the q92 guarantee shape. */
+  def q158WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = selected(spark, dir)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val df = sel.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2L, MaxFpDf))
+    val posting = sel.join(df.select(col("fp")), "fp")
+    posting.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowPairsOracle: String =
+    s"""WITH $selCtes,
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |df AS (
+       |  SELECT fp FROM (
+       |    SELECT fp, count(DISTINCT doc_id) AS nd FROM sf GROUP BY fp)
+       |  WHERE nd BETWEEN 2 AND $MaxFpDf),
+       |posting AS (SELECT sf.doc_id, sf.fp FROM sf JOIN df USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM posting a JOIN posting b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |HAVING count(*) >= $MinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -172,4 +172,27 @@ class Round5bSpec extends AnyFunSuite {
     assert(reordered > 0,
       "diversity term never changed a top-5 — λ has no teeth on this corpus")
   }
+
+  // ---- q158 winnowing match pairs ----------------------------------------
+
+  test("q158 equals a driver-side recomputation from the selected " +
+       "fingerprint index (df cut, pair counts, threshold)") {
+    import graft.operators.Winnow
+    val sel = Winnow.selected(spark, dir)
+      .select(col("doc_id"), col("fp")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byFp = sel.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.sorted).toMap
+      .filter { case (_, ds) => ds.length >= 2 && ds.length <= Winnow.MaxFpDf }
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byFp.values.foreach { ds =>
+      for (i <- ds.indices; j <- i + 1 until ds.length)
+        counts((ds(i), ds(j))) = counts.getOrElse((ds(i), ds(j)), 0L) + 1L
+    }
+    val expect = counts.filter(_._2 >= Winnow.MinShared).toMap
+    val got = Winnow.q158WinnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture degenerate: no winnowing match pairs")
+  }
 }

@@ -208,6 +208,13 @@ class ScaleSpec extends AnyFunSuite {
     // into any round (candidate pools are per-anchor bounded dimensions)
     val mmr = finalPlan(graft.operators.Similarity.q157MmrRerank(spark, dir))
     assert(!mmr.contains("CartesianProduct"), s"cartesian in q157:\n$mmr")
+    // q158: the pair join is fp-keyed (posting-list equi-join), never a
+    // cartesian; the df cut runs upstream of it
+    val wp = finalPlan(graft.operators.Winnow.q158WinnowPairs(spark, dir))
+    assert(!wp.contains("CartesianProduct"), s"cartesian in q158:\n$wp")
+    assert(wp.contains("SortMergeJoin") || wp.contains("ShuffledHashJoin") ||
+           wp.contains("BroadcastHashJoin"),
+      s"q158 pair join shape unexpected:\n$wp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
