@@ -176,6 +176,7 @@ object SparkEntry {
     "q156_domain_quality"   -> (UrlOps.q156DomainQuality _),
     "q157_mmr_rerank"       -> (Similarity.q157MmrRerank _),
     "q158_winnow_pairs"     -> (Winnow.q158WinnowPairs _),
+    "q159_sq8_recall"       -> (Similarity.q159Sq8Recall _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -529,5 +530,8 @@ object SparkEntry {
     // MOSS-style match pairs off the winnowing index; max-df stop-shingle
     // cut before the pair join (the q92 hatch on fingerprints)
     "q158_winnow_pairs"      -> Winnow.winnowPairsOracle,
+    // SQ8 per-dim min/max quantization; search on dequantized vectors,
+    // recall vs float truth — completes JL/PQ/SQ8 compression audits
+    "q159_sq8_recall"        -> Similarity.sq8RecallOracle,
   )
 }

@@ -704,6 +704,112 @@ object Similarity {
       s"round($sum, $decimals)"
     }
 
+  // --- q159 — scalar quantization (SQ8) recall audit
+
+  /** q159 — SQ8 recall@k: per-dimension min/max scalar quantization to
+    * 255 levels (the FAISS `SQ8` / vector-DB storage default — 4× smaller
+    * than float32 with near-lossless recall), then the q95 audit: search
+    * on DEQUANTIZED vectors, recall against the float brute-force truth.
+    * Completes the compression-audit family — JL cuts DIMENSIONS (q94),
+    * PQ cuts to CODEBOOK CELLS (q128), SQ8 cuts PRECISION per dimension.
+    *
+    * Determinism: the only rounding is the quantization level itself,
+    * DECIMAL-routed (`round254` half-away in both engines); dequantized
+    * arithmetic is plain fixed-order double ops and the final cosine is
+    * the family's 4dp contract. The 64-row min/max stats table is the
+    * bounded control-plane dimension (the q150/q152 pattern), collected
+    * once and re-broadcast as literals so the quantizer is a pure column
+    * program — at 100 TB the stats pass is one partial-aggregated
+    * (dim, min, max) rollup over the scan. */
+  def q159Sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val statRows = base.select(posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy(col("d0")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Double](Dim)
+    val deltas = new Array[Double](Dim)
+    statRows.foreach { r =>
+      val i = r.getInt(0)
+      mins(i) = r.getDouble(1)
+      val d = r.getDouble(2) - r.getDouble(1)
+      deltas(i) = if (d > 0) d else 1.0
+    }
+    val minsL = typedLit(mins.toSeq)
+    val deltasL = typedLit(deltas.toSeq)
+    def r0(c: Column): Column =
+      round(c.cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
+    val xhat = transform(sequence(lit(1), lit(Dim)), i => {
+      val x = element_at(col("v"), i)
+      val m = element_at(minsL, i)
+      val d = element_at(deltasL, i)
+      m + r0((x - m) * lit(254.0) / d) * d / lit(254.0)
+    })
+    val p = base.select(col("vec_id"), xhat.as("pv"))
+      .withColumn("nrm", dot(col("pv"), col("pv")))
+      .localCheckpoint()
+    val q = p.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("pv").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("pv")) / sqrt(col("qn") * col("nrm")), 4)
+    val approx = topK(p.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+      .select(col("q_id"), col("n_id"))
+    val truth = q32AnnBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = truth.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              (coalesce(col("hits"), lit(0L)).cast("double") / TOP_K)
+                .as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  val sq8RecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |stats AS (
+       |  SELECT i, mn, CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END AS d
+       |  FROM (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |        FROM e, generate_series(1, $Dim) AS g(i) GROUP BY i)),
+       |xh AS (
+       |  SELECT vec_id, list(xhat ORDER BY i) AS pv FROM (
+       |    SELECT e.vec_id, s.i,
+       |      s.mn + round(CAST((e.v[s.i] - s.mn) * 254.0 / s.d
+       |                        AS DECIMAL(28,12))) * s.d / 254.0 AS xhat
+       |    FROM e, stats s)
+       |  GROUP BY vec_id),
+       |pe AS (SELECT vec_id, pv, list_dot_product(pv, pv) AS nrm FROM xh),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |        round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |      FROM e q JOIN e n ON q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id))
+       |  WHERE rank <= $TOP_K),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |        round(list_dot_product(q.pv, n.pv) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |      FROM pe q JOIN pe n ON q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id))
+       |  WHERE rank <= $TOP_K)
+       |SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+       |  CAST(count(a.n_id) AS DOUBLE) / $TOP_K AS recall_at_k
+       |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   val jlProjectOracle: String = {
     val cols = jlExprSql("embedding", 4).zipWithIndex
       .map { case (e, k) => s"$e AS y$k" }.mkString(",\n  ")

@@ -195,4 +195,18 @@ class Round5bSpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.nonEmpty, "fixture degenerate: no winnowing match pairs")
   }
+
+  // ---- q159 SQ8 recall ---------------------------------------------------
+
+  test("q159 SQ8 quantization is near-lossless: recall@5 stays high for " +
+       "every query (the audit would catch a broken quantizer)") {
+    val rows = graft.operators.Similarity.q159Sq8Recall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.min >= 0.6,
+      s"SQ8 recall collapsed: min ${recalls.min}")
+    assert(recalls.sum / recalls.length >= 0.9,
+      s"SQ8 mean recall ${recalls.sum / recalls.length} below 0.9 — " +
+        "254-level quantization should be near-lossless")
+  }
 }

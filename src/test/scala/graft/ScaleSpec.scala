@@ -215,6 +215,12 @@ class ScaleSpec extends AnyFunSuite {
     assert(wp.contains("SortMergeJoin") || wp.contains("ShuffledHashJoin") ||
            wp.contains("BroadcastHashJoin"),
       s"q158 pair join shape unexpected:\n$wp")
+    // q159: the quantizer is a pure column program (stats re-broadcast as
+    // literals); the search keeps the q32 broadcast + heap shape
+    val sq = finalPlan(graft.operators.Similarity.q159Sq8Recall(spark, dir))
+    assert(sq.contains("Broadcast"), s"q159 queries not broadcast:\n$sq")
+    assert(sq.contains("WindowGroupLimit"), s"q159 top-k not a heap:\n$sq")
+    assert(!sq.contains("CartesianProduct"), s"cartesian in q159:\n$sq")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
