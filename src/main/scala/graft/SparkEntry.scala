@@ -177,6 +177,9 @@ object SparkEntry {
     "q157_mmr_rerank"       -> (Similarity.q157MmrRerank _),
     "q158_winnow_pairs"     -> (Winnow.q158WinnowPairs _),
     "q159_sq8_recall"       -> (Similarity.q159Sq8Recall _),
+    "q160_kmv_setops"       -> (Sketches.q160KmvSetOps _),
+    "q161_seg_dedup_rewrite" -> (Corpus.q161SegDedupRewrite _),
+    "q162_ivfpq_refine"     -> (Similarity.q162IvfPqRefine _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -533,5 +536,14 @@ object SparkEntry {
     // SQ8 per-dim min/max quantization; search on dequantized vectors,
     // recall vs float truth — completes JL/PQ/SQ8 compression audits
     "q159_sq8_recall"        -> Similarity.sq8RecallOracle,
+    // theta-style KMV set algebra: intersection/Jaccard between two
+    // release sketches, exact legs beside the estimates
+    "q160_kmv_setops"        -> Sketches.kmvSetOpsOracle,
+    // C4/Dolma duplicate-segment REMOVAL + doc reassembly; md5
+    // min/max/distinct over rebuilt texts = byte-parity check
+    "q161_seg_dedup_rewrite" -> Corpus.segDedupRewriteOracle,
+    // FAISS-style IVF-PQ + exact refine: ADC shortlist re-ranked with
+    // true vectors; refine recall ≥ ADC recall by construction
+    "q162_ivfpq_refine"      -> Similarity.ivfPqRefineOracle,
   )
 }

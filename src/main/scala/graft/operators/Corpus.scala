@@ -1387,4 +1387,116 @@ object Corpus {
        |  CAST(sum(ov) AS BIGINT) AS fill_tokens
        |FROM ov GROUP BY p
        |ORDER BY pack_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161 — duplicate-segment REMOVAL with document reassembly: the
+  // REWRITE stage q126 only reports. C4 (Raffel et al. 2020 §2.2)
+  // discards all but one occurrence of any three-sentence span repeated
+  // in the corpus; Dolma's paragraph dedup (Soldaini et al. 2024) is the
+  // same rule at paragraph granularity. The fixture corpus has no
+  // sentence/paragraph marks, so the span grid is the deterministic
+  // non-overlapping SegDedupLen-token segmentation (the q79 grid with
+  // stride = length — overlap would make removal ill-defined).
+  // Keeper rule: the lexicographically first (doc_id, seg_idx)
+  // occurrence of each distinct segment survives; every other occurrence
+  // (cross-doc AND within-doc) is cut, and each document's text is
+  // rebuilt from its surviving segments in original order.
+  // ---------------------------------------------------------------------
+
+  /** Non-overlapping segment length for the q161 rewrite. */
+  val SegDedupLen = 16
+
+  /** q161 — per-source rewrite report: segment counts before/after the
+    * cut plus md5 min/max/distinct fingerprints of the REBUILT texts —
+    * the q145 byte-parity discipline: one divergent byte in any
+    * reassembled document anywhere fails the oracle.
+    *
+    * Scale: the dedup relation is (doc_id, seg_idx, 32-char hash) — text
+    * never enters the winner aggregate's exchange. The keeper set comes
+    * back to each document as a doc_id-keyed join of a per-doc sorted
+    * index list (bounded by the doc's own segment count), and the
+    * rebuild is a pure map over the document's token array: flatten the
+    * kept slices in index order. The final report is one
+    * partial-aggregated groupBy(source). */
+  def q161SegDedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val L = SegDedupLen
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+    // narrow segment relation: (doc_id, seg_idx, seg_hash)
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(L)))
+          .as(Seq("seg_idx", "seg_start")),
+        col("t"))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(concat_ws(" ", slice(col("t"), col("seg_start") + 1, lit(L))))
+          .as("h"))
+    // first global occurrence per distinct segment (integer-encoded key:
+    // seg_idx < 100000 by construction — docs are far shorter)
+    val winner = segs
+      .groupBy(col("h"))
+      .agg(min(col("doc_id") * 100000L + col("seg_idx")).as("wk"))
+    val kept = segs.join(winner, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+           sort_array(collect_list(
+             when(col("doc_id") * 100000L + col("seg_idx") === col("wk"),
+                  col("seg_idx")))).as("keep_idx"))
+    val rebuilt = docs.join(kept, Seq("doc_id"))
+      .withColumn("rebuilt",
+        array_join(flatten(transform(col("keep_idx"),
+          i => slice(col("t"), i * L + 1, lit(L)))), " "))
+      .select(col("doc_id"), col("source"), col("n_segs"),
+              size(col("keep_idx")).cast("long").as("kept_segs"),
+              md5(col("rebuilt")).as("rh"))
+    rebuilt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_segs")).as("n_segs"),
+           sum(col("kept_segs")).as("kept_segs"),
+           (sum(col("n_segs")) - sum(col("kept_segs"))).as("dropped_segs"),
+           countDistinct(col("rh")).as("distinct_rebuilt"),
+           min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"))
+      .orderBy(col("source"))
+  }
+
+  val segDedupRewriteOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             regexp_split_to_array(lower(text), '\\s+') AS t
+       |           FROM documents),
+       |seg AS (
+       |  SELECT doc_id, st // $SegDedupLen AS seg_idx,
+       |    md5(array_to_string(
+       |      list_slice(t, st + 1, st + $SegDedupLen), ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t), $SegDedupLen)) AS st
+       |        FROM t)),
+       |w AS (SELECT h, min(doc_id * 100000 + seg_idx) AS wk FROM seg GROUP BY h),
+       |keep AS (
+       |  SELECT seg.doc_id, seg.seg_idx,
+       |    (seg.doc_id * 100000 + seg.seg_idx = w.wk) AS kept
+       |  FROM seg JOIN w USING (h)),
+       |reb AS (
+       |  SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.pos) AS rebuilt
+       |  FROM (SELECT doc_id, unnest(t) AS tok,
+       |               unnest(range(1, len(t) + 1)) AS pos
+       |        FROM t) x
+       |  JOIN keep k
+       |    ON k.doc_id = x.doc_id AND (x.pos - 1) // $SegDedupLen = k.seg_idx
+       |   AND k.kept
+       |  GROUP BY x.doc_id),
+       |ks AS (
+       |  SELECT doc_id, count(*) AS n_segs,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_segs
+       |  FROM keep GROUP BY doc_id),
+       |perdoc AS (
+       |  SELECT t.doc_id, t.source, ks.n_segs, ks.kept_segs,
+       |    md5(coalesce(reb.rebuilt, '')) AS rh
+       |  FROM t JOIN ks USING (doc_id)
+       |  LEFT JOIN reb ON reb.doc_id = t.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_segs) AS BIGINT) AS n_segs,
+       |  CAST(sum(kept_segs) AS BIGINT) AS kept_segs,
+       |  CAST(sum(n_segs) - sum(kept_segs) AS BIGINT) AS dropped_segs,
+       |  CAST(count(DISTINCT rh) AS BIGINT) AS distinct_rebuilt,
+       |  min(rh) AS min_rh, max(rh) AS max_rh
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 }

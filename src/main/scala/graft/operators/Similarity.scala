@@ -1254,4 +1254,185 @@ object Similarity {
        |FROM samp s JOIN sizes z USING (cluster_id)
        |WHERE s.rk <= 5
        |ORDER BY s.cluster_id, s.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q162 — IVF-PQ + EXACT REFINE (the FAISS IndexRefineFlat production
+  // shape): the PQ stage RANKS a shortlist cheaply, then the true
+  // vectors of ONLY the shortlisted candidates are fetched and re-ranked
+  // exactly. Invariant (machine-checked in Round5cSpec): any exact-top-k
+  // member that reaches the shortlist is necessarily re-selected by the
+  // exact re-rank (its exact rank within the shortlist is ≤ its global
+  // rank), so refine recall ≥ ADC recall per query, always — the only
+  // losses left are vectors the probe/shortlist stages never saw.
+  // ---------------------------------------------------------------------
+
+  /** ADC shortlist size for the refine stage (4·k — the FAISS
+    * `k_factor` idiom). */
+  val RefineShortlist = 4 * TOP_K
+
+  /** q162 — two-stage retrieval audit: recall@k of the raw ADC ranking
+    * (q130's readout) beside the exact-refined ranking from the same
+    * shortlist, per query.
+    *
+    * Scale: identical to q130 until the shortlist exists (probes and
+    * LUTs broadcast, corpus codes never shuffle), then the refine leg
+    * touches ≤ |queries|·RefineShortlist true vectors via a broadcast
+    * semi-join on vec_id — the corpus is scanned, never exchanged; the
+    * exact brute leg is the audit's cost, not the operator's. */
+  def q162IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val codes = pqCodes(e)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("cv"),
+               (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("rdist", round(sqDist, 4))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 2)
+      .select(col("q_id"), col("label"))
+    val qsub = pqSub(q.select(col("q_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .withColumn("qsvn", dot(col("qsv"), col("qsv")))
+    val lut = qsub.join(pqCodebook(e), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        d2dec(col("qsvn") + col("cvn") -
+              lit(2.0) * dot(col("qsv"), col("cv"))).as("d2m"))
+    val cand = e.select(col("vec_id"), col("label"))
+      .join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2m")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val ranked = adc.withColumn("rk", row_number().over(wA))
+    val topAdc = ranked.filter(col("rk") <= TOP_K)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val shortlist = ranked.filter(col("rk") <= RefineShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // refine: true vectors for the shortlist only (broadcast semi-shape —
+    // the corpus side is scanned, never exchanged), exact re-rank
+    val ref = e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("d2x",
+        d2dec(col("qn") + col("nrm") - lit(2.0) * dot(col("qv"), col("v"))))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("d2x"), col("vec_id"))
+    val topRef = ref.withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= TOP_K)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val d2e = d2dec(col("qn") + col("nrm") - lit(2.0) * dot(col("qv"), col("v")))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("d2x"), col("vec_id"))
+    val topExact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2x", d2e)
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= TOP_K).select(col("q_id"), col("vec_id").as("n_id"))
+    topExact
+      .join(topAdc.withColumn("hit_a", lit(1L)), Seq("q_id", "n_id"), "left")
+      .join(topRef.withColumn("hit_r", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit_a"), lit(0L))).as("n_hits_adc"),
+           sum(coalesce(col("hit_r"), lit(0L))).as("n_hits_ref"))
+      .select(col("q_id"), col("n_hits_adc"),
+        (col("n_hits_adc").cast("double") / TOP_K).as("recall_adc"),
+        col("n_hits_ref"),
+        (col("n_hits_ref").cast("double") / TOP_K).as("recall_ref"))
+      .orderBy(col("q_id"))
+  }
+
+  val ivfPqRefineOracle: String =
+    s"""WITH $pqCommonCtes,
+       |el AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |       FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |             FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM el, generate_series(1, 64) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id AS q_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, 65),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS pr
+       |    FROM el q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr <= 2),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),
+       |qsub AS (
+       |  SELECT q_id, m,
+       |    list_slice(qv, m*$PQ_SUBDIM + 1, m*$PQ_SUBDIM + $PQ_SUBDIM) AS qsv
+       |  FROM q, generate_series(0, ${PQ_M - 1}) AS g(m)),
+       |lut AS (
+       |  SELECT s.q_id, s.m, c.code,
+       |    CAST(round(CAST(list_dot_product(s.qsv, s.qsv)
+       |      + list_dot_product(c.cv, c.cv)
+       |      - 2.0 * list_dot_product(s.qsv, c.cv)
+       |      AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)) AS d2m
+       |  FROM qsub s JOIN cb c USING (m)),
+       |cand AS (
+       |  SELECT p.q_id, n.vec_id FROM el n JOIN probes p ON n.label = p.label),
+       |adc AS (
+       |  SELECT d.q_id, d.vec_id, sum(l.d2m) AS adc
+       |  FROM cand d
+       |  JOIN codes x ON x.vec_id = d.vec_id
+       |  JOIN lut l ON l.q_id = d.q_id AND l.m = x.m AND l.code = x.code
+       |  WHERE d.vec_id <> d.q_id
+       |  GROUP BY d.q_id, d.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+       |  FROM adc),
+       |top_adc AS (SELECT q_id, vec_id AS n_id FROM ranked WHERE rk <= $TOP_K),
+       |shortlist AS (SELECT q_id, vec_id FROM ranked WHERE rk <= $RefineShortlist),
+       |top_ref AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |        CAST(round(CAST(list_dot_product(q.qv, q.qv)
+       |          + list_dot_product(n.v, n.v)
+       |          - 2.0 * list_dot_product(q.qv, n.v)
+       |          AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)), s.vec_id) AS rk
+       |    FROM shortlist s
+       |    JOIN e n ON n.vec_id = s.vec_id
+       |    JOIN q ON q.q_id = s.q_id)
+       |  WHERE rk <= $TOP_K),
+       |top_exact AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q.q_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        CAST(round(CAST(list_dot_product(q.qv, q.qv)
+       |          + list_dot_product(n.v, n.v)
+       |          - 2.0 * list_dot_product(q.qv, n.v)
+       |          AS DECIMAL(28,12)), 4) AS DECIMAL(28,4)), n.vec_id) AS rk
+       |    FROM e n CROSS JOIN q WHERE n.vec_id <> q.q_id)
+       |  WHERE rk <= $TOP_K)
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits_adc,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $TOP_K AS recall_adc,
+       |  CAST(sum(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits_ref,
+       |  CAST(sum(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $TOP_K AS recall_ref
+       |FROM top_exact t
+       |LEFT JOIN top_adc a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |LEFT JOIN top_ref r ON r.q_id = t.q_id AND r.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 }

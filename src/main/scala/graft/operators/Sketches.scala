@@ -908,4 +908,118 @@ object Sketches {
        |  e.est_p50, x.exact_p50, abs(e.est_p50 - x.exact_p50) AS err_p50,
        |  e.est_p90, x.exact_p90, abs(e.est_p90 - x.exact_p90) AS err_p90
        |FROM exact x CROSS JOIN est e""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KMV SET OPERATIONS (q160) — the theta-sketch-style algebra the
+  // bottom-k state supports beyond union: intersection and Jaccard
+  // between two persisted release sketches, WITHOUT touching the raw
+  // rows of either release. Estimator (Beyer et al. SIGMOD'07, public):
+  // re-truncate A_k ∪ B_k to the k smallest hashes U; ρ = |{h ∈ U :
+  // h ∈ A_k ∧ h ∈ B_k}| / |U| is an unbiased Jaccard estimate (U is a
+  // uniform bottom-k sample of the hashed union), |A∪B| comes from U's
+  // own KMV estimate, and |A∩B|^ = ρ · |A∪B|^. Everything downstream of
+  // md5 is integer order statistics, so the estimate is bit-identical
+  // across engines and cluster layouts — the exact legs sit beside it
+  // (the q107/q108 audit pattern).
+  // ---------------------------------------------------------------------
+
+  /** q160 — KMV set operations between releases 0 and 1 (the q141–q143
+    * release dimension): exact |A|, |B|, |A∩B|, |A∪B|, Jaccard beside
+    * the sketch-only estimates computed from the two bottom-k states.
+    *
+    * Scale: the per-release bottom-k build is [[kmvBottom]]'s
+    * WindowGroupLimit shape (map partitions trim to k before the
+    * exchange); every relation after it is ≤ 2k rows. The exact legs are
+    * one user_id-keyed aggregate — the audit's cost, not the sketch's:
+    * at 100 TB the sketch path reads two k-row parquet tables. */
+  def q160KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val ev = withRelease(Tables.events(spark, dir)).filter(col("release") < 2)
+    val bot = kmvBottom(ev, Seq("release"), col("user_id"))
+    val ak = bot.filter(col("release") === 0).select(col("h"))
+    val bk = bot.filter(col("release") === 1).select(col("h"))
+    val u = ak.union(bk).dropDuplicates("h").orderBy(col("h")).limit(KmvK)
+    val est = u
+      .join(ak.withColumn("in_a", lit(1L)), Seq("h"), "left")
+      .join(bk.withColumn("in_b", lit(1L)), Seq("h"), "left")
+      .agg(count(lit(1)).as("occupied"), max(col("h")).as("kth"),
+           sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+                 .otherwise(0L)).as("matches"))
+      .withColumn("union_est",
+        when(col("occupied") < KmvK, col("occupied").cast("double"))
+          .otherwise(
+            round((lit((KmvK - 1).toDouble * 4294967296.0) / col("kth"))
+                    .cast(dec), 4).cast("double")))
+      .withColumn("j_est4",
+        round((col("matches").cast("double") / col("occupied").cast("double"))
+                .cast(dec), 4).cast("double"))
+      .withColumn("inter_est2",
+        round((col("j_est4") * col("union_est")).cast(dec), 2).cast("double"))
+      .drop("kth")
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("release") === 0, 1L).otherwise(0L)).as("a"),
+           max(when(col("release") === 1, 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a")).as("n_a_exact"), sum(col("b")).as("n_b_exact"),
+           sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+             .as("inter_exact"),
+           count(lit(1)).as("union_exact"))
+      .withColumn("jaccard_exact4",
+        round((col("inter_exact").cast("double") /
+                 col("union_exact").cast("double")).cast(dec), 4)
+          .cast("double"))
+    exact.crossJoin(est)
+      .select(lit("r0_vs_r1").as("scope"),
+              col("n_a_exact"), col("n_b_exact"), col("inter_exact"),
+              col("union_exact"), col("jaccard_exact4"),
+              col("occupied"), col("matches"), col("j_est4"),
+              col("union_est"), col("inter_est2"))
+  }
+
+  val kmvSetOpsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_id % 4 AS release, user_id
+       |  FROM events WHERE user_id IS NOT NULL AND event_id % 4 < 2),
+       |hexed AS (
+       |  SELECT DISTINCT release, md5(CAST(user_id AS VARCHAR)) AS h FROM ev),
+       |hashed AS (SELECT DISTINCT release, ($h32FromHexSql) AS hv FROM hexed),
+       |ak AS (SELECT hv FROM hashed WHERE release = 0 ORDER BY hv LIMIT $KmvK),
+       |bk AS (SELECT hv FROM hashed WHERE release = 1 ORDER BY hv LIMIT $KmvK),
+       |u AS (SELECT DISTINCT hv
+       |      FROM (SELECT hv FROM ak UNION ALL SELECT hv FROM bk)
+       |      ORDER BY hv LIMIT $KmvK),
+       |est AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS occupied, max(hv) AS kth,
+       |    CAST(sum(CASE WHEN hv IN (SELECT hv FROM ak)
+       |                   AND hv IN (SELECT hv FROM bk)
+       |              THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       |  FROM u),
+       |est2 AS (
+       |  SELECT occupied, matches,
+       |    CASE WHEN occupied < $KmvK THEN CAST(occupied AS DOUBLE)
+       |         ELSE CAST(round(CAST(${(KmvK - 1).toDouble * 4294967296.0} / kth
+       |                              AS DECIMAL(28,12)), 4) AS DOUBLE) END
+       |      AS union_est,
+       |    CAST(round(CAST(CAST(matches AS DOUBLE) / CAST(occupied AS DOUBLE)
+       |                    AS DECIMAL(28,12)), 4) AS DOUBLE) AS j_est4
+       |  FROM est),
+       |exact AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS n_a_exact,
+       |    CAST(sum(b) AS BIGINT) AS n_b_exact,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS inter_exact,
+       |    CAST(count(*) AS BIGINT) AS union_exact
+       |  FROM (SELECT user_id,
+       |          max(CASE WHEN release = 0 THEN 1 ELSE 0 END) AS a,
+       |          max(CASE WHEN release = 1 THEN 1 ELSE 0 END) AS b
+       |        FROM ev GROUP BY user_id))
+       |SELECT 'r0_vs_r1' AS scope, n_a_exact, n_b_exact, inter_exact,
+       |  union_exact,
+       |  CAST(round(CAST(CAST(inter_exact AS DOUBLE) /
+       |                  CAST(union_exact AS DOUBLE)
+       |                  AS DECIMAL(28,12)), 4) AS DOUBLE) AS jaccard_exact4,
+       |  occupied, matches, j_est4, union_est,
+       |  CAST(round(CAST(j_est4 * union_est AS DECIMAL(28,12)), 2) AS DOUBLE)
+       |    AS inter_est2
+       |FROM exact CROSS JOIN est2""".stripMargin
 }

@@ -223,6 +223,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!sq.contains("CartesianProduct"), s"cartesian in q159:\n$sq")
   }
 
+  test("round-5 third-batch operators keep the scale shapes: KMV set ops " +
+       "WindowGroupLimit, rewrite joins keyed, refine shortlist broadcast") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // q160: per-release bottom-k trims map-side (WindowGroupLimit); the
+    // post-sketch algebra runs on ≤2k-row relations — no cartesian
+    val so = finalPlan(graft.operators.Sketches.q160KmvSetOps(spark, dir))
+    assert(so.contains("WindowGroupLimit"),
+      s"q160 bottom-k not rank-limit pushed:\n$so")
+    assert(!so.contains("CartesianProduct"), s"cartesian in q160:\n$so")
+    // q161: winner aggregate and keeper join are hash-keyed (doc text
+    // never enters the winner exchange), rebuild is a doc_id equi-join
+    val sd = finalPlan(graft.operators.Corpus.q161SegDedupRewrite(spark, dir))
+    assert(!sd.contains("CartesianProduct"), s"cartesian in q161:\n$sd")
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin") ||
+           sd.contains("BroadcastHashJoin"),
+      s"q161 keeper join shape unexpected:\n$sd")
+    // q162: probes/LUT/shortlist/queries all broadcast — the corpus is
+    // scanned, never exchanged, on the operator path
+    val rf = finalPlan(graft.operators.Similarity.q162IvfPqRefine(spark, dir))
+    assert(rf.contains("BroadcastHashJoin"), s"q162 dims not broadcast:\n$rf")
+    assert(!rf.contains("CartesianProduct"), s"cartesian in q162:\n$rf")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
