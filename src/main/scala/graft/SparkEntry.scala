@@ -180,6 +180,9 @@ object SparkEntry {
     "q160_kmv_setops"       -> (Sketches.q160KmvSetOps _),
     "q161_seg_dedup_rewrite" -> (Corpus.q161SegDedupRewrite _),
     "q162_ivfpq_refine"     -> (Similarity.q162IvfPqRefine _),
+    "q163_gopher_coverage"  -> (TextOps.q163GopherCoverage _),
+    "q164_url_canon_dedup"  -> (UrlOps.q164UrlCanonDedup _),
+    "q165_batch_plan"       -> (TrainPrep.q165BatchPlan _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -545,5 +548,14 @@ object SparkEntry {
     // FAISS-style IVF-PQ + exact refine: ADC shortlist re-ranked with
     // true vectors; refine recall ≥ ADC recall by construction
     "q162_ivfpq_refine"      -> Similarity.ivfPqRefineOracle,
+    // Gopher char-coverage repetition: top-bigram + duplicated-5-gram
+    // position coverage per doc (union semantics, no clipping needed)
+    "q163_gopher_coverage"   -> TextOps.gopherCoverageOracle,
+    // RefinedWeb URL-level dedup: scheme/www/query/fragment/slash
+    // canonicalization, per-source collapse counts
+    "q164_url_canon_dedup"   -> UrlOps.urlCanonDedupOracle,
+    // dynamic-batching audit: arrival vs length-sorted batch padding
+    // via the distributed two-phase global rank (q60 shape)
+    "q165_batch_plan"        -> TrainPrep.batchPlanOracle,
   )
 }

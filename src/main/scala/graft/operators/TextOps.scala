@@ -603,4 +603,126 @@ object TextOps {
        |  UNION ALL SELECT 'word_count', c_wc, n_docs FROM agg)
        |ORDER BY rule""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q163 — Gopher CHAR-COVERAGE repetition signals (Rae et al. 2021
+  // Appendix A1): beside q69's trigram repeat FRACTION and q113's
+  // max-token share, the Gopher filters threshold on the fraction of a
+  // document's CHARACTER MASS sitting inside repeated n-grams — "chars
+  // in the most frequent 2-gram" and "chars in duplicated n-grams"
+  // (n = 3 here: the synthetic corpus repeats trigrams, never 5-grams —
+  // q69 thresholds on the same fact).
+  // Both are spelled here as POSITION-COVERAGE (union of covered token
+  // positions, then the covered tokens' char mass): the naive
+  // count×length product double-counts overlapping occurrences and can
+  // exceed 1 on degenerate docs; coverage is the clean measure and needs
+  // no clipping. Char mass = Σ token length (separators excluded) — the
+  // same mass both engines compute from the shared tokenization.
+  // ---------------------------------------------------------------------
+
+  /** q163 — per-doc repetition char-coverage: the top-bigram coverage
+    * (most frequent 2-gram by count, ties → min md5) and the
+    * duplicated-trigram coverage (all 3-grams occurring ≥ 2× in the doc).
+    *
+    * Scale: every exploded relation is (doc_id, pos, 32-char hash) —
+    * text never travels past the tokenizer. The top-bigram argmax is a
+    * window over the PER-DOC bigram vocabulary (bounded by doc length);
+    * coverage is a distinct + keyed join on (doc_id, pos); the rollup is
+    * one partial-aggregated groupBy(doc_id). */
+  def q163GopherCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              length(col("tok")).cast("long").as("tl"))
+    val tc = toks.groupBy(col("doc_id")).agg(sum(col("tl")).as("tok_chars"))
+    def grams(n: Int): DataFrame = docs.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+              explode(sequence(lit(0), size(col("t")) - n)).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+              md5(concat_ws(" ", slice(col("t"), col("s") + 1, lit(n))))
+                .as("g"))
+    def coverage(occ: DataFrame, n: Int, out: String): DataFrame = occ
+      .select(col("doc_id"),
+              explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .distinct()
+      .join(toks, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(sum(col("tl")).as(out))
+    val g2 = grams(2)
+    val w2 = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("g"))
+    val top2 = g2.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1).select(col("doc_id"), col("g"))
+    val cov2 = coverage(g2.join(top2, Seq("doc_id", "g")), 2, "top2_cov")
+    val g3 = grams(3)
+    val dup3 = g3.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("doc_id"), col("g"))
+    val cov3 = coverage(g3.join(dup3, Seq("doc_id", "g")), 3, "dup3_cov")
+    def frac(cov: Column) =
+      round((cov.cast("double") / col("tok_chars").cast("double")).cast(dec), 6)
+        .cast("double")
+    tc.join(cov2, Seq("doc_id"), "left").join(cov3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_chars"),
+        coalesce(col("top2_cov"), lit(0L)).as("top2_cov"),
+        coalesce(col("dup3_cov"), lit(0L)).as("dup3_cov"))
+      .withColumn("top2_frac6", frac(col("top2_cov")))
+      .withColumn("dup3_frac6", frac(col("dup3_cov")))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherCoverageOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |           FROM documents),
+      |tok AS (
+      |  SELECT doc_id, pos - 1 AS pos, CAST(length(tk) AS BIGINT) AS tl
+      |  FROM (SELECT doc_id, unnest(t) AS tk,
+      |               unnest(range(1, len(t) + 1)) AS pos FROM t)),
+      |tc AS (SELECT doc_id, sum(tl) AS tok_chars FROM tok GROUP BY doc_id),
+      |g2 AS (
+      |  SELECT doc_id, s, md5(array_to_string(list_slice(t, s+1, s+2), ' ')) AS g
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS s
+      |        FROM t WHERE len(t) >= 2)),
+      |top2 AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT doc_id, g,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY count(*) DESC, g) AS rn
+      |    FROM g2 GROUP BY doc_id, g)
+      |  WHERE rn = 1),
+      |cov2 AS (
+      |  SELECT p.doc_id, sum(tk.tl) AS cov FROM (
+      |    SELECT DISTINCT g2.doc_id, g2.s + d AS pos
+      |    FROM g2 JOIN top2 USING (doc_id, g), generate_series(0, 1) AS gs(d)) p
+      |  JOIN tok tk ON tk.doc_id = p.doc_id AND tk.pos = p.pos
+      |  GROUP BY p.doc_id),
+      |g3 AS (
+      |  SELECT doc_id, s, md5(array_to_string(list_slice(t, s+1, s+3), ' ')) AS g
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS s
+      |        FROM t WHERE len(t) >= 3)),
+      |dup3 AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2),
+      |cov3 AS (
+      |  SELECT p.doc_id, sum(tk.tl) AS cov FROM (
+      |    SELECT DISTINCT g3.doc_id, g3.s + d AS pos
+      |    FROM g3 JOIN dup3 USING (doc_id, g), generate_series(0, 2) AS gs(d)) p
+      |  JOIN tok tk ON tk.doc_id = p.doc_id AND tk.pos = p.pos
+      |  GROUP BY p.doc_id)
+      |SELECT tc.doc_id, tc.tok_chars,
+      |  CAST(coalesce(cov2.cov, 0) AS BIGINT) AS top2_cov,
+      |  CAST(coalesce(cov3.cov, 0) AS BIGINT) AS dup3_cov,
+      |  CAST(round(CAST(CAST(coalesce(cov2.cov, 0) AS DOUBLE) /
+      |    CAST(tc.tok_chars AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS top2_frac6,
+      |  CAST(round(CAST(CAST(coalesce(cov3.cov, 0) AS DOUBLE) /
+      |    CAST(tc.tok_chars AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+      |    AS dup3_frac6
+      |FROM tc
+      |LEFT JOIN cov2 ON cov2.doc_id = tc.doc_id
+      |LEFT JOIN cov3 ON cov3.doc_id = tc.doc_id
+      |ORDER BY tc.doc_id""".stripMargin
 }

@@ -820,4 +820,86 @@ object TrainPrep {
       |  CAST(alloc_tokens - least(alloc_tokens, avail_tokens * 4) AS BIGINT)
       |    AS deficit_tokens
       |FROM alloc ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q165 — SORTED (length-bucketed) dynamic batching audit: q85 prices
+  // static bucket shapes; this prices DYNAMIC per-batch padding (pad
+  // every batch to its own max length — the fairseq/HuggingFace
+  // "smart batching" dataloader) under two batch assignments: arrival
+  // order (doc_id) vs length-sorted order. Sorting contiguous batches
+  // minimizes Σ batch-max over equal-size groups, so the sorted plan's
+  // padding is the floor the dataloader buys by sequence bucketing; the
+  // delta vs arrival order is the savings readout.
+  // ---------------------------------------------------------------------
+
+  /** Dynamic batch size for q165. */
+  val DynBatch = 32L
+
+  /** q165 — padding under arrival-order vs length-sorted batch
+    * assignment, one row per strategy: batch count, slot tokens
+    * (Σ batch_size·batch_max), pad tokens, pad ratio.
+    *
+    * Scale: the global order comes from [[PrefixSum.globalRank]] (the
+    * q60 two-phase shape — no single-partition window anywhere); the
+    * per-batch rollup is a keyed groupBy on the batch id, and the final
+    * rollup has |batches| rows. Packed-key contract as q60: doc_id <
+    * 10^12. */
+  def q165BatchPlan(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    def plan(keyed: DataFrame, strategy: String): DataFrame = {
+      val (ranked, _) = PrefixSum.globalRank(keyed, "__k", "r")
+      ranked
+        .withColumn("batch", expr(s"(r - 1) DIV $DynBatch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("c"), max(col("n")).as("mx"),
+             sum(col("n")).as("sm"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("c")).as("n_docs"),
+             sum(col("c") * col("mx")).as("slot_tokens"),
+             sum(col("c") * col("mx") - col("sm")).as("pad_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_docs"),
+                col("n_batches"), col("slot_tokens"), col("pad_tokens"))
+    }
+    val arrival = plan(docs.withColumn("__k", col("doc_id")), "arrival")
+    val sorted = plan(
+      docs.withColumn("__k", col("n") * lit(1000000000000L) + col("doc_id")),
+      "sorted")
+    arrival.union(sorted)
+      .withColumn("pad_ratio6",
+        round((col("pad_tokens").cast("double") /
+                 col("slot_tokens").cast("double")).cast(dec), 6)
+          .cast("double"))
+      .orderBy(col("strategy"))
+  }
+
+  val batchPlanOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |a AS (SELECT n, (row_number() OVER (ORDER BY doc_id) - 1)
+       |        // $DynBatch AS batch FROM d),
+       |s AS (SELECT n, (row_number() OVER (ORDER BY n, doc_id) - 1)
+       |        // $DynBatch AS batch FROM d),
+       |ab AS (SELECT batch, count(*) AS c, max(n) AS mx, sum(n) AS sm
+       |       FROM a GROUP BY batch),
+       |sb AS (SELECT batch, count(*) AS c, max(n) AS mx, sum(n) AS sm
+       |       FROM s GROUP BY batch),
+       |r AS (
+       |  SELECT 'arrival' AS strategy, CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_batches,
+       |    CAST(sum(c * mx) AS BIGINT) AS slot_tokens,
+       |    CAST(sum(c * mx - sm) AS BIGINT) AS pad_tokens
+       |  FROM ab
+       |  UNION ALL
+       |  SELECT 'sorted', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+       |    CAST(sum(c * mx) AS BIGINT), CAST(sum(c * mx - sm) AS BIGINT)
+       |  FROM sb)
+       |SELECT strategy, n_docs, n_batches, slot_tokens, pad_tokens,
+       |  CAST(round(CAST(CAST(pad_tokens AS DOUBLE) /
+       |    CAST(slot_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
+       |    AS pad_ratio6
+       |FROM r ORDER BY strategy""".stripMargin
 }

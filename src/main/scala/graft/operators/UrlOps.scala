@@ -95,6 +95,103 @@ object UrlOps {
   }
 
   // -------------------------------------------------------------------------
+  // q164 — URL CANONICALIZATION dedup (RefinedWeb §3.1 runs URL-level
+  // dedup before any content pass): scheme / `www.` / query / fragment /
+  // trailing-slash variants of the same resource collapse to one
+  // canonical key, and the per-source collapse count is the crawl-
+  // redundancy readout. The q148 tail's URLs are all distinct under
+  // canonicalization (each embeds its doc_id in the path), so a second
+  // deterministic tail supplies the variants: classes d%3∈{0,1} emit the
+  // SAME /page/{d%20} resource behind different scheme/www/query/
+  // fragment dressing — collapse is guaranteed by construction and
+  // recomputed identically by the oracle.
+  // -------------------------------------------------------------------------
+
+  /** Variant tail: two URL dressings of one shared resource pool. */
+  def urlDupTail(d: Column): Column = {
+    def s(c: Column) = c.cast("string")
+    concat(
+      when(d % 3 === 0, concat(lit(" also https://www.site"), s(d % 10),
+        lit(".com/page/"), s(d % 20), lit("?ref="), s(d))).otherwise(""),
+      when(d % 3 === 1, concat(lit(" also http://site"), s(d % 10),
+        lit(".com/page/"), s(d % 20), lit("#s"), s(d % 7))).otherwise(""))
+  }
+
+  /** The SQL twin of [[urlDupTail]]. */
+  val urlDupTailSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN ' also https://www.site' || (doc_id % 10) || '.com/page/' || (doc_id % 20) || '?ref=' || doc_id ELSE '' END
+      || CASE WHEN doc_id % 3 = 1 THEN ' also http://site' || (doc_id % 10) || '.com/page/' || (doc_id % 20) || '#s' || (doc_id % 7) ELSE '' END"""
+
+  /** Full-URL capture (group 0): the injected URLs are space-delimited. */
+  val fullUrlPat = "https?://[^ ]+"
+
+  /** The canonicalization chain — four anchored/suffix regex rewrites in
+    * the Java ∩ RE2 subset, applied in both engines in the same order:
+    * strip scheme, strip leading `www.`, cut query+fragment, cut the
+    * trailing slash. */
+  def canonicalize(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
+  /** q164 — per-source URL dedup triage: raw URL volume, distinct raw
+    * URLs, distinct canonical URLs, and the collapse count — the
+    * redundancy a URL-level dedup pass would remove before fetch.
+    *
+    * Scale: extraction + canonicalization is one codegen'd row-wise map;
+    * past it every row is (source, url) — two countDistinct aggregates
+    * (two-phase exchanges on 32-to-80-byte keys), no joins. */
+  def q164UrlCanonDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(col("text"), urlTail(col("doc_id")), urlDupTail(col("doc_id")))
+        .as("url_text"))
+    val urls = base.select(col("source"),
+        explode(regexp_extract_all(col("url_text"), lit(fullUrlPat), lit(0)))
+          .as("url"))
+      .withColumn("canon", canonicalize(col("url")))
+    urls.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("url")).as("distinct_raw"),
+           countDistinct(col("canon")).as("distinct_canon"))
+      .withColumn("collapsed", col("distinct_raw") - col("distinct_canon"))
+      .orderBy(col("source"))
+  }
+
+  val urlCanonDedupOracle: String = {
+    // flatten the tail SQL to one line: stripMargin below would otherwise
+    // eat one pipe of an interpolated line-leading `||`
+    def flat(sql: String) = sql.linesIterator.map(_.trim).mkString(" ")
+    s"""WITH base AS (
+       |  SELECT source,
+       |    text || ${flat(urlTailSql)} || ${flat(urlDupTailSql)} AS url_text
+       |  FROM documents),
+       |urls AS (
+       |  SELECT source, unnest(regexp_extract_all(url_text, '$fullUrlPat'))
+       |    AS url
+       |  FROM base),
+       |canon AS (
+       |  SELECT source, url,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(url, '^https?://', ''),
+       |          '^www\\.', ''),
+       |        '[?#].*$$', ''),
+       |      '/$$', '') AS canon
+       |  FROM urls)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS distinct_raw,
+       |  CAST(count(DISTINCT canon) AS BIGINT) AS distinct_canon,
+       |  CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT)
+       |    AS collapsed
+       |FROM canon GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // q152 — domain PageRank over the source↔domain provenance graph
   // -------------------------------------------------------------------------
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Similarity, Sketches}
+import graft.operators.{Corpus, Similarity, Sketches, TextOps, TrainPrep, UrlOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -99,6 +99,91 @@ class Round5cSpec extends AnyFunSuite {
     untouched.foreach { d =>
       assert(d._5 === d._6, s"doc ${d._1} changed without a cut")
     }
+  }
+
+  // ---- q163 Gopher char-coverage -----------------------------------------
+
+  test("q163 coverage equals a driver-side naive recomputation (union " +
+       "position semantics, top-bigram tie rule included)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+"))).sortBy(_._1)
+    val expected = docs.map { case (id, t) =>
+      val tc = t.map(_.length.toLong).sum
+      def cov(n: Int, pick: Map[String, Seq[Int]] => Seq[(String, Int)]) = {
+        val occ = t.sliding(n).zipWithIndex
+          .map { case (g, s) => (md5hex(g.mkString(" ")), s) }.toSeq
+          .filter(_ => t.length >= n)
+        val byG = occ.groupBy(_._1).map { case (g, o) => g -> o.map(_._2) }
+        val chosen = pick(byG)
+        chosen.flatMap { case (_, s) => s until (s + n) }.distinct
+          .map(p => t(p).length.toLong).sum
+      }
+      val top2 = cov(2, byG =>
+        if (byG.isEmpty) Seq.empty
+        else {
+          val best = byG.toSeq
+            .sortBy { case (g, o) => (-o.size, g) }.head._1
+          byG(best).map(s => (best, s))
+        })
+      val dup3 = cov(3, byG =>
+        byG.toSeq.filter(_._2.size >= 2)
+          .flatMap { case (g, o) => o.map(s => (g, s)) })
+      (id, tc, top2, dup3)
+    }
+    val got = TextOps.q163GopherCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.map(e => (e._1, e._2, e._3, e._4)).toSeq)
+    // teeth: some doc has a duplicated trigram
+    assert(expected.exists(_._4 > 0L), "no duplicated trigrams in fixture")
+  }
+
+  // ---- q164 URL canonicalization -----------------------------------------
+
+  test("q164 collapse has teeth and respects containment: canon <= raw " +
+       "<= urls per source, and canonical keys carry no dressing") {
+    val rows = UrlOps.q164UrlCanonDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"canon > raw for ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1), s"raw > urls for ${r.getString(0)}")
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+    assert(rows.map(_.getLong(4)).sum > 0L, "canonicalization collapsed nothing")
+    // no canonical key retains scheme/www/query/fragment/trailing slash
+    val canons = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(explode(regexp_extract_all(
+        concat(col("text"), UrlOps.urlTail(col("doc_id")),
+               UrlOps.urlDupTail(col("doc_id"))),
+        lit(UrlOps.fullUrlPat), lit(0))).as("u"))
+      .select(UrlOps.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canons.nonEmpty)
+    canons.foreach { c =>
+      assert(!c.contains("://") && !c.startsWith("www.") &&
+             !c.contains("?") && !c.contains("#") && !c.endsWith("/"),
+        s"undressed canonical still carries dressing: $c")
+    }
+  }
+
+  // ---- q165 dynamic batching ---------------------------------------------
+
+  test("q165 strategies conserve docs/batches/content tokens, and sorted " +
+       "batching strictly reduces padding on this corpus") {
+    val rows = TrainPrep.q165BatchPlan(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (aDocs, aBatches, aSlots, aPad) = rows("arrival")
+    val (sDocs, sBatches, sSlots, sPad) = rows("sorted")
+    assert(aDocs === sDocs && aBatches === sBatches)
+    // content tokens (slots minus pad) identical — batching moves docs,
+    // never tokens
+    assert(aSlots - aPad === sSlots - sPad)
+    assert(sPad < aPad, s"sorting did not reduce padding: $sPad >= $aPad")
   }
 
   // ---- q162 IVF-PQ refine ------------------------------------------------

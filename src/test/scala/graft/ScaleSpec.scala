@@ -248,6 +248,23 @@ class ScaleSpec extends AnyFunSuite {
     val rf = finalPlan(graft.operators.Similarity.q162IvfPqRefine(spark, dir))
     assert(rf.contains("BroadcastHashJoin"), s"q162 dims not broadcast:\n$rf")
     assert(!rf.contains("CartesianProduct"), s"cartesian in q162:\n$rf")
+    // q163: every joined relation is (doc_id, pos/hash)-keyed; the
+    // top-bigram argmax windows per doc, never globally
+    val gc = finalPlan(graft.operators.TextOps.q163GopherCoverage(spark, dir))
+    assert(!gc.contains("CartesianProduct"), s"cartesian in q163:\n$gc")
+    // q164: one codegen'd map + one two-phase distinct aggregate — no join
+    val uc = finalPlan(graft.operators.UrlOps.q164UrlCanonDedup(spark, dir))
+    assert(!uc.contains("Join"), s"unexpected join in q164:\n$uc")
+    // q165: global rank via the two-phase PrefixSum — every Window is
+    // partitioned by the rank bucket (the q60 guarantee; the plan's only
+    // SinglePartition exchanges are the 1-row-per-partition partials of
+    // the final global rollup, which is the standard partial-agg shape)
+    val bp = finalPlan(graft.operators.TrainPrep.q165BatchPlan(spark, dir))
+    assert(!bp.contains("CartesianProduct"), s"cartesian in q165:\n$bp")
+    val winLines = bp.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__bucket")),
+      s"non-bucketed window in q165 plan:\n$bp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
