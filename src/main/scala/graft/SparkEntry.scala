@@ -183,6 +183,9 @@ object SparkEntry {
     "q163_gopher_coverage"  -> (TextOps.q163GopherCoverage _),
     "q164_url_canon_dedup"  -> (UrlOps.q164UrlCanonDedup _),
     "q165_batch_plan"       -> (TrainPrep.q165BatchPlan _),
+    "q166_lexicon_filter"   -> (Lexicon.q166LexiconFilter _),
+    "q167_quality_auc"      -> (Lexicon.q167QualityAuc _),
+    "q168_hashed_classifier" -> (Lexicon.q168HashedClassifier _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -557,5 +560,11 @@ object SparkEntry {
     // dynamic-batching audit: arrival vs length-sorted batch padding
     // via the distributed two-phase global rank (q60 shape)
     "q165_batch_plan"        -> TrainPrep.batchPlanOracle,
+    // C4 §2.2 bad-word document filter over the injected-lexicon table
+    "q166_lexicon_filter"    -> Lexicon.lexiconFilterOracle,
+    // exact tie-aware Mann–Whitney AUC of q35 quality vs the lexicon label
+    "q167_quality_auc"       -> Lexicon.qualityAucOracle,
+    // hashed-feature linear classifier: train on even half, eval on odd
+    "q168_hashed_classifier" -> Lexicon.hashedClassifierOracle,
   )
 }

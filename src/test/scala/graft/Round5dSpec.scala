@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Lexicon
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 fourth-batch property tests: the lexicon filter's fixture
+  * specificity (q166), a driver-side exact replay of the tie-aware
+  * Mann–Whitney U statistic (q167), and the hashed classifier's
+  * structural + above-chance-learning invariants (q168), plus the
+  * integer-division-parity pin the Lexicon scaladoc claims. */
+class Round5dSpec extends AnyFunSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- division-semantics pin (used by q167/q168 oracles) ---------------
+
+  test("Spark DIV truncates toward zero, matching DuckDB //") {
+    val r = spark.sql(
+      "SELECT -7 DIV 2 AS a, 7 DIV 2 AS b, -7 DIV -2 AS c").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((-3L, 3L, 3L)))
+  }
+
+  // ---- q166 lexicon filter ----------------------------------------------
+
+  test("q166 detector is silent on the raw corpus, decoys never fire, " +
+       "and flagged counts equal the doc_id closed form") {
+    // raw corpus (no tail): zero hits anywhere
+    val rawHits = Tables.documents(spark, dir)
+      .select(size(filter(graft.operators.TextOps.tokens(col("text")),
+        x => x.isInCollection(Lexicon.lexicon))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(rawHits === 0L, "lexicon term found in the clean corpus")
+
+    // terms actually seen are exactly the injectable six, never the decoys
+    val seen = Lexicon.lexTable(spark, dir)
+      .select(explode(filter(graft.operators.TextOps.tokens(col("lex_text")),
+        x => x.isInCollection(Lexicon.lexicon))).as("term"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val injectable = (0 until 3).flatMap(i => Seq(s"zzterm$i", s"qqterm$i")).toSet
+    assert(seen.subsetOf(injectable))
+    assert(seen.nonEmpty)
+
+    // per-source flagged == |{d : d%7==2 or d%11==4}| recomputed naively
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.count { case (_, d) => d % 7 == 2 || d % 11 == 4 }.toLong
+    }
+    val got = Lexicon.q166LexiconFilter(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
+  // ---- q167 Mann–Whitney AUC --------------------------------------------
+
+  test("q167 u2 equals a driver-side exact tie-aware rank-sum replay " +
+       "per source and auc_ppm stays in [0, 1e6]") {
+    val rows = Lexicon.q167QualityAuc(spark, dir).collect()
+    // naive replay from the per-doc (source, label, q_ppm) relation
+    val perDoc = {
+      val lab = Lexicon.lexTable(spark, dir)
+        .withColumn("t", graft.operators.TextOps.tokens(col("lex_text")))
+        .select(col("doc_id"), col("source"),
+          when(size(filter(col("t"), x => x.isInCollection(Lexicon.lexicon))) > 0,
+            1L).otherwise(0L).as("label"))
+      val q = graft.operators.TextOps.q35QualityScore(spark, dir)
+        .select(col("doc_id"),
+          expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("q_ppm"))
+      lab.join(q, "doc_id").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    val bySrc = perDoc.groupBy(_._1)
+    for (r <- rows) {
+      val src = r.getString(0)
+      val xs = bySrc(src).map { case (_, l, s) => (s, l) }.sortBy(_._1)
+      // tie-aware: average rank per tie group, doubled to stay integral
+      var rank = 0L; var u2 = 0L; var nPos = 0L
+      for (grp <- xs.groupBy(_._1).toSeq.sortBy(_._1)) {
+        val n = grp._2.length.toLong
+        val pos = grp._2.count(_._2 == 1L).toLong
+        val rank2 = 2L * rank + n + 1L
+        u2 += pos * rank2; nPos += pos; rank += n
+      }
+      u2 -= nPos * (nPos + 1L)
+      assert(r.getLong(4) === u2, s"u2 mismatch for $src")
+      val auc = r.getLong(5)
+      assert(auc >= 0L && auc <= 1000000L)
+      assert(r.getLong(2) === nPos)
+    }
+  }
+
+  // ---- q168 hashed classifier -------------------------------------------
+
+  test("q168 confusion counts are consistent and the learned scores " +
+       "associate with the label above chance") {
+    val rows = Lexicon.q168HashedClassifier(spark, dir).collect()
+    var (nEval, nPos, tp, fp, fn, tn) = (0L, 0L, 0L, 0L, 0L, 0L)
+    for (r <- rows) {
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6)
+        === r.getLong(1), "confusion counts don't partition n_eval")
+      assert(r.getLong(3) + r.getLong(5) === r.getLong(2), "tp+fn != n_pos")
+      nEval += r.getLong(1); nPos += r.getLong(2)
+      tp += r.getLong(3); fp += r.getLong(4); fn += r.getLong(5); tn += r.getLong(6)
+    }
+    // every source contributes eval docs of both classes (the coprime-
+    // moduli fixture guarantee)
+    assert(rows.forall(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)))
+    // above-chance: P(pred|pos) must exceed the overall flag rate — a
+    // random classifier flagging the same fraction has tp ≈ n_pos·f
+    val flagged = tp + fp
+    assert(tp * nEval > nPos * flagged,
+      s"no learned association: tp=$tp n_pos=$nPos flagged=$flagged n=$nEval")
+    // recall well above half: the marker features are learnable
+    assert(2L * tp > tp + fn)
+  }
+}

@@ -267,6 +267,33 @@ class ScaleSpec extends AnyFunSuite {
       s"non-bucketed window in q165 plan:\n$bp")
   }
 
+  test("round-5 fourth-batch operators keep the scale shapes: lexicon " +
+       "match codegen'd, AUC window source-partitioned, model broadcast") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // q166: the dictionary is an IN-list literal inside a codegen'd row
+    // map — the only join is the source-dimension rollup merge
+    val lf = finalPlan(graft.operators.Lexicon.q166LexiconFilter(spark, dir))
+    assert(!lf.contains("CartesianProduct"), s"cartesian in q166:\n$lf")
+    // q167: the rank window runs AFTER the corpus collapses to one row
+    // per (source, distinct score) and partitions by source — never a
+    // global or per-doc window
+    val auc = finalPlan(graft.operators.Lexicon.q167QualityAuc(spark, dir))
+    assert(!auc.contains("CartesianProduct"), s"cartesian in q167:\n$auc")
+    val aucWins = auc.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(aucWins.nonEmpty && aucWins.forall(_.contains("source")),
+      s"q167 window not source-partitioned:\n$auc")
+    // q168: the learned model is ≤ HashDim rows BY CONSTRUCTION and must
+    // broadcast to the corpus-side feature relation
+    val hc = finalPlan(graft.operators.Lexicon.q168HashedClassifier(spark, dir))
+    assert(hc.contains("BroadcastHashJoin"), s"q168 model not broadcast:\n$hc")
+    assert(!hc.contains("CartesianProduct"), s"cartesian in q168:\n$hc")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
