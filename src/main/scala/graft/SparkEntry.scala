@@ -186,6 +186,9 @@ object SparkEntry {
     "q166_lexicon_filter"   -> (Lexicon.q166LexiconFilter _),
     "q167_quality_auc"      -> (Lexicon.q167QualityAuc _),
     "q168_hashed_classifier" -> (Lexicon.q168HashedClassifier _),
+    "q169_calibration_bins"  -> (Lexicon.q169CalibrationBins _),
+    "q170_ivf_drift"        -> (Similarity.q170IvfDrift _),
+    "q171_centroid_drift"   -> (Similarity.q171CentroidDrift _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -566,5 +569,11 @@ object SparkEntry {
     "q167_quality_auc"       -> Lexicon.qualityAucOracle,
     // hashed-feature linear classifier: train on even half, eval on odd
     "q168_hashed_classifier" -> Lexicon.hashedClassifierOracle,
+    // reliability-diagram bins over the classifier's eval-half scores
+    "q169_calibration_bins"  -> Lexicon.calibrationBinsOracle,
+    // persisted-IVF maintenance: new-release assignment drift per cell
+    "q170_ivf_drift"         -> Similarity.ivfDriftOracle,
+    // per-label release-over-release centroid cosine (micro-unit exact)
+    "q171_centroid_drift"    -> Similarity.centroidDriftOracle,
   )
 }

@@ -233,6 +233,23 @@ object Lexicon {
     * plus exact score sums by label (sums, not averages — no division on
     * possibly-negative values). */
   def q168HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val scored = evalScored(spark, dir)
+    scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_eval"),
+      sum(col("label")).as("n_pos"),
+      sum(when(col("label") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("label") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("label") === 1L, col("score_ppm")).otherwise(0L)).as("sum_pos_score_ppm"),
+      sum(when(col("label") === 0L, col("score_ppm")).otherwise(0L)).as("sum_neg_score_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** The classifier's eval-half per-doc relation — (doc_id, source,
+    * label, score_ppm, pred) — shared by q168's confusion rollup and
+    * q169's calibration bins. */
+  private def evalScored(spark: SparkSession, dir: String): DataFrame = {
     val lab = labTable(spark, dir)
     val bigrams = when(size(col("t")) >= 2,
       transform(sequence(lit(1), size(col("t")) - 1), i =>
@@ -261,27 +278,17 @@ object Lexicon {
       .join(broadcast(weights), "fid")
       .groupBy(col("doc_id"))
       .agg(sum(col("w_ppm")).as("sc"))
-    val scored = lab.filter(!isTrain)
+    lab.filter(!isTrain)
       .select(col("doc_id"), col("source"), col("label"))
       .join(evalScores, Seq("doc_id"), "left")
       .withColumn("score_ppm", coalesce(col("sc"), lit(0L)))
       .withColumn("pred", when(col("score_ppm") > 0, 1L).otherwise(0L))
-
-    scored.groupBy(col("source")).agg(
-      count(lit(1)).as("n_eval"),
-      sum(col("label")).as("n_pos"),
-      sum(when(col("label") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
-      sum(when(col("label") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
-      sum(when(col("label") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
-      sum(when(col("label") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"),
-      sum(when(col("label") === 1L, col("score_ppm")).otherwise(0L)).as("sum_pos_score_ppm"),
-      sum(when(col("label") === 0L, col("score_ppm")).otherwise(0L)).as("sum_neg_score_ppm"))
-      .orderBy(col("source"))
   }
 
-  val hashedClassifierOracle: String =
-    s"""WITH $labSql,
-       |featraw AS (
+  /** The CTE chain from features through the eval-half `scores` relation
+    * — shared by q168's and q169's oracles. */
+  private def scoresChainSql: String =
+    s"""featraw AS (
        |  SELECT doc_id, source, label, unnest(t) AS feat FROM lab
        |  UNION ALL
        |  SELECT doc_id, source, label,
@@ -308,7 +315,11 @@ object Lexicon {
        |  LEFT JOIN (
        |    SELECT f.doc_id, CAST(sum(w.w_ppm) AS BIGINT) AS sc
        |    FROM feats f JOIN weights w USING (fid)
-       |    WHERE (f.doc_id // 20) % 2 = 1 GROUP BY f.doc_id) s USING (doc_id))
+       |    WHERE (f.doc_id // 20) % 2 = 1 GROUP BY f.doc_id) s USING (doc_id))""".stripMargin
+
+  val hashedClassifierOracle: String =
+    s"""WITH $labSql,
+       |$scoresChainSql
        |SELECT source, CAST(count(*) AS BIGINT) AS n_eval,
        |  CAST(sum(label) AS BIGINT) AS n_pos,
        |  CAST(sum(CASE WHEN label = 1 AND score_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -318,4 +329,52 @@ object Lexicon {
        |  CAST(sum(CASE WHEN label = 1 THEN score_ppm ELSE 0 END) AS BIGINT) AS sum_pos_score_ppm,
        |  CAST(sum(CASE WHEN label = 0 THEN score_ppm ELSE 0 END) AS BIGINT) AS sum_neg_score_ppm
        |FROM scores GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q169 — calibration / reliability bins for the classifier scores
+  // -------------------------------------------------------------------------
+
+  /** Calibration bin width (ppm) and clamp bound: scores clamp to
+    * [−1e6, 1e6) and bin into 8 fixed 250k-ppm buckets. */
+  val BinWidthPpm = 250000L
+  val ClampPpm = 1000000L
+
+  /** q169 — the reliability-diagram relation (Niculescu-Mizil & Caruana
+    * ICML'05 readout): eval-half scores clamped and binned into 8 fixed
+    * buckets; per bin the observed positive rate vs the bin's score
+    * range. The clamp+shift keeps the bin index a single non-negative
+    * truncating division — no sign-dependent edge. Scale: one codegen'd
+    * map over the q168 scores and one 8-row aggregate. */
+  def q169CalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val scored = evalScored(spark, dir)
+    scored
+      .withColumn("clamped",
+        greatest(lit(-ClampPpm), least(lit(ClampPpm - 1L), col("score_ppm"))))
+      .withColumn("bin", expr(s"(clamped + $ClampPpm) DIV $BinWidthPpm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score_ppm")).as("sum_score_ppm"))
+      .select(col("bin"),
+        (col("bin") * lit(BinWidthPpm) - lit(ClampPpm)).as("bin_lo_ppm"),
+        col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) DIV n").as("pos_rate_ppm"),
+        col("sum_score_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationBinsOracle: String =
+    s"""WITH $labSql,
+       |$scoresChainSql,
+       |binned AS (
+       |  SELECT label, score_ppm,
+       |    (greatest(-$ClampPpm, least(${ClampPpm - 1L}, score_ppm)) + $ClampPpm)
+       |      // $BinWidthPpm AS bin
+       |  FROM scores)
+       |SELECT bin, bin * $BinWidthPpm - $ClampPpm AS bin_lo_ppm,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(label) AS BIGINT) AS n_pos,
+       |  (1000000 * CAST(sum(label) AS BIGINT)) // CAST(count(*) AS BIGINT) AS pos_rate_ppm,
+       |  CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 }

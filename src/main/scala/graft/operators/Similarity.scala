@@ -1435,4 +1435,197 @@ object Similarity {
        |LEFT JOIN top_adc a ON a.q_id = t.q_id AND a.n_id = t.n_id
        |LEFT JOIN top_ref r ON r.q_id = t.q_id AND r.n_id = t.n_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q170 — persisted IVF index MAINTENANCE: a new release of vectors is
+  // assigned to the PREVIOUS release's persisted coarse quantizer, and the
+  // per-cell occupancy drift is the "does my index still fit the data?"
+  // readout (the FAISS/Milvus re-train trigger). Completes the
+  // persistence family (q141-q143 persist sketches; this persists the ANN
+  // index's control plane) — the oracle re-derives everything from
+  // scratch, so equality ALSO proves the centroid parquet round-trip is
+  // value-exact.
+  // -------------------------------------------------------------------------
+
+  /** Release carve: vec_id % 3 == 0 is the newly-arrived release. Seeds:
+    * prev-release ids < [[DriftSeedBound]] are exactly KMEANS_K vectors
+    * (12 − 12/3 = 8). */
+  val DriftSeedBound = 12
+
+  /** q170 — per-cell drift between the persisted index's build-time
+    * occupancy and the new release's assignment. Assignment follows the
+    * q71/q53 contract (decimal-rounded squared L2 decides, cell id breaks
+    * ties). Scale: seeds and centroids are broadcast dimensions; each
+    * release is scanned once, never exchanged; the persisted store is
+    * |cells|×dim rows of control plane. */
+  def q170IvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e = vecs(spark, dir)
+    val prev = e.filter(col("vec_id") % 3 =!= 0)
+    val nu = e.filter(col("vec_id") % 3 === 0)
+    val seeds = prev.filter(col("vec_id") < DriftSeedBound)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn"))
+    val d2 = round(((col("nrm") + col("sn")) - lit(2.0) * dot(col("v"), col("sv")))
+        .cast(dec), 4).cast("double")
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("seed_id"))
+    val assignedPrev = prev.crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("v"))
+    // build-time control plane: per-(cell, dim) centroid rows, persisted
+    val centroidRows = assignedPrev
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("x").cast("double")).cast(dec), 6).cast("double").as("c"))
+    val store = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    centroidRows.write.mode("overwrite").parquet(store)
+    // everything below reads ONLY the persisted rows
+    val cent = spark.read.parquet(store)
+      .groupBy(col("cell"))
+      .agg(max(col("n_members")).as("n_prev"),
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cv"))
+    val nd2 = round(aggregate(
+        zip_with(col("v64"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, x) => a + x).cast(dec), 4).cast("double")
+    val nw = Window.partitionBy(col("vec_id")).orderBy(col("d2n"), col("cell"))
+    val assignedNew = nu
+      .withColumn("v64", transform(col("v"), x => x.cast("double")))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2n", nd2)
+      .withColumn("rn", row_number().over(nw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val joined = cent.select(col("cell"), col("n_prev"))
+      .join(assignedNew.groupBy(col("cell")).agg(count(lit(1)).as("n_new")),
+        Seq("cell"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val tot = joined.agg(sum(col("n_prev")).as("tot_prev"),
+      sum(col("n_new")).as("tot_new"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_prev"), col("n_new"),
+        expr("(1000000 * n_prev) DIV tot_prev").as("prev_share_ppm"),
+        expr("(1000000 * n_new) DIV tot_new").as("new_share_ppm"))
+      .withColumn("drift_ppm", col("new_share_ppm") - col("prev_share_ppm"))
+      .orderBy(col("cell"))
+  }
+
+  val ivfDriftOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |prev AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+       |nu AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn
+       |          FROM prev WHERE vec_id < $DriftSeedBound),
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cell, v FROM (
+       |    SELECT n.vec_id, s.seed_id, n.v,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(round(CAST((n.nrm + s.sn) - 2.0 * list_dot_product(n.v, s.sv)
+       |             AS DECIMAL(28,12)), 4) AS DOUBLE),
+       |        s.seed_id) AS rn
+       |    FROM prev n CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |cdims AS (
+       |  SELECT cell, i, count(*) AS nm,
+       |    CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |  FROM assigned, generate_series(1, $DIMS) AS g(i)
+       |  GROUP BY cell, i),
+       |cent AS (
+       |  SELECT cell, max(nm) AS n_prev, list(c ORDER BY i) AS cv
+       |  FROM cdims GROUP BY cell),
+       |assigned_new AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(round(CAST(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |             i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i])))
+       |             AS DECIMAL(28,12)), 4) AS DOUBLE),
+       |        c.cell) AS rn
+       |    FROM nu n CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |joined AS (
+       |  SELECT c.cell, CAST(c.n_prev AS BIGINT) AS n_prev,
+       |    CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+       |  FROM cent c LEFT JOIN (
+       |    SELECT cell, count(*) AS n_new FROM assigned_new GROUP BY cell) n
+       |  USING (cell)),
+       |tot AS (SELECT CAST(sum(n_prev) AS BIGINT) AS tot_prev,
+       |               CAST(sum(n_new) AS BIGINT) AS tot_new FROM joined)
+       |SELECT cell, n_prev, n_new,
+       |  (1000000 * n_prev) // tot_prev AS prev_share_ppm,
+       |  (1000000 * n_new) // tot_new AS new_share_ppm,
+       |  (1000000 * n_new) // tot_new - (1000000 * n_prev) // tot_prev AS drift_ppm
+       |FROM joined, tot ORDER BY cell""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q171 — embedding-space DRIFT MONITORING: per-label centroid cosine
+  // between the previous and new release (the "did my embedding
+  // distribution move?" dashboard number). Centroid coordinates are
+  // 6dp-rounded then lifted to exact micro-unit integers, so every sum
+  // below is associative BIGINT arithmetic — the cosine is deterministic
+  // under any partitioning/add order.
+  // -------------------------------------------------------------------------
+
+  /** q171 — per-label release-over-release centroid cosine at 4dp, with
+    * member counts. Scale: the corpus explodes to (label, release, dim)
+    * partial aggregates (map-side combined); everything after is a
+    * |labels|×dim control relation. */
+  def q171CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e = vecs(spark, dir)
+      .withColumn("is_new", (col("vec_id") % 3 === 0).cast("int"))
+    val dims = e
+      .select(col("label"), col("is_new"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("is_new"), col("dim"))
+      .agg(round(avg(col("x").cast("double")).cast(dec), 6).cast("double").as("c"))
+      .withColumn("c_u", expr("CAST(round(c * 1000000.0) AS BIGINT)"))
+    val a = dims.filter(col("is_new") === 0)
+      .select(col("label"), col("dim"), col("c_u").as("ca"))
+    val b = dims.filter(col("is_new") === 1)
+      .select(col("label"), col("dim"), col("c_u").as("cb"))
+    val cos = a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(sum(col("ca") * col("cb")).as("dot_uu"),
+        sum(col("ca") * col("ca")).as("na_uu"),
+        sum(col("cb") * col("cb")).as("nb_uu"))
+      .select(col("label"),
+        round((col("dot_uu").cast("double") /
+          sqrt(col("na_uu").cast("double") * col("nb_uu").cast("double")))
+          .cast(dec), 4).cast("double").as("cos_drift"))
+    val counts = e.groupBy(col("label"))
+      .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_new"))
+    counts.join(cos, Seq("label")).orderBy(col("label"))
+  }
+
+  val centroidDriftOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS is_new,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, is_new, i,
+       |    CAST(round(CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6)
+       |      AS DOUBLE) * 1000000.0) AS BIGINT) AS c_u
+       |  FROM e, generate_series(1, $DIMS) AS g(i)
+       |  GROUP BY label, is_new, i),
+       |cos_ AS (
+       |  SELECT a.label,
+       |    CAST(round(CAST(CAST(sum(a.c_u * b.c_u) AS DOUBLE) /
+       |      sqrt(CAST(sum(a.c_u * a.c_u) AS DOUBLE) * CAST(sum(b.c_u * b.c_u) AS DOUBLE))
+       |      AS DECIMAL(28,12)), 4) AS DOUBLE) AS cos_drift
+       |  FROM dims a JOIN dims b ON a.label = b.label AND a.i = b.i
+       |    AND a.is_new = 0 AND b.is_new = 1
+       |  GROUP BY a.label),
+       |counts AS (
+       |  SELECT label,
+       |    CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+       |    CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |  FROM e GROUP BY label)
+       |SELECT c.label, n_prev, n_new, cos_drift
+       |FROM counts c JOIN cos_ USING (label) ORDER BY label""".stripMargin
 }

@@ -123,4 +123,55 @@ class Round5dSpec extends AnyFunSuite {
     // recall well above half: the marker features are learnable
     assert(2L * tp > tp + fn)
   }
+
+  // ---- q169 calibration bins ----------------------------------------------
+
+  test("q169 bins partition the eval half, edges are exact, and the top " +
+       "bin is directionally calibrated") {
+    val bins = Lexicon.q169CalibrationBins(spark, dir).collect()
+    val conf = Lexicon.q168HashedClassifier(spark, dir).collect()
+    val nEval = conf.map(_.getLong(1)).sum
+    val nPos = conf.map(_.getLong(2)).sum
+    assert(bins.map(_.getLong(2)).sum === nEval, "bins don't partition n_eval")
+    assert(bins.map(_.getLong(3)).sum === nPos)
+    for (b <- bins) {
+      assert(b.getLong(1) === b.getLong(0) * Lexicon.BinWidthPpm - Lexicon.ClampPpm)
+      assert(b.getLong(4) === 1000000L * b.getLong(3) / b.getLong(2))
+    }
+    // directional calibration: the top bin's positive rate beats both the
+    // bottom bin's and the global base rate
+    val top = bins.maxBy(_.getLong(0))
+    val bot = bins.minBy(_.getLong(0))
+    assert(top.getLong(4) > bot.getLong(4))
+    assert(top.getLong(4) > 1000000L * nPos / nEval)
+  }
+
+  // ---- q170 persisted-IVF drift -------------------------------------------
+
+  test("q170 conserves both releases across cells and shares sum to 1e6 " +
+       "within truncation") {
+    val rows = graft.operators.Similarity.q170IvfDrift(spark, dir).collect()
+    val nVec = Tables.embeddings(spark, dir).count()
+    val nNew = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 3 === 0).count()
+    assert(rows.map(_.getLong(1)).sum === nVec - nNew, "prev not conserved")
+    assert(rows.map(_.getLong(2)).sum === nNew, "new not conserved")
+    val k = rows.length.toLong
+    val prevShare = rows.map(_.getLong(3)).sum
+    val newShare = rows.map(_.getLong(4)).sum
+    assert(prevShare <= 1000000L && prevShare > 1000000L - k)
+    assert(newShare <= 1000000L && newShare > 1000000L - k)
+    assert(rows.forall(r => r.getLong(5) === r.getLong(4) - r.getLong(3)))
+    assert(rows.forall(_.getLong(1) > 0), "empty build-time cell")
+  }
+
+  // ---- q171 centroid drift -------------------------------------------------
+
+  test("q171 covers every label in both releases with a bounded cosine") {
+    val rows = graft.operators.Similarity.q171CentroidDrift(spark, dir).collect()
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nVec)
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
 }

@@ -292,6 +292,21 @@ class ScaleSpec extends AnyFunSuite {
     val hc = finalPlan(graft.operators.Lexicon.q168HashedClassifier(spark, dir))
     assert(hc.contains("BroadcastHashJoin"), s"q168 model not broadcast:\n$hc")
     assert(!hc.contains("CartesianProduct"), s"cartesian in q168:\n$hc")
+    // q169: the same scores path + one codegen'd bin map + an 8-row agg
+    val cb = finalPlan(graft.operators.Lexicon.q169CalibrationBins(spark, dir))
+    assert(cb.contains("BroadcastHashJoin"), s"q169 model not broadcast:\n$cb")
+    assert(!cb.contains("CartesianProduct"), s"cartesian in q169:\n$cb")
+    // q170: seeds and persisted centroids are broadcast dimensions — the
+    // corpus-side releases are scanned, never cartesian'd for real
+    val ivd = finalPlan(graft.operators.Similarity.q170IvfDrift(spark, dir))
+    assert(!ivd.contains("CartesianProduct"), s"cartesian in q170:\n$ivd")
+    assert(ivd.contains("BroadcastNestedLoopJoin") || ivd.contains("BroadcastHashJoin"),
+      s"q170 quantizer not broadcast:\n$ivd")
+    // q171: explode → partial-aggregated (label, release, dim) relation;
+    // no window, no cartesian anywhere
+    val cd = finalPlan(graft.operators.Similarity.q171CentroidDrift(spark, dir))
+    assert(!cd.contains("CartesianProduct"), s"cartesian in q171:\n$cd")
+    assert(!cd.contains("windowspecdefinition"), s"unexpected window in q171:\n$cd")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
