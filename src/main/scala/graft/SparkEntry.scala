@@ -189,6 +189,9 @@ object SparkEntry {
     "q169_calibration_bins"  -> (Lexicon.q169CalibrationBins _),
     "q170_ivf_drift"        -> (Similarity.q170IvfDrift _),
     "q171_centroid_drift"   -> (Similarity.q171CentroidDrift _),
+    "q172_truncation_loss"  -> (TrainPrep.q172TruncationLoss _),
+    "q173_fuzzy_decontam"   -> (Dedup.q173FuzzyDecontam _),
+    "q174_funnel_v4"        -> (TrainPrep.q174FunnelV4 _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -575,5 +578,11 @@ object SparkEntry {
     "q170_ivf_drift"         -> Similarity.ivfDriftOracle,
     // per-label release-over-release centroid cosine (micro-unit exact)
     "q171_centroid_drift"    -> Similarity.centroidDriftOracle,
+    // context-window truncation loss per (max_len, source)
+    "q172_truncation_loss"   -> TrainPrep.truncationLossOracle,
+    // MinHash-LSH fuzzy decontamination vs the carved benchmark
+    "q173_fuzzy_decontam"    -> Dedup.fuzzyDecontamOracle,
+    // classifier-gated curation funnel (lexgate → clsgate → dedup → sample)
+    "q174_funnel_v4"         -> TrainPrep.funnelV4Oracle,
   )
 }

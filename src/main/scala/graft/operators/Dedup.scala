@@ -1037,4 +1037,111 @@ object Dedup {
        |  split_lo <> split_hi AS leaky
        |FROM m GROUP BY split_lo, split_hi
        |ORDER BY split_lo, split_hi""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q173 — FUZZY benchmark decontamination (the MinHash-LSH complement of
+  // q67/q100's exact pass): eval items are usually reformatted versions
+  // of web text, so exact-hash decontamination misses them; the standard
+  // fix (GPT-3 appx C / Llama-style fuzzy dedup against eval sets) is a
+  // near-dup join between the corpus and the benchmark. The benchmark is
+  // carved deterministically (doc_id % 17 == 3) and REFORMATTED (an
+  // appended eval-suite marker), so every benchmark item has a true
+  // near-dup in the corpus by construction — recomputed identically by
+  // the oracle; band collisions, not the fixture, decide what's caught.
+  // -------------------------------------------------------------------------
+
+  /** Benchmark carve: one doc in 17 (coprime to the source stride). */
+  val BenchMod = 17L
+
+  /** q173 — per-source contamination triage: distinct corpus docs whose
+    * banded MinHash collides with a benchmark item AND whose exact
+    * shingle Jaccard >= 0.5 (q29's verify contract: decimal-rounded to
+    * 6dp BEFORE the threshold). Scale: both sides band to 3 small
+    * columns; the benchmark side is a broadcast dimension (real eval
+    * suites are thousands of rows); shingle arrays re-attach only for
+    * the candidate set. */
+  def q173FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.select(col("doc_id"), col("source"),
+      call_function("graft_shingles", col("text")).as("sh"),
+      call_function("graft_minhash", col("text"), lit(K_HASHES)).as("m"))
+      .localCheckpoint()
+    val benchText = concat(col("text"), lit(" evalsuite item"))
+    val bench = docs.filter(col("doc_id") % BenchMod === 3L)
+      .select(col("doc_id").as("bench_id"),
+        call_function("graft_shingles", benchText).as("shb"),
+        call_function("graft_minhash", benchText, lit(K_HASHES)).as("mb"))
+      .localCheckpoint()
+    val corpusBands = lshBands(corpus.select(col("doc_id"), col("m")))
+    val benchBands = lshBands(
+        bench.select(col("bench_id").as("doc_id"), col("mb").as("m")))
+      .toDF("bench_id", "band_idx", "band_hash")
+    val cand = corpusBands.join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id"))
+      .dropDuplicates("doc_id", "bench_id")
+    val inter = size(array_intersect(col("sh"), col("shb")))
+    val jac = round((inter.cast("double") /
+        (size(col("sh")) + size(col("shb")) - inter).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    val contaminated = cand
+      .join(corpus.select(col("doc_id"), col("sh")), "doc_id")
+      .join(broadcast(bench.select(col("bench_id"), col("shb"))), "bench_id")
+      .select(col("doc_id"), jac.as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_c", lit(1L))
+    docs.select(col("source"), col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_c"), lit(0L))).as("n_contam"))
+      .withColumn("contam_ppm", expr("(1000000 * n_contam) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val fuzzyDecontamOracle: String =
+    s"""WITH ct AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |cs AS (SELECT doc_id, source, ${TextOps.duckShingles} AS s FROM ct),
+       |csig AS (
+       |  SELECT doc_id, source, s, list_transform(range(0, $K_HASHES),
+       |    i -> list_aggregate(list_transform(s, x -> md5(i::VARCHAR || ':' || x)), 'min')) AS m
+       |  FROM cs),
+       |bt AS (
+       |  SELECT doc_id AS bench_id,
+       |    regexp_split_to_array(lower(text || ' evalsuite item'), '\\s+') AS t
+       |  FROM documents WHERE doc_id % $BenchMod = 3),
+       |bs AS (SELECT bench_id, ${TextOps.duckShingles} AS s FROM bt),
+       |bsig AS (
+       |  SELECT bench_id, s, list_transform(range(0, $K_HASHES),
+       |    i -> list_aggregate(list_transform(s, x -> md5(i::VARCHAR || ':' || x)), 'min')) AS m
+       |  FROM bs),
+       |cbands AS (
+       |  SELECT doc_id, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM csig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |bbands AS (
+       |  SELECT bench_id, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM bsig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id, b.bench_id
+       |  FROM cbands a JOIN bbands b ON a.j = b.j AND a.bh = b.bh),
+       |ver AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT c.doc_id,
+       |      CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |        CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |        AS DECIMAL(28,12)), 6) AS DOUBLE) AS j
+       |    FROM cand c
+       |    JOIN csig x ON x.doc_id = c.doc_id
+       |    JOIN bsig y ON y.bench_id = c.bench_id)
+       |  WHERE j >= 0.5)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+       |  (1000000 * CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS contam_ppm
+       |FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -97,7 +97,7 @@ object Lexicon {
        |  FROM tok)""".stripMargin
 
   /** Spark twin of [[labSql]]'s per-doc columns. */
-  private def labTable(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def labTable(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("lex_text"))
     lexTable(spark, dir)
       .withColumn("t", t)
@@ -249,7 +249,12 @@ object Lexicon {
   /** The classifier's eval-half per-doc relation — (doc_id, source,
     * label, score_ppm, pred) — shared by q168's confusion rollup and
     * q169's calibration bins. */
-  private def evalScored(spark: SparkSession, dir: String): DataFrame = {
+  private def evalScored(spark: SparkSession, dir: String): DataFrame =
+    allScored(spark, dir).filter(expr("(doc_id DIV 20) % 2 = 1"))
+
+  /** Every doc scored by the even-half-trained model — the inference
+    * relation funnel v4 gates on. */
+  private[operators] def allScored(spark: SparkSession, dir: String): DataFrame = {
     val lab = labTable(spark, dir)
     val bigrams = when(size(col("t")) >= 2,
       transform(sequence(lit(1), size(col("t")) - 1), i =>
@@ -274,13 +279,12 @@ object Lexicon {
       .select(col("fid"),
         expr("(1000000 * pos_df) DIV tot_df - prior_ppm").as("w_ppm"))
 
-    val evalScores = feats.filter(!isTrain)
+    val docScores = feats
       .join(broadcast(weights), "fid")
       .groupBy(col("doc_id"))
       .agg(sum(col("w_ppm")).as("sc"))
-    lab.filter(!isTrain)
-      .select(col("doc_id"), col("source"), col("label"))
-      .join(evalScores, Seq("doc_id"), "left")
+    lab.select(col("doc_id"), col("source"), col("label"))
+      .join(docScores, Seq("doc_id"), "left")
       .withColumn("score_ppm", coalesce(col("sc"), lit(0L)))
       .withColumn("pred", when(col("score_ppm") > 0, 1L).otherwise(0L))
   }
@@ -308,14 +312,20 @@ object Lexicon {
        |      // CAST(count(DISTINCT doc_id) AS BIGINT)
        |      - (SELECT prior_ppm FROM prior) AS w_ppm
        |  FROM feats WHERE (doc_id // 20) % 2 = 0 GROUP BY fid),
-       |scores AS (
+       |allscores AS (
        |  SELECT d.doc_id, d.source, d.label,
        |    coalesce(s.sc, 0) AS score_ppm
-       |  FROM (SELECT doc_id, source, label FROM lab WHERE (doc_id // 20) % 2 = 1) d
+       |  FROM (SELECT doc_id, source, label FROM lab) d
        |  LEFT JOIN (
        |    SELECT f.doc_id, CAST(sum(w.w_ppm) AS BIGINT) AS sc
        |    FROM feats f JOIN weights w USING (fid)
-       |    WHERE (f.doc_id // 20) % 2 = 1 GROUP BY f.doc_id) s USING (doc_id))""".stripMargin
+       |    GROUP BY f.doc_id) s USING (doc_id)),
+       |scores AS (SELECT * FROM allscores WHERE (doc_id // 20) % 2 = 1)""".stripMargin
+
+  /** [[scoresChainSql]] exposed for funnel v4's oracle (which gates on
+    * the all-docs `allscores` relation instead of the eval half). */
+  private[operators] def scoresChainSqlShared: String = scoresChainSql
+  private[operators] def labSqlShared: String = labSql
 
   val hashedClassifierOracle: String =
     s"""WITH $labSql,

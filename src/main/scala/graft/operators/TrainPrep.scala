@@ -902,4 +902,132 @@ object TrainPrep {
        |    CAST(slot_tokens AS DOUBLE) AS DECIMAL(28,12)), 6) AS DOUBLE)
        |    AS pad_ratio6
        |FROM r ORDER BY strategy""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q172 — context-window TRUNCATION-LOSS audit: for each candidate
+  // max-length, how many documents get cut and what token mass is lost —
+  // the "pick the training seq-len" readout every pipeline runs before
+  // committing to a context window (truncate-vs-split is the single
+  // biggest silent data-loss knob in corpus prep).
+  // -------------------------------------------------------------------------
+
+  /** Candidate context windows (whitespace tokens). ONE shared literal,
+    * rendered into both engines. */
+  val TruncLens: Seq[Long] = Seq(64L, 256L, 1024L)
+
+  /** q172 — per (max_len, source): docs affected, token mass kept/lost,
+    * loss in ppm. Scale: one codegen'd token count per doc, cross-joined
+    * with the 3-row length dimension (broadcast by construction), one
+    * partial-aggregated groupBy — no window, no data-side join. */
+  def q172TruncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("n_tok"))
+    val lens = broadcast(TruncLens.toDF("max_len"))
+    docs.crossJoin(lens)
+      .withColumn("kept", least(col("n_tok"), col("max_len")))
+      .groupBy(col("max_len"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("max_len"), 1L).otherwise(0L)).as("docs_truncated"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("kept")).as("tokens_kept"))
+      .select(col("max_len"), col("source"), col("n_docs"),
+        col("docs_truncated"), col("total_tokens"), col("tokens_kept"),
+        (col("total_tokens") - col("tokens_kept")).as("tokens_lost"),
+        expr("(1000000 * (total_tokens - tokens_kept)) DIV total_tokens")
+          .as("loss_ppm"))
+      .orderBy(col("max_len"), col("source"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q174 — curation funnel v4: the CLASSIFIER-GATED production order
+  // (CCNet/Llama-style): known-bad lexicon gate → learned quality-
+  // classifier gate (q168's even-half-trained model scoring EVERY doc) →
+  // exact dedup on the surviving text → per-lang priority sample. The
+  // classifier stage is what v1-v3 lacked: a model, not a rule, decides.
+  // -------------------------------------------------------------------------
+
+  /** q174 — stage counts through the classifier-gated funnel. Scale: the
+    * model is a broadcast dimension (≤ HashDim rows); every stage is a
+    * map/keyed-join/partial-agg over the shrinking survivor relation. */
+  def q174FunnelV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), Lexicon.lexTail(col("doc_id"))).as("ft"))
+    val scored = Lexicon.allScored(spark, dir)
+    val r1 = docs.join(
+      scored.filter(col("label") === 0L)
+        .select(col("doc_id"), col("score_ppm")), "doc_id")
+    val r2 = r1.filter(col("score_ppm") <= 0)
+    val w = Window.partitionBy(col("k"))
+    val dd = r2
+      .withColumn("k", md5(trim(regexp_replace(lower(col("ft")), "\\s+", " "))))
+      .withColumn("keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep")).drop("k", "keep")
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampled = dd.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= FunnelV2SampleK)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("0_all", docs)
+      .unionAll(stage("1_lexgate", r1))
+      .unionAll(stage("2_clsgate", r2))
+      .unionAll(stage("3_dedup", dd))
+      .unionAll(stage("4_sample", sampled))
+      .orderBy(col("stage"))
+  }
+
+  val funnelV4Oracle: String =
+    s"""WITH ${Lexicon.labSqlShared},
+       |${Lexicon.scoresChainSqlShared},
+       |base AS (
+       |  SELECT d.doc_id, d.lang, l.lex_text AS ft
+       |  FROM documents d JOIN lexed l USING (doc_id)),
+       |r1 AS (
+       |  SELECT b.doc_id, b.lang, b.ft, a.score_ppm
+       |  FROM base b JOIN allscores a USING (doc_id) WHERE a.label = 0),
+       |r2 AS (SELECT * FROM r1 WHERE score_ppm <= 0),
+       |dd AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |      min(doc_id) OVER (PARTITION BY
+       |        md5(trim(regexp_replace(lower(ft), '\\s+', ' ', 'g')))) AS keep
+       |    FROM r2)
+       |  WHERE doc_id = keep),
+       |samp AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM dd)
+       |  WHERE rk <= $FunnelV2SampleK)
+       |SELECT * FROM (
+       |  SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n FROM base
+       |  UNION ALL SELECT '1_lexgate', CAST(count(*) AS BIGINT) FROM r1
+       |  UNION ALL SELECT '2_clsgate', CAST(count(*) AS BIGINT) FROM r2
+       |  UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM dd
+       |  UNION ALL SELECT '4_sample', CAST(count(*) AS BIGINT) FROM samp)
+       |ORDER BY stage""".stripMargin
+
+  val truncationLossOracle: String = {
+    val vals = TruncLens.map(l => s"($l)").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT source,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |lens(max_len) AS (VALUES $vals),
+       |x AS (
+       |  SELECT CAST(max_len AS BIGINT) AS max_len, source, n_tok,
+       |    least(n_tok, CAST(max_len AS BIGINT)) AS kept
+       |  FROM docs CROSS JOIN lens)
+       |SELECT max_len, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(kept) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(n_tok) - sum(kept) AS BIGINT) AS tokens_lost,
+       |  (1000000 * (CAST(sum(n_tok) AS BIGINT) - CAST(sum(kept) AS BIGINT)))
+       |    // CAST(sum(n_tok) AS BIGINT) AS loss_ppm
+       |FROM x GROUP BY max_len, source ORDER BY max_len, source""".stripMargin
+  }
 }

@@ -165,6 +165,59 @@ class Round5dSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0), "empty build-time cell")
   }
 
+  // ---- q172 truncation loss ------------------------------------------------
+
+  test("q172 matches a driver-side closed-form replay and loss shrinks " +
+       "as the window grows") {
+    val rows = graft.operators.TrainPrep.q172TruncationLoss(spark, dir).collect()
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (r <- rows) {
+      val (l, src) = (r.getLong(0), r.getString(1))
+      val xs = toks.filter(_._1 == src).map(_._2)
+      assert(r.getLong(2) === xs.length.toLong)
+      assert(r.getLong(3) === xs.count(_ > l).toLong)
+      assert(r.getLong(4) === xs.sum)
+      assert(r.getLong(5) === xs.map(math.min(_, l)).sum)
+      assert(r.getLong(6) === r.getLong(4) - r.getLong(5))
+    }
+    // per source, tokens_lost is non-increasing in max_len
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byLen = rs.sortBy(_.getLong(0)).map(_.getLong(6))
+      assert(byLen.zip(byLen.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- q173 fuzzy decontamination ------------------------------------------
+
+  test("q173 catches the carved benchmark's corpus twins in every source") {
+    val rows = graft.operators.Dedup.q173FuzzyDecontam(spark, dir).collect()
+    val nBench = Tables.documents(spark, dir)
+      .filter(col("doc_id") % graft.operators.Dedup.BenchMod === 3L).count()
+    val contam = rows.map(_.getLong(2)).sum
+    assert(rows.forall(r => r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1)))
+    // by construction every benchmark item has a >= 0.5-Jaccard twin; LSH
+    // banding at J ~ S/(S+3) catches nearly all of them
+    assert(contam >= (nBench * 8) / 10,
+      s"fuzzy decontam missed too much: $contam of $nBench")
+  }
+
+  // ---- q174 funnel v4 ------------------------------------------------------
+
+  test("q174 stages are monotone, the lexicon gate ties out against q166, " +
+       "and the classifier gate has teeth") {
+    val st = graft.operators.TrainPrep.q174FunnelV4(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("0_all") >= st("1_lexgate") && st("1_lexgate") >= st("2_clsgate")
+      && st("2_clsgate") >= st("3_dedup") && st("3_dedup") >= st("4_sample"))
+    val lex = Lexicon.q166LexiconFilter(spark, dir).collect()
+    assert(st("1_lexgate") === lex.map(_.getLong(4)).sum, "lexgate != q166 survivors")
+    assert(st("2_clsgate") < st("1_lexgate"), "classifier gate dropped nothing")
+    assert(st("4_sample") <= st("3_dedup"))
+  }
+
   // ---- q171 centroid drift -------------------------------------------------
 
   test("q171 covers every label in both releases with a bounded cosine") {

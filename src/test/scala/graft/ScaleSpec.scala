@@ -307,6 +307,19 @@ class ScaleSpec extends AnyFunSuite {
     val cd = finalPlan(graft.operators.Similarity.q171CentroidDrift(spark, dir))
     assert(!cd.contains("CartesianProduct"), s"cartesian in q171:\n$cd")
     assert(!cd.contains("windowspecdefinition"), s"unexpected window in q171:\n$cd")
+    // q172: the 3-row length dimension broadcasts; no data-side join
+    val tl = finalPlan(graft.operators.TrainPrep.q172TruncationLoss(spark, dir))
+    assert(!tl.contains("CartesianProduct"), s"cartesian in q172:\n$tl")
+    assert(!tl.contains("windowspecdefinition"), s"unexpected window in q172:\n$tl")
+    // q173: the benchmark side (bands + shingle sets) is broadcast; the
+    // corpus bands only ever join a keyed/broadcast relation
+    val fd = finalPlan(graft.operators.Dedup.q173FuzzyDecontam(spark, dir))
+    assert(fd.contains("BroadcastHashJoin"), s"q173 bench side not broadcast:\n$fd")
+    assert(!fd.contains("CartesianProduct"), s"cartesian in q173:\n$fd")
+    // q174: classifier model broadcast, no cartesian through the funnel
+    val f4 = finalPlan(graft.operators.TrainPrep.q174FunnelV4(spark, dir))
+    assert(f4.contains("BroadcastHashJoin"), s"q174 model not broadcast:\n$f4")
+    assert(!f4.contains("CartesianProduct"), s"cartesian in q174:\n$f4")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
