@@ -192,6 +192,9 @@ object SparkEntry {
     "q172_truncation_loss"  -> (TrainPrep.q172TruncationLoss _),
     "q173_fuzzy_decontam"   -> (Dedup.q173FuzzyDecontam _),
     "q174_funnel_v4"        -> (TrainPrep.q174FunnelV4 _),
+    "q175_rrf_fusion"       -> (Retrieval.q175RrfFusion _),
+    "q176_nprobe_sweep"     -> (Similarity.q176NprobeSweep _),
+    "q177_lang_confusion"   -> (TextOps.q177LangConfusion _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -584,5 +587,11 @@ object SparkEntry {
     "q173_fuzzy_decontam"    -> Dedup.fuzzyDecontamOracle,
     // classifier-gated curation funnel (lexgate → clsgate → dedup → sample)
     "q174_funnel_v4"         -> TrainPrep.funnelV4Oracle,
+    // reciprocal-rank fusion of BM25 + IDF-overlap rankings (hybrid search)
+    "q175_rrf_fusion"        -> Retrieval.rrfFusionOracle,
+    // IVF recall-vs-nprobe tuning curve against brute-force truth
+    "q176_nprobe_sweep"      -> Similarity.nprobeSweepOracle,
+    // content-vs-declared language confusion matrix
+    "q177_lang_confusion"    -> TextOps.langConfusionOracle,
   )
 }

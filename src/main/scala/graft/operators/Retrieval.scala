@@ -63,7 +63,11 @@ object Retrieval {
 
   private def queryVocab: Seq[String] = querySet.flatMap(_._2).distinct
 
-  def q150Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** (query_id, doc_id, score_ppm, overlap_ppm, n_hit) for every doc
+    * containing ≥ 1 query term — the BM25 score and the presence-weighted
+    * IDF-overlap score side by side. q150 ranks the former; q175 fuses
+    * both (two genuinely different ranking families over one TF build). */
+  private def scoredAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -100,10 +104,15 @@ object Retrieval {
         "CAST(CAST(tfn_ppm AS DECIMAL(38,0)) * idf_ppm DIV 1000000 AS BIGINT)"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_ppm")).as("score_ppm"),
+           sum(col("idf_ppm")).as("overlap_ppm"),
            count(lit(1)).as("n_hit"))
+    scored
+  }
+
+  def q150Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
-    scored
+    scoredAll(spark, dir)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit"),
@@ -111,12 +120,53 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val bm25Oracle: String = {
+  // -------------------------------------------------------------------------
+  // q175 — hybrid-retrieval fusion: reciprocal-rank fusion (Cormack,
+  // Clarke & Buettcher SIGIR'09) of the BM25 ranking with the
+  // presence-weighted IDF-overlap ranking. RRF is THE production hybrid-
+  // search combiner (Elasticsearch/Vespa/OpenSearch all ship it) because
+  // it needs no score calibration — only ranks. 1e9 DIV (k + rank) keeps
+  // every fused score an exact integer.
+  // -------------------------------------------------------------------------
+
+  /** RRF constant (the SIGIR'09 default) and per-list depth cutoff. */
+  val RrfK = 60L
+  val RrfDepth = 20L
+
+  /** q175 — top-k per query by fused RRF score, with both source ranks
+    * beside it. Scale: both rankings are WindowGroupLimit-free full ranks
+    * over the (already query-vocab-cut) candidate relation, partitioned
+    * by query — no new shuffle beyond q150's. */
+  def q175RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("overlap_ppm").desc, col("doc_id"))
+    val ranked = scoredAll(spark, dir)
+      .withColumn("r_bm25", row_number().over(w1).cast("long"))
+      .withColumn("r_overlap", row_number().over(w2).cast("long"))
+      .withColumn("rrf_score",
+        when(col("r_bm25") <= RrfDepth,
+          expr(s"1000000000 DIV ($RrfK + r_bm25)")).otherwise(0L) +
+        when(col("r_overlap") <= RrfDepth,
+          expr(s"1000000000 DIV ($RrfK + r_overlap)")).otherwise(0L))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    ranked.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("r_bm25"), col("r_overlap"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shared oracle CTE chain through `scored` (now carrying both the
+    * BM25 and the IDF-overlap score). */
+  private def bm25ChainSql: String = {
     val values = querySet
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
     val vocabIn = queryVocab.map(t => s"'$t'").mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $values),
+    s"""q(query_id, term) AS (VALUES $values),
        |d AS (
        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
@@ -146,12 +196,38 @@ object Retrieval {
        |  SELECT query_id, doc_id,
        |    CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000) AS BIGINT)
        |      AS score_ppm,
+       |    CAST(sum(idf_ppm) AS BIGINT) AS overlap_ppm,
        |    CAST(count(*) AS BIGINT) AS n_hit
-       |  FROM parts GROUP BY query_id, doc_id)
+       |  FROM parts GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  val bm25Oracle: String =
+    s"""WITH $bm25ChainSql
        |SELECT query_id, rank, doc_id, n_hit, score_ppm FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  val rrfFusionOracle: String =
+    s"""WITH $bm25ChainSql,
+       |ranked AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS r_bm25,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY overlap_ppm DESC, doc_id) AS BIGINT) AS r_overlap
+       |  FROM scored),
+       |fused AS (
+       |  SELECT query_id, doc_id, r_bm25, r_overlap,
+       |    (CASE WHEN r_bm25 <= $RrfDepth
+       |          THEN 1000000000 // ($RrfK + r_bm25) ELSE 0 END) +
+       |    (CASE WHEN r_overlap <= $RrfDepth
+       |          THEN 1000000000 // ($RrfK + r_overlap) ELSE 0 END) AS rrf_score
+       |  FROM ranked)
+       |SELECT query_id, rank, doc_id, rrf_score, r_bm25, r_overlap FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 }

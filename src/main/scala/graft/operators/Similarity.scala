@@ -1628,4 +1628,134 @@ object Similarity {
        |  FROM e GROUP BY label)
        |SELECT c.label, n_prev, n_new, cos_drift
        |FROM counts c JOIN cos_ USING (label) ORDER BY label""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q176 — IVF nprobe RECALL SWEEP: recall@5 of the multi-probe search at
+  // nprobe ∈ {1, 2, 4} against the exact brute-force truth — the tuning
+  // curve (recall vs probe budget) every IVF deployment records before
+  // picking its operating point (the q53 operator evaluated as a family,
+  // the q88/q129 audit discipline applied to the probe knob).
+  // -------------------------------------------------------------------------
+
+  /** The swept probe budgets — ONE literal shared with the oracle. */
+  val ProbeSweep: Seq[Long] = Seq(1L, 2L, 4L)
+
+  /** q176 — per nprobe: queries, exact-top-5 hits, worst per-query hits,
+    * recall in exact ppm. Scale: one probed candidate build at the MAX
+    * budget (each candidate carries the probe rank of its cell), the
+    * 3-row sweep dimension explodes candidates only (broadcast join);
+    * per-(np, query) ranking is a bounded WindowGroupLimit heap. */
+  def q176NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("cv"),
+               (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val maxNp = ProbeSweep.max
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("rdist", round(sqDist, 4))
+      .withColumn("pr", row_number().over(pw).cast("long"))
+      .filter(col("pr") <= maxNp)
+      .select(col("q_id"), col("label"), col("pr"), col("qv"), col("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    val cands = e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("pr"),
+              sim.as("cos_sim"))
+    val nps = broadcast(ProbeSweep.toDF("np"))
+    val w = Window.partitionBy(col("np"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    val approxTop = cands.join(nps, col("pr") <= col("np"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOP_K)
+      .select(col("np"), col("q_id"), col("n_id"))
+    val exactTop = topK(
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+      .select(col("q_id"), col("n_id"))
+    val perQ = approxTop.join(exactTop, Seq("q_id", "n_id"))
+      .groupBy(col("np"), col("q_id")).agg(count(lit(1)).as("hits"))
+    val grid = nps.crossJoin(q.select(col("q_id")))
+    grid.join(perQ, Seq("np", "q_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("n_hits"),
+        min(col("hits")).as("min_hits"))
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * n_hits) DIV (${TOP_K}L * n_queries)"))
+      .orderBy(col("np"))
+  }
+
+  val nprobeSweepOracle: String = {
+    val npVals = ProbeSweep.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM e, generate_series(1, $DIMS) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT q_id, label, pr, qv, qn FROM (
+       |    SELECT q.vec_id AS q_id, c.label, q.v AS qv, q.nrm AS qn,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS BIGINT) AS pr
+       |    FROM e q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr <= ${ProbeSweep.max}),
+       |cands AS (
+       |  SELECT p.q_id, n.vec_id AS n_id, p.pr,
+       |    round(list_dot_product(p.qv, n.v) / sqrt(p.qn * n.nrm), 4) AS cos_sim
+       |  FROM probes p JOIN e n ON n.label = p.label AND n.vec_id != p.q_id),
+       |nps(np) AS (VALUES $npVals),
+       |approx AS (
+       |  SELECT np, q_id, n_id FROM (
+       |    SELECT s.np, c.q_id, c.n_id,
+       |      row_number() OVER (PARTITION BY s.np, c.q_id
+       |        ORDER BY c.cos_sim DESC, c.n_id) AS rk
+       |    FROM cands c JOIN nps s ON c.pr <= s.np)
+       |  WHERE rk <= $TOP_K),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) DESC,
+       |        n.vec_id) AS rank
+       |    FROM e n CROSS JOIN e q
+       |    WHERE q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id)
+       |  WHERE rank <= $TOP_K),
+       |perq AS (
+       |  SELECT a.np, a.q_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+       |  GROUP BY a.np, a.q_id),
+       |grid AS (
+       |  SELECT CAST(s.np AS BIGINT) AS np, q.vec_id AS q_id
+       |  FROM nps s CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < $N_QUERIES) q),
+       |filled AS (
+       |  SELECT g.np, g.q_id, coalesce(p.hits, 0) AS hits
+       |  FROM grid g LEFT JOIN perq p ON p.np = g.np AND p.q_id = g.q_id)
+       |SELECT np, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(hits) AS BIGINT) AS n_hits,
+       |  CAST(min(hits) AS BIGINT) AS min_hits,
+       |  (1000000 * CAST(sum(hits) AS BIGINT))
+       |    // ($TOP_K * CAST(count(*) AS BIGINT)) AS recall_ppm
+       |FROM filled GROUP BY np ORDER BY np""".stripMargin
+  }
 }

@@ -725,4 +725,38 @@ object TextOps {
       |LEFT JOIN cov2 ON cov2.doc_id = tc.doc_id
       |LEFT JOIN cov3 ON cov3.doc_id = tc.doc_id
       |ORDER BY tc.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q177 — language METADATA-CONSISTENCY audit: the confusion matrix of
+  // the q34 content-derived language prediction against the corpus's
+  // DECLARED `lang` column. Provenance metadata is routinely wrong at
+  // crawl scale (CCNet re-derives lang from content for exactly this
+  // reason); the off-diagonal mass is the "don't trust the metadata"
+  // readout that decides whether a pipeline keys its per-lang quotas on
+  // the declared or the detected language.
+  // -------------------------------------------------------------------------
+
+  /** q177 — (declared, predicted) confusion counts with a match flag.
+    * Scale: the q34 scorer is a pure codegen'd row map; one partial-
+    * aggregated groupBy over the ≤ |langs|² confusion dimension. */
+  def q177LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = q34LangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_match",
+        (col("lang") === col("pred_lang")).cast("long"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langConfusionOracle: String =
+    s"""WITH pred AS ($langIdOracle)
+       |SELECT lang, pred_lang, n,
+       |  CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+       |FROM (
+       |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |  GROUP BY d.lang, p.pred_lang)
+       |ORDER BY lang, pred_lang""".stripMargin
 }

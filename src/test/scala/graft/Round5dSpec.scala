@@ -218,6 +218,60 @@ class Round5dSpec extends AnyFunSuite {
     assert(st("4_sample") <= st("3_dedup"))
   }
 
+  // ---- q175 RRF fusion -----------------------------------------------------
+
+  test("q175 rrf scores replay exactly from the component ranks and " +
+       "fusion genuinely re-orders at least one query's top-k") {
+    val fused = graft.operators.Retrieval.q175RrfFusion(spark, dir).collect()
+    for (r <- fused) {
+      val (rb, ro) = (r.getLong(4), r.getLong(5))
+      def leg(rk: Long): Long =
+        if (rk <= graft.operators.Retrieval.RrfDepth)
+          1000000000L / (graft.operators.Retrieval.RrfK + rk)
+        else 0L
+      assert(r.getLong(3) === leg(rb) + leg(ro), s"rrf replay mismatch: $r")
+    }
+    val bm = graft.operators.Retrieval.q150Bm25TopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val fu = fused.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(fu.keySet === bm.keySet)
+    assert(fu.exists { case (q, ds) => bm(q) != ds },
+      "fusion never re-ordered any query — the second ranker is inert")
+  }
+
+  // ---- q176 nprobe sweep ---------------------------------------------------
+
+  test("q176 recall is monotone in the probe budget and internally " +
+       "consistent") {
+    val rows = graft.operators.Similarity.q176NprobeSweep(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === graft.operators.Similarity.ProbeSweep)
+    for (r <- rows) {
+      assert(r.getLong(2) <= 5L * r.getLong(1))
+      assert(r.getLong(4) === 1000000L * r.getLong(2) / (5L * r.getLong(1)))
+      assert(r.getLong(3) <= r.getLong(2) / r.getLong(1) + 5L)
+    }
+    val recalls = rows.map(_.getLong(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+    assert(recalls.last > recalls.head, "the probe budget has no effect")
+  }
+
+  // ---- q177 language confusion ---------------------------------------------
+
+  test("q177 confusion mass equals the corpus and the match flag is exact") {
+    val rows = graft.operators.TextOps.q177LangConfusion(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+    assert(rows.forall(r =>
+      (r.getLong(3) === 1L) === (r.getString(0) == r.getString(1))))
+    val declared = Tables.documents(spark, dir)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet === declared)
+  }
+
   // ---- q171 centroid drift -------------------------------------------------
 
   test("q171 covers every label in both releases with a bounded cosine") {

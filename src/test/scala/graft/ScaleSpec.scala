@@ -320,6 +320,23 @@ class ScaleSpec extends AnyFunSuite {
     val f4 = finalPlan(graft.operators.TrainPrep.q174FunnelV4(spark, dir))
     assert(f4.contains("BroadcastHashJoin"), s"q174 model not broadcast:\n$f4")
     assert(!f4.contains("CartesianProduct"), s"cartesian in q174:\n$f4")
+    // q175: every rank window partitions by query — no global window
+    val rrf = finalPlan(graft.operators.Retrieval.q175RrfFusion(spark, dir))
+    assert(!rrf.contains("CartesianProduct"), s"cartesian in q175:\n$rrf")
+    val rrfWins = rrf.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(rrfWins.nonEmpty && rrfWins.forall(_.contains("query_id")),
+      s"q175 window not query-partitioned:\n$rrf")
+    // q176: probe/sweep/query dimensions broadcast; the corpus is scanned,
+    // never exchanged, on both the probed and the exact leg
+    val nps = finalPlan(graft.operators.Similarity.q176NprobeSweep(spark, dir))
+    assert(!nps.contains("CartesianProduct"), s"cartesian in q176:\n$nps")
+    assert(nps.contains("BroadcastHashJoin") || nps.contains("BroadcastNestedLoopJoin"),
+      s"q176 dims not broadcast:\n$nps")
+    // q177: codegen'd scorer + one confusion-dimension aggregate
+    val lc = finalPlan(graft.operators.TextOps.q177LangConfusion(spark, dir))
+    assert(!lc.contains("CartesianProduct"), s"cartesian in q177:\n$lc")
+    assert(!lc.contains("windowspecdefinition"), s"unexpected window in q177:\n$lc")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
