@@ -195,6 +195,8 @@ object SparkEntry {
     "q175_rrf_fusion"       -> (Retrieval.q175RrfFusion _),
     "q176_nprobe_sweep"     -> (Similarity.q176NprobeSweep _),
     "q177_lang_confusion"   -> (TextOps.q177LangConfusion _),
+    "q178_length_gini"      -> (TextOps.q178LengthGini _),
+    "q179_embed_hygiene"    -> (Similarity.q179EmbeddingHygiene _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -593,5 +595,9 @@ object SparkEntry {
     "q176_nprobe_sweep"      -> Similarity.nprobeSweepOracle,
     // content-vs-declared language confusion matrix
     "q177_lang_confusion"    -> TextOps.langConfusionOracle,
+    // exact histogram-derived Gini of per-source token lengths
+    "q178_length_gini"       -> TextOps.lengthGiniOracle,
+    // vector-store pre-flight: dims / NaN / zero vectors / norm envelope
+    "q179_embed_hygiene"     -> Similarity.embeddingHygieneOracle,
   )
 }

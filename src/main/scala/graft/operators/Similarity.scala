@@ -1758,4 +1758,53 @@ object Similarity {
        |    // ($TOP_K * CAST(count(*) AS BIGINT)) AS recall_ppm
        |FROM filled GROUP BY np ORDER BY np""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q179 — embedding HYGIENE audit: the pre-flight screen every vector
+  // store runs before indexing — wrong dimensionality, NaN components,
+  // zero vectors (cosine is undefined on them: q32's sqrt(qn·nrm)
+  // denominator), and the norm envelope per label. Norms are lifted to
+  // exact 0.1-milli integers so the per-label sums are associative.
+  // -------------------------------------------------------------------------
+
+  /** q179 — per label: n, dimension violations, NaN carriers, zero
+    * vectors, and min/max/sum of the 4dp-rounded L2 norm. One codegen'd
+    * map + one |labels|-row partial aggregate. */
+  def q179EmbeddingHygiene(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val normU = expr("CAST(round(sqrt(nrm) * 10000.0) AS BIGINT)")
+    e.select(col("label"), col("nrm"),
+        size(col("v")).cast("long").as("ndim"),
+        size(filter(col("v"), x => isnan(x))).cast("long").as("n_nan_comp"),
+        normU.as("norm_u"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ndim") =!= DIMS.toLong, 1L).otherwise(0L)).as("n_dim_bad"),
+        sum(when(col("n_nan_comp") > 0, 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm_u")).as("min_norm_u"),
+        max(col("norm_u")).as("max_norm_u"),
+        sum(col("norm_u")).as("sum_norm_u"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingHygieneOracle: String =
+    s"""WITH e AS (
+       |  SELECT label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |m AS (
+       |  SELECT label, nrm,
+       |    CAST(len(v) AS BIGINT) AS ndim,
+       |    CAST(len(list_filter(v, x -> isnan(x))) AS BIGINT) AS n_nan_comp,
+       |    CAST(round(sqrt(nrm) * 10000.0) AS BIGINT) AS norm_u
+       |  FROM e)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN ndim <> $DIMS THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,
+       |  CAST(sum(CASE WHEN n_nan_comp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  CAST(min(norm_u) AS BIGINT) AS min_norm_u,
+       |  CAST(max(norm_u) AS BIGINT) AS max_norm_u,
+       |  CAST(sum(norm_u) AS BIGINT) AS sum_norm_u
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
 }

@@ -759,4 +759,64 @@ object TextOps {
        |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
        |  GROUP BY d.lang, p.pred_lang)
        |ORDER BY lang, pred_lang""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q178 — length-INEQUALITY audit: the exact Gini coefficient of the
+  // per-source token-length distribution. Packing efficiency, batch-pad
+  // waste (q165) and truncation loss (q172) are all driven by length
+  // dispersion; Gini is the standard single-number readout. Computed
+  // EXACTLY from the length histogram: for a value group of count c at
+  // cumulative offset b (n docs, sorted ascending), its contribution to
+  // Σ(2i−n−1)·x_i is x·c·(2b + c − n) — all integer, so the sort runs
+  // over the (source, distinct-length) HISTOGRAM dimension, never over
+  // docs (the q167 collapse-before-window discipline).
+  // -------------------------------------------------------------------------
+
+  /** q178 — per-source n, token totals, min/max length, exact Gini ppm. */
+  def q178LengthGini(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val hist = Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("b", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("len") * col("c")).as("total_tokens"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        sum(col("len") * col("c") * (lit(2L) * col("b") + col("c"))).as("part"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("min_len"), col("max_len"),
+        expr("(1000000 * (part - n_docs * total_tokens)) DIV (n_docs * total_tokens)")
+          .as("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val lengthGiniOracle: String =
+    s"""WITH hist AS (
+       |  SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT source,
+       |      CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS len
+       |    FROM documents)
+       |  GROUP BY source, len),
+       |ranked AS (
+       |  SELECT *, coalesce(sum(c) OVER (PARTITION BY source ORDER BY len
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+       |  FROM hist),
+       |agg AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(sum(len * c) AS BIGINT) AS total_tokens,
+       |    CAST(min(len) AS BIGINT) AS min_len,
+       |    CAST(max(len) AS BIGINT) AS max_len,
+       |    CAST(sum(len * c * (2 * b + c)) AS BIGINT) AS part
+       |  FROM ranked GROUP BY source)
+       |SELECT source, n_docs, total_tokens, min_len, max_len,
+       |  (1000000 * (part - n_docs * total_tokens))
+       |    // (n_docs * total_tokens) AS gini_ppm
+       |FROM agg ORDER BY source""".stripMargin
 }

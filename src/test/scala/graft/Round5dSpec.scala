@@ -272,6 +272,42 @@ class Round5dSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet === declared)
   }
 
+  // ---- q178 length Gini ----------------------------------------------------
+
+  test("q178 equals a driver-side exact Gini replay per source") {
+    val rows = graft.operators.TextOps.q178LengthGini(spark, dir).collect()
+    val lens = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("l"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (r <- rows) {
+      val xs = lens.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = xs.length.toLong
+      val total = xs.sum
+      val num = xs.zipWithIndex.map { case (x, i) =>
+        (2L * (i + 1) - n - 1L) * x }.sum
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === total)
+      assert(r.getLong(3) === xs.head && r.getLong(4) === xs.last)
+      assert(r.getLong(5) === 1000000L * num / (n * total), s"gini mismatch ${r.getString(0)}")
+      assert(r.getLong(5) >= 0L && r.getLong(5) < 1000000L)
+    }
+  }
+
+  // ---- q179 embedding hygiene ----------------------------------------------
+
+  test("q179 reports a clean corpus with a consistent norm envelope") {
+    val rows = graft.operators.Similarity.q179EmbeddingHygiene(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, dir).count())
+    for (r <- rows) {
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(4) === 0L,
+        s"synthetic embeddings flagged dirty: $r")
+      val (n, mn, mx, sm) = (r.getLong(1), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(mn > 0L && mn <= mx)
+      assert(sm >= n * mn && sm <= n * mx)
+    }
+  }
+
   // ---- q171 centroid drift -------------------------------------------------
 
   test("q171 covers every label in both releases with a bounded cosine") {

@@ -337,6 +337,18 @@ class ScaleSpec extends AnyFunSuite {
     val lc = finalPlan(graft.operators.TextOps.q177LangConfusion(spark, dir))
     assert(!lc.contains("CartesianProduct"), s"cartesian in q177:\n$lc")
     assert(!lc.contains("windowspecdefinition"), s"unexpected window in q177:\n$lc")
+    // q178: the Gini rank-sum runs over the per-source length HISTOGRAM,
+    // so its window partitions by source over that collapsed dimension
+    val lg = finalPlan(graft.operators.TextOps.q178LengthGini(spark, dir))
+    assert(!lg.contains("CartesianProduct"), s"cartesian in q178:\n$lg")
+    val lgWins = lg.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(lgWins.nonEmpty && lgWins.forall(_.contains("source")),
+      s"q178 window not source-partitioned:\n$lg")
+    // q179: one codegen'd map + one |labels|-row aggregate — no join at all
+    val eh = finalPlan(graft.operators.Similarity.q179EmbeddingHygiene(spark, dir))
+    assert(!eh.contains("Join"), s"unexpected join in q179:\n$eh")
+    assert(!eh.contains("windowspecdefinition"), s"unexpected window in q179:\n$eh")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
