@@ -197,6 +197,8 @@ object SparkEntry {
     "q177_lang_confusion"   -> (TextOps.q177LangConfusion _),
     "q178_length_gini"      -> (TextOps.q178LengthGini _),
     "q179_embed_hygiene"    -> (Similarity.q179EmbeddingHygiene _),
+    "q180_audio_decode"     -> (Multimodal.q180AudioDecode _),
+    "q181_data_card"        -> (DataCard.q181DataCard _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -599,5 +601,9 @@ object SparkEntry {
     "q178_length_gini"       -> TextOps.lengthGiniOracle,
     // vector-store pre-flight: dims / NaN / zero vectors / norm envelope
     "q179_embed_hygiene"     -> Similarity.embeddingHygieneOracle,
+    // hand-rolled WAV container round-trip: encode → chunk-walk parse
+    "q180_audio_decode"      -> Multimodal.audioDecodeOracle,
+    // per-source dataset card composing the library's hygiene signals
+    "q181_data_card"         -> DataCard.dataCardOracle,
   )
 }

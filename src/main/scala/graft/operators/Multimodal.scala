@@ -286,4 +286,122 @@ object Multimodal {
       |           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS DOUBLE)
       |        / 255.0, 6) AS brightness
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q180 — REAL audio container round-trip: 16-bit PCM mono WAV encoded
+  // by hand (RIFF/fmt/data chunks, little-endian — the container is a
+  // fully-specified public format, no codec library needed) and parsed
+  // back by a strict chunk-WALKING reader (not an offset-assuming one).
+  // The audio analog of q140's image codec: the oracle recomputes every
+  // reported feature from the sample formula analytically, so equality
+  // proves the byte round-trip is sample-exact. Lossy codecs stay stubs —
+  // they are not bit-exactly oracle-able by definition.
+  // -------------------------------------------------------------------------
+
+  /** PCM parameters: 8 kHz mono 16-bit → duration_us = n·125 exactly. */
+  val WavRate = 8000
+
+  /** Deterministic full-range int16 sample `i` of clip `id`. */
+  private def sampleAt(id: Long, i: Long): Int =
+    (((id * 7919L + i * 104729L) % 65536L) - 32768L).toInt
+
+  /** Clip length: 64..255 samples. */
+  private def wavSamples(id: Long): Int = (64L + (id * 31L + 17L) % 192L).toInt
+
+  /** One WAV payload per document — the partition-parallel ENCODE stage
+    * (a row map; payloads never shuffle). */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = wavSamples(id)
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1) // PCM, mono
+        bb.putInt(WavRate); bb.putInt(WavRate * 2) // byte rate
+        bb.putShort(2); bb.putShort(16) // block align, bits
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+        var i = 0
+        while (i < n) { bb.putShort(sampleAt(id, i).toShort); i += 1 }
+        (id, bb.array())
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** REAL parse: chunk-walk the RIFF container (unknown chunks skipped,
+    * as a real reader must), validate the fmt contract, decode the PCM
+    * samples, and emit exact integer features. Malformed bytes fail the
+    * task loudly — the q140 "corrupt media must not pass silently"
+    * stance. */
+  def parseWav(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("doc_id", "wav").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"doc $id: not RIFF")
+        val riffLen = bb.getInt
+        require(riffLen == bytes.length - 8, s"doc $id: RIFF length lies")
+        require(tag() == "WAVE", s"doc $id: not WAVE")
+        var sampleBytes: Array[Byte] = null
+        var fmtOk = false
+        while (bb.remaining() >= 8) {
+          val t = tag(); val len = bb.getInt
+          t match {
+            case "fmt " =>
+              require(len >= 16, s"doc $id: short fmt chunk")
+              val fmt = bb.getShort; val ch = bb.getShort
+              val rate = bb.getInt; bb.getInt; bb.getShort
+              val bits = bb.getShort
+              require(fmt == 1 && ch == 1 && rate == WavRate && bits == 16,
+                s"doc $id: unsupported fmt $fmt/$ch/$rate/$bits")
+              bb.position(bb.position() + (len - 16))
+              fmtOk = true
+            case "data" =>
+              sampleBytes = new Array[Byte](len); bb.get(sampleBytes)
+            case _ => bb.position(bb.position() + len) // skip unknown
+          }
+        }
+        require(fmtOk && sampleBytes != null, s"doc $id: missing chunk")
+        val sb = java.nio.ByteBuffer.wrap(sampleBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = sampleBytes.length / 2
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+        var i = 0
+        while (i < n) {
+          val v = sb.getShort.toLong
+          val a = math.abs(v)
+          sumAbs += a; sumSq += v * v; if (a > peak) peak = a
+          i += 1
+        }
+        (id, n.toLong, n.toLong * 125L, peak, sumAbs, sumSq)
+      })
+      .toDF("doc_id", "n_samples", "duration_us", "peak_abs", "sum_abs", "sum_sq")
+  }
+
+  /** q180 — encode → parse → exact clip features. */
+  def q180AudioDecode(spark: SparkSession, dir: String): DataFrame =
+    parseWav(audioTable(spark, dir)).orderBy(col("doc_id"))
+
+  val audioDecodeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + (doc_id * 31 + 17) % 192 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    ((doc_id * 7919 + unnest(range(0, n)) * 104729) % 65536) - 32768 AS v
+      |  FROM d)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 125 AS BIGINT) AS duration_us,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 }

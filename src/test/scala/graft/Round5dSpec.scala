@@ -308,6 +308,64 @@ class Round5dSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q180 WAV round-trip -------------------------------------------------
+
+  test("q180 parser chunk-walks past unknown chunks and fails loudly on " +
+       "corrupt magic") {
+    import spark.implicits._
+    val one = graft.operators.Multimodal.audioTable(spark, dir)
+      .filter(col("doc_id") === 7L)
+    val bytes = one.select("wav").as[Array[Byte]].collect()(0)
+
+    // inject an unknown chunk ("junk", 4 bytes) between WAVE and fmt —
+    // a compliant reader must skip it and still decode identically
+    val riffLen = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val injected = new java.io.ByteArrayOutputStream()
+    injected.write(bytes, 0, 12)
+    injected.write("junk".getBytes("US-ASCII"))
+    injected.write(Array[Byte](4, 0, 0, 0)); injected.write(Array[Byte](1, 2, 3, 4))
+    injected.write(bytes, 12, bytes.length - 12)
+    val withJunk = injected.toByteArray
+    java.nio.ByteBuffer.wrap(withJunk, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(riffLen + 12)
+    val parsedJunk = graft.operators.Multimodal.parseWav(
+      Seq((7L, withJunk)).toDF("doc_id", "wav")).collect()(0)
+    val parsedClean = graft.operators.Multimodal.parseWav(one).collect()(0)
+    assert(parsedJunk.toSeq === parsedClean.toSeq,
+      "unknown chunk changed the decode")
+
+    // corrupt magic must fail the task, not pass silently
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Multimodal.parseWav(
+        Seq((7L, bad)).toDF("doc_id", "wav")).collect()
+    }
+    assert(ex.getMessage.contains("RIFF") ||
+      Option(ex.getCause).exists(_.getMessage.contains("RIFF")))
+  }
+
+  // ---- q181 dataset card ---------------------------------------------------
+
+  test("q181 ties out against the operators it composes") {
+    val card = graft.operators.DataCard.q181DataCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val gini = graft.operators.TextOps.q178LengthGini(spark, dir).collect()
+    for (g <- gini) {
+      val c = card(g.getString(0))
+      assert(c.getLong(1) === g.getLong(1)) // n_docs
+      assert(c.getLong(2) === g.getLong(2)) // total_tokens
+      assert(c.getLong(4) === g.getLong(5)) // gini_ppm
+    }
+    val lex = Lexicon.q166LexiconFilter(spark, dir).collect()
+    for (l <- lex)
+      assert(card(l.getString(0)).getLong(5) === l.getLong(2))
+    val url = graft.operators.UrlOps.q148UrlBlocklist(spark, dir).collect()
+    for (u <- url)
+      assert(card(u.getString(0)).getLong(7) === u.getLong(3))
+    assert(card.values.forall(_.getLong(6) > 0), "no PII docs in any source?")
+  }
+
   // ---- q171 centroid drift -------------------------------------------------
 
   test("q171 covers every label in both releases with a bounded cosine") {

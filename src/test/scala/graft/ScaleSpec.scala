@@ -349,6 +349,14 @@ class ScaleSpec extends AnyFunSuite {
     val eh = finalPlan(graft.operators.Similarity.q179EmbeddingHygiene(spark, dir))
     assert(!eh.contains("Join"), s"unexpected join in q179:\n$eh")
     assert(!eh.contains("windowspecdefinition"), s"unexpected window in q179:\n$eh")
+    // q180: encode and parse are partition-parallel row maps — no join,
+    // no window, no aggregate-driven exchange on the payload path
+    val ad = finalPlan(graft.operators.Multimodal.q180AudioDecode(spark, dir))
+    assert(!ad.contains("Join"), s"unexpected join in q180:\n$ad")
+    assert(!ad.contains("windowspecdefinition"), s"unexpected window in q180:\n$ad")
+    // q181: the card composes per-source aggregates — dimension joins only
+    val dc = finalPlan(graft.operators.DataCard.q181DataCard(spark, dir))
+    assert(!dc.contains("CartesianProduct"), s"cartesian in q181:\n$dc")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
