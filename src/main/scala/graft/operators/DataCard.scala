@@ -114,10 +114,7 @@ object DataCard {
        |  GROUP BY source),
        |urls AS (
        |  SELECT doc_id, source,
-       |    text
-       |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || (doc_id % 50) || '.com/p/' || doc_id ELSE '' END
-       |    || CASE WHEN doc_id % 6 = 0 THEN ' ref http://cdn.site' || (doc_id % 50) || '.org/a' || doc_id || '.html' ELSE '' END
-       |    AS url_text
+       |    text || ${UrlOps.urlTailSql.linesIterator.map(_.trim).mkString(" ")} AS url_text
        |  FROM documents),
        |block(domain) AS (VALUES $blockVals),
        |hosts AS (

@@ -355,6 +355,9 @@ object Multimodal {
         var fmtOk = false
         while (bb.remaining() >= 8) {
           val t = tag(); val len = bb.getInt
+          // RIFF word-aligns chunks: an odd-length chunk body is followed
+          // by one pad byte that is NOT counted in len.
+          val pad = len & 1
           t match {
             case "fmt " =>
               require(len >= 16, s"doc $id: short fmt chunk")
@@ -363,11 +366,12 @@ object Multimodal {
               val bits = bb.getShort
               require(fmt == 1 && ch == 1 && rate == WavRate && bits == 16,
                 s"doc $id: unsupported fmt $fmt/$ch/$rate/$bits")
-              bb.position(bb.position() + (len - 16))
+              bb.position(bb.position() + (len - 16) + pad)
               fmtOk = true
             case "data" =>
               sampleBytes = new Array[Byte](len); bb.get(sampleBytes)
-            case _ => bb.position(bb.position() + len) // skip unknown
+              if (pad == 1 && bb.remaining() > 0) bb.get()
+            case _ => bb.position(bb.position() + len + pad) // skip unknown
           }
         }
         require(fmtOk && sampleBytes != null, s"doc $id: missing chunk")

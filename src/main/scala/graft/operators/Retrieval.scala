@@ -166,7 +166,8 @@ object Retrieval {
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
     val vocabIn = queryVocab.map(t => s"'$t'").mkString(", ")
-    s"""q(query_id, term) AS (VALUES $values),
+    s"""q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |       FROM (VALUES $values) v(query_id, term)),
        |d AS (
        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t

@@ -1478,7 +1478,7 @@ object Similarity {
       .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("x").cast("double")).cast(dec), 6).cast("double").as("c"))
-    val store = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    val store = graft.Stores.path(spark, "graft_ivf_store")
     centroidRows.write.mode("overwrite").parquet(store)
     // everything below reads ONLY the persisted rows
     val cent = spark.read.parquet(store)
@@ -1772,7 +1772,13 @@ object Similarity {
     * map + one |labels|-row partial aggregate. */
   def q179EmbeddingHygiene(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val normU = expr("CAST(round(sqrt(nrm) * 10000.0) AS BIGINT)")
+    // Guard: a NaN squared-norm must NOT reach the BIGINT cast — Spark
+    // silently casts NaN to 0 (polluting min/sum) while DuckDB errors.
+    // Null it out instead; min/max/sum skip nulls identically in both
+    // engines, so dirty input yields a well-defined envelope over the
+    // clean rows only.
+    val normU = expr(
+      "CASE WHEN NOT isnan(nrm) THEN CAST(round(sqrt(nrm) * 10000.0) AS BIGINT) END")
     e.select(col("label"), col("nrm"),
         size(col("v")).cast("long").as("ndim"),
         size(filter(col("v"), x => isnan(x))).cast("long").as("n_nan_comp"),
@@ -1797,7 +1803,8 @@ object Similarity {
        |  SELECT label, nrm,
        |    CAST(len(v) AS BIGINT) AS ndim,
        |    CAST(len(list_filter(v, x -> isnan(x))) AS BIGINT) AS n_nan_comp,
-       |    CAST(round(sqrt(nrm) * 10000.0) AS BIGINT) AS norm_u
+       |    CASE WHEN NOT isnan(nrm)
+       |      THEN CAST(round(sqrt(nrm) * 10000.0) AS BIGINT) END AS norm_u
        |  FROM e)
        |SELECT label, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CASE WHEN ndim <> $DIMS THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,

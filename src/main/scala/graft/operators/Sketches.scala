@@ -549,15 +549,15 @@ object Sketches {
   private def withRelease(ev: DataFrame): DataFrame =
     ev.withColumn("release", pmod(col("event_id"), lit(4L)))
 
-  private def tempStore(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tempStore(spark: SparkSession, prefix: String): String =
+    graft.Stores.path(spark, prefix)
 
   /** q141 — HLL persist + merge: per-release register tables written as
     * parquet keyed by release, then the rollup estimate computed from the
     * PERSISTED states alone. */
   def q141HllPersistRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = withRelease(Tables.events(spark, dir))
-    val store = tempStore("graft_hll_store")
+    val store = tempStore(spark, "graft_hll_store")
     registers(ev, Seq("release"), col("user_id"), bucketBits = B)
       .write.mode("overwrite").partitionBy("release").parquet(store)
     val persisted = spark.read.parquet(store) // (bucket, reg, release)
@@ -571,7 +571,7 @@ object Sketches {
     * count is the audit leg (the q107/q108 pattern). */
   def q142KmvPersistRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = withRelease(Tables.events(spark, dir))
-    val store = tempStore("graft_kmv_store")
+    val store = tempStore(spark, "graft_kmv_store")
     kmvBottom(ev, Seq("release"), col("user_id"))
       .write.mode("overwrite").partitionBy("release").parquet(store)
     val merged = spark.read.parquet(store)
@@ -591,7 +591,7 @@ object Sketches {
     val occ = shingleOccurrences(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
             Seq("doc_id"))
-    val store = tempStore("graft_cms_store")
+    val store = tempStore(spark, "graft_cms_store")
     occ.select(col("source"),
                explode(sequence(lit(0), lit(CmsDepth - 1))).as("row_i"),
                col("g"))

@@ -712,7 +712,7 @@ object TextOps {
       |    FROM g3 JOIN dup3 USING (doc_id, g), generate_series(0, 2) AS gs(d)) p
       |  JOIN tok tk ON tk.doc_id = p.doc_id AND tk.pos = p.pos
       |  GROUP BY p.doc_id)
-      |SELECT tc.doc_id, tc.tok_chars,
+      |SELECT tc.doc_id, CAST(tc.tok_chars AS BIGINT) AS tok_chars,
       |  CAST(coalesce(cov2.cov, 0) AS BIGINT) AS top2_cov,
       |  CAST(coalesce(cov3.cov, 0) AS BIGINT) AS dup3_cov,
       |  CAST(round(CAST(CAST(coalesce(cov2.cov, 0) AS DOUBLE) /

@@ -335,6 +335,23 @@ class Round5dSpec extends AnyFunSuite {
     assert(parsedJunk.toSeq === parsedClean.toSeq,
       "unknown chunk changed the decode")
 
+    // ODD-length unknown chunk: RIFF word-aligns chunks, so a 5-byte body
+    // is followed by a pad byte not counted in len. A walker that advances
+    // by len alone desynchronizes here.
+    val oddInjected = new java.io.ByteArrayOutputStream()
+    oddInjected.write(bytes, 0, 12)
+    oddInjected.write("junk".getBytes("US-ASCII"))
+    oddInjected.write(Array[Byte](5, 0, 0, 0))
+    oddInjected.write(Array[Byte](1, 2, 3, 4, 5, 0)) // 5 body + 1 pad
+    oddInjected.write(bytes, 12, bytes.length - 12)
+    val withOdd = oddInjected.toByteArray
+    java.nio.ByteBuffer.wrap(withOdd, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(riffLen + 14)
+    val parsedOdd = graft.operators.Multimodal.parseWav(
+      Seq((7L, withOdd)).toDF("doc_id", "wav")).collect()(0)
+    assert(parsedOdd.toSeq === parsedClean.toSeq,
+      "odd-length chunk (pad byte) changed the decode")
+
     // corrupt magic must fail the task, not pass silently
     val bad = bytes.clone(); bad(0) = 'X'.toByte
     val ex = intercept[org.apache.spark.SparkException] {
