@@ -199,6 +199,8 @@ object SparkEntry {
     "q179_embed_hygiene"    -> (Similarity.q179EmbeddingHygiene _),
     "q180_audio_decode"     -> (Multimodal.q180AudioDecode _),
     "q181_data_card"        -> (DataCard.q181DataCard _),
+    "q182_gif_decode"       -> (Multimodal.q182GifDecode _),
+    "q183_embed_dedup_capped" -> (Dedup.q183EmbedDedupCapped _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -605,5 +607,7 @@ object SparkEntry {
     "q180_audio_decode"      -> Multimodal.audioDecodeOracle,
     // per-source dataset card composing the library's hygiene signals
     "q181_data_card"         -> DataCard.dataCardOracle,
+    "q182_gif_decode"        -> Multimodal.gifDecodeOracle,
+    "q183_embed_dedup_capped" -> Dedup.embedDedupCappedOracle,
   )
 }

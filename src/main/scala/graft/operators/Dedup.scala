@@ -382,15 +382,43 @@ object Dedup {
     * partition, never across the full corpus). Cosine is computed in double
     * with one canonical op order and rounded to 4 decimals BEFORE the
     * threshold. */
-  def q31EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q31EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupOn(spark, dir, maxBlock = None)
+
+  /** Per-label block cap for [[q183EmbedDedupCapped]]: labels with more
+    * members than this never reach the within-block pair join. Sized far
+    * above the fixture's largest label (so q31 ≡ q183 on clean data) and
+    * far below anything quadratic-dangerous. */
+  val EmbedMaxBlock = 1000L
+
+  /** The label-blocked cosine pair join behind q31/q183. `maxBlock` is
+    * the q92-style opt-in skew hatch: per-label member counts are a
+    * |labels|-row aggregate, and any label above the cap is cut BEFORE
+    * the self-join exists — the within-block quadratic work is then
+    * bounded by maxBlock² per label. Oversized labels are a declared
+    * refusal, not a silent skip: route them through q109's SemDeDup
+    * centroid blocking or the q33/q53 ANN path, which cover exactly the
+    * hot-label (one dominant language/domain) regime. */
+  def embeddingNearDupOn(spark: SparkSession, dir: String,
+                         maxBlock: Option[Long]): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // graft_dot: codegen'd native Expression (float arrays in, double out).
     def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
     // Both join sides read this relation; materialize the norm prep once.
-    val e = Tables.embeddings(spark, dir)
+    val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
       .localCheckpoint()
+    // The cap applies HERE — an oversized label never reaches the join.
+    val e = maxBlock match {
+      case None => all
+      case Some(m) =>
+        val small = all.groupBy(col("label"))
+          .agg(count(lit(1)).as("block_n"))
+          .filter(col("block_n") <= m)
+          .select(col("label"))
+        all.join(broadcast(small), Seq("label"))
+    }
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
                      col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -401,6 +429,14 @@ object Dedup {
       .filter(col("cos_sim") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** q183 — q31 with the [[EmbedMaxBlock]] hatch ENGAGED (the q92/q139
+    * discipline applied to the embedding family): identical output on
+    * data whose label blocks fit the cap, guaranteed-bounded candidate
+    * volume on data whose blocks don't. ScaleSpec pins the adversarial
+    * single-hot-label case. */
+  def q183EmbedDedupCapped(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupOn(spark, dir, maxBlock = Some(EmbedMaxBlock))
 
   /** q42 — near-dup CLUSTERS: connected components over the verified LSH
     * pair graph (q29), i.e. the keeper assignment a dedup pass acts on.
@@ -827,6 +863,21 @@ object Dedup {
       |    round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS cos_sim
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q183's oracle: q31's, with the label cap mirrored as a CTE. */
+  val embedDedupCappedOracle: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |small AS (
+       |  SELECT label FROM e0 GROUP BY label HAVING count(*) <= $EmbedMaxBlock),
+       |e AS (SELECT e0.* FROM e0 JOIN small USING (label))
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
   /** q81 — INCREMENTAL dedup: a new batch (doc_id ≡ 4 mod 5, the arrivals)
     * screened against the existing corpus (everything else) — the shape a

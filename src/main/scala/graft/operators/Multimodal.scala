@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus decode/feature-extract/
   * frame-sample stages.
   *
-  * Codec status: PNG and BMP decode is REAL (the JDK ships lossless
-  * javax.imageio codecs — q140 round-trips actual pixels through them,
-  * oracle-checked). The remaining DECODE steps are deterministic STUBS
-  * (clearly marked below) only where the container genuinely lacks a
-  * codec: audio/video, and lossy JPEG (not oracle-able bit-exactly).
+  * Codec status: PNG, BMP (q140) and GIF (q182) decode is REAL — the JDK
+  * ships all three javax.imageio codecs and each round-trips actual
+  * pixels bit-exactly under an analytic oracle. JPEG is ALSO a real JDK
+  * codec and the decode path absorbs it (Round6Spec drives encode →
+  * decode → resample through it), but JPEG is lossy by construction, so
+  * it is pinned with a bounded-error test rather than an exact DuckDB
+  * oracle. WAV audio is real too (q180's hand-rolled RIFF codec). The
+  * remaining DECODE stubs below cover only compressed audio/video
+  * codecs, which genuinely need external libraries.
   * Everything Spark-side — schema, batch shape, partition-parallel decode
   * via `mapPartitions`, metadata pushdown — is real either way; swapping
   * a stub for a JNI/FFI codec call changes nothing structurally.
@@ -166,14 +170,45 @@ object Multimodal {
   // arithmetic function of (doc_id, x, y), so the oracle recomputes the
   // resampled pixels analytically while Spark round-trips them through
   // the actual codec — equality proves the encode → decode → resample
-  // pipeline is pixel-exact. The ??? stubs above now cover only codecs
-  // the JDK genuinely lacks (JPEG is shipped but lossy — not
-  // oracle-able; audio/video need external libs).
+  // pipeline is pixel-exact. q182 extends the same contract to GIF (the
+  // JDK's third lossless image codec; decodes to an INDEXED raster, so
+  // pixels are read through getRGB, not a raw band sample). JPEG — the
+  // fourth JDK codec — goes through the same real encode/decode path in
+  // Round6Spec but is lossy, so its pin is geometry + bounded pixel
+  // error, not an exact oracle. The ??? stubs above now cover only
+  // compressed audio/video codecs the JDK genuinely lacks.
   // ---------------------------------------------------------------------
 
   /** The deterministic pixel formula shared verbatim with the oracle. */
-  private def pixel(docId: Long, x: Int, y: Int): Int =
+  private[graft] def pixel(docId: Long, x: Int, y: Int): Int =
     ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Render the deterministic grey raster for `docId` (r=g=b; ≤256
+    * distinct colors, so every lossless JDK codec — PNG, BMP, GIF —
+    * round-trips it bit-exactly). */
+  private[graft] def mkImage(docId: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(docId, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode [[mkImage]] through a named JDK codec. */
+  private[graft] def encodeImage(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(mkImage(docId, w, h), fmt, out))
+      throw new IllegalStateException(s"no JDK $fmt writer")
+    out.toByteArray
+  }
 
   /** Real encoded images over the documents dimension table: PNG for even
     * doc_ids, BMP for odd — both JDK codecs, both lossless. Geometry uses
@@ -187,23 +222,8 @@ object Multimodal {
         (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, w, h) =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = pixel(id, x, y)
-            img.setRGB(x, y, (v << 16) | (v << 8) | v) // grey: r=g=b
-            x += 1
-          }
-          y += 1
-        }
         val fmt = if (id % 2 == 0) "png" else "bmp"
-        val out = new java.io.ByteArrayOutputStream()
-        if (!javax.imageio.ImageIO.write(img, fmt, out))
-          throw new IllegalStateException(s"no JDK $fmt writer")
-        (id, fmt, w, h, out.toByteArray)
+        (id, fmt, w, h, encodeImage(id, w, h, fmt))
       })
       .toDF("doc_id", "fmt", "width", "height", "payload")
   }
@@ -267,6 +287,79 @@ object Multimodal {
       |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy))
       |SELECT doc_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum(px) AS BIGINT) AS thumb_sum,
+      |  CAST(max(CASE WHEN gx = 0 AND gy = 0 THEN px END) AS BIGINT) AS p00,
+      |  CAST(max(CASE WHEN gx = 7 AND gy = 7 THEN px END) AS BIGINT) AS p77
+      |FROM cells GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
+  /** GIF-encoded images over the same geometry/pixel formulas — the JDK's
+    * third lossless image codec (chainweb-data has no media path; this
+    * family is the training-pipeline extension, cf. q140). */
+  def gifTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, "gif", w, h, encodeImage(id, w, h, "gif"))
+      })
+      .toDF("doc_id", "fmt", "width", "height", "payload")
+  }
+
+  /** q182 — REAL GIF decode + resize. Same contract as q140 with one
+    * codec-honest difference: the JDK GIF reader returns an INDEXED
+    * raster (palette + index matrix), so a raw band sample would read
+    * palette indices; pixels are read through `getRGB` (palette-resolved
+    * ARGB, grey = low byte). Scale: identical to q140 — partition-local
+    * row-map, no shuffle, payload bytes touched once. */
+  def q182GifDecode(spark: SparkSession, dir: String): DataFrame = {
+    val outW = 8; val outH = 8
+    val spark2 = spark
+    import spark2.implicits._
+    gifTable(spark, dir)
+      .select("doc_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, doc $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
+        var sum = 0L; var p00 = 0; var pLL = 0
+        var gy = 0
+        while (gy < outH) {
+          var gx = 0
+          while (gx < outW) {
+            val v = img.getRGB(gx * w / outW, gy * h / outH) & 0xff
+            sum += v
+            if (gx == 0 && gy == 0) p00 = v
+            if (gx == outW - 1 && gy == outH - 1) pLL = v
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, fmt, w.toLong, h.toLong, sum, p00.toLong, pLL.toLong)
+      })
+      .toDF("doc_id", "fmt", "width", "height", "thumb_sum", "p00", "p77")
+      .orderBy(col("doc_id"))
+  }
+
+  val gifDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id*37 + 11) % 48 AS w,
+      |    16 + (doc_id*53 + 7) % 48 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, w, h, gx, gy,
+      |    (doc_id*31 + ((gx*w)//8)*7 + ((gy*h)//8)*13) % 256 AS px
+      |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy))
+      |SELECT doc_id, 'gif' AS fmt,
       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       |  CAST(sum(px) AS BIGINT) AS thumb_sum,
       |  CAST(max(CASE WHEN gx = 0 AND gy = 0 THEN px END) AS BIGINT) AS p00,

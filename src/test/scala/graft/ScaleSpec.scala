@@ -359,6 +359,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!dc.contains("CartesianProduct"), s"cartesian in q181:\n$dc")
   }
 
+  test("q183 embedding-dedup cap bounds the candidate volume under an " +
+       "adversarial hot label") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_hotlabel").toString
+    // hot label 0: 40 IDENTICAL vectors — uncapped, every pair passes the
+    // 0.4 threshold (the quadratic blow-up the verdict flagged at a
+    // hot-language label); small labels 1/2: 3 identical vectors each.
+    val rows =
+      (0L until 40L).map(i => (i, Array(1.0f, 0.0f), 0)) ++
+      (40L until 43L).map(i => (i, Array(0.6f, 0.8f), 1)) ++
+      (43L until 46L).map(i => (i, Array(0.0f, 1.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val uncapped = graft.operators.Dedup
+      .embeddingNearDupOn(spark, tmp, maxBlock = None).collect()
+    assert(uncapped.length === 40 * 39 / 2 + 3 + 3,
+      "uncapped q31 should emit the full quadratic pair set")
+    val capped = graft.operators.Dedup
+      .embeddingNearDupOn(spark, tmp, maxBlock = Some(10L)).collect()
+    assert(capped.length === 3 + 3,
+      "capped path must emit only small-label pairs")
+    val hotIds = (0L until 40L).toSet
+    assert(capped.forall(r =>
+      !hotIds.contains(r.getLong(0)) && !hotIds.contains(r.getLong(1))),
+      "a hot-label vector reached the pair join despite the cap")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
