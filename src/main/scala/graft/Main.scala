@@ -46,6 +46,35 @@ object Main {
                     "chainid", "height", genesis)
       .map(r => s"${r.chainId}\t${r.lo}\t${r.hi}")
 
+  /** The full `fill` argument surface — `[--node=<url>] [--version=<v>]`
+    * flags plus `chain=genesisHeight` positionals — parsed and executed:
+    * with a node URL the repair RUNS (`ingest.Fetch.fill`, the reference's
+    * fill worker lifecycle, Lookups.hs:102-139) and reports per-table
+    * insert counts; without one it prints the chunked plan. Session-in /
+    * lines-out so CliSpec drives the exact `main` code path against a
+    * mock node without owning JVM lifecycle. */
+  def fillDispatch(spark: SparkSession, tables: String,
+                   rest: List[String]): Seq[String] = {
+    val (flags, genesis) = rest.partition(a =>
+      a.startsWith("--node=") || a.startsWith("--version="))
+    val g = genesis.map { kv =>
+      val Array(c, h) = kv.split("="); c.toLong -> h.toLong
+    }.toMap
+    val node = flags.collectFirst {
+      case f if f.startsWith("--node=") => f.stripPrefix("--node=") }
+    val ver = flags.collectFirst {
+      case f if f.startsWith("--version=") => f.stripPrefix("--version=") }
+      .getOrElse("mainnet01")
+    node match {
+      case Some(base) =>
+        val (plan, counts) = ingest.Fetch.fill(spark, base, ver, tables, g)
+        s"ranges\t${plan.size}" +:
+          counts.toSeq.sortBy(_._1)
+            .map { case (t, n) => s"inserted\t$t\t$n" }
+      case None => fillCmd(spark, tables, g)
+    }
+  }
+
   /** `single` — the one-block fetch request of exec/Main.hs `Single cid h`
     * (Worker.hs writeBlocks at a single chain/height), plus whether the
     * block is already present (the reference logs the overwrite). */
@@ -121,26 +150,8 @@ object Main {
     // flatten → merge, the reference's fill worker); without it the plan is
     // printed for an out-of-engine fetcher, as before.
     case ("fill" | "gaps" | "backfill") :: tables :: rest =>
-      val (flags, genesis) = rest.partition(a =>
-        a.startsWith("--node=") || a.startsWith("--version="))
-      val g = genesis.map { kv =>
-        val Array(c, h) = kv.split("="); c.toLong -> h.toLong
-      }.toMap
-      val node = flags.collectFirst {
-        case f if f.startsWith("--node=") => f.stripPrefix("--node=") }
-      val ver = flags.collectFirst {
-        case f if f.startsWith("--version=") => f.stripPrefix("--version=") }
-        .getOrElse("mainnet01")
       val spark = session()
-      node match {
-        case Some(base) =>
-          val (plan, counts) = ingest.Fetch.fill(spark, base, ver, tables, g)
-          println(s"ranges\t${plan.size}")
-          counts.toSeq.sortBy(_._1)
-            .foreach { case (t, n) => println(s"inserted\t$t\t$n") }
-        case None =>
-          fillCmd(spark, tables, g).foreach(println)
-      }
+      fillDispatch(spark, tables, rest).foreach(println)
       spark.stop()
 
     case "single" :: tables :: cid :: height :: Nil =>

@@ -32,6 +32,49 @@ class CliSpec extends AnyFunSuite {
     assert(lines == Seq("0\t0\t1", "0\t6\t8"))
   }
 
+  test("fill --node=<url>: CLI-invoked repair of a holed table end-to-end") {
+    import spark.implicits._
+    val dir = tmpTables()
+    // Seed a real multi-table store with a hole: chain 0 has {100, 103}.
+    val hp = ingest.Flatten.joined(
+      ingest.Flatten.parseHeaders(
+        Seq((0L, 100L), (0L, 103L)).map { case (c, h) => Fixtures.mkHeader(c, h) }.toDF("value")),
+      ingest.Flatten.parsePayloads(
+        Seq((0L, 100L), (0L, 103L)).map { case (c, h) => Fixtures.mkPayload(c, h) }.toDF("value")))
+    ingest.Upsert.mergeAll(spark, dir, ingest.Flatten.allTables(hp)): Unit
+
+    // Mock node answering the blocksBetween contract (Lookups.hs:102-139).
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    server.createContext("/chainweb/0.0/test/chain",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val cid = ex.getRequestURI.getPath.split("/")(5).toLong
+        val q = ex.getRequestURI.getQuery.split("&")
+          .map(_.split("=")).map(kv => kv(0) -> kv(1).toLong).toMap
+        val items = (q("minheight") to q("maxheight"))
+          .map(h => Fixtures.mkItem(cid, h)).mkString(",")
+        val resp = s"""{"items":[$items]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      // The exact argv `main` would receive after the subcommand + dir.
+      val lines = Main.fillDispatch(spark, dir,
+        List(s"--node=$base", "--version=test", "0=100"))
+      assert(lines.head == "ranges\t1")
+      assert(lines.contains("inserted\tblocks\t2")) // 101, 102
+      // repaired: the plan-only mode now reports nothing to fill
+      assert(Main.fillDispatch(spark, dir, List("0=100")).isEmpty)
+      // replay is a no-op (effectively-once through the CLI path too)
+      val again = Main.fillDispatch(spark, dir,
+        List(s"--node=$base", "--version=test", "0=100"))
+      assert(again == Seq("ranges\t0"))
+    } finally server.stop(0)
+  }
+
   test("single: present vs missing") {
     import spark.implicits._
     val dir = tmpTables()
