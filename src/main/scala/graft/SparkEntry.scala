@@ -201,6 +201,9 @@ object SparkEntry {
     "q181_data_card"        -> (DataCard.q181DataCard _),
     "q182_gif_decode"       -> (Multimodal.q182GifDecode _),
     "q183_embed_dedup_capped" -> (Dedup.q183EmbedDedupCapped _),
+    "q184_lsh_band_sweep"   -> (Dedup.q184LshBandSweep _),
+    "q185_release_diff"     -> (Releases.q185ReleaseDiff _),
+    "q186_metadata_kappa"   -> (TextOps.q186MetadataKappa _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -609,5 +612,8 @@ object SparkEntry {
     "q181_data_card"         -> DataCard.dataCardOracle,
     "q182_gif_decode"        -> Multimodal.gifDecodeOracle,
     "q183_embed_dedup_capped" -> Dedup.embedDedupCappedOracle,
+    "q184_lsh_band_sweep"    -> Dedup.lshBandSweepOracle,
+    "q185_release_diff"      -> Releases.releaseDiffOracle,
+    "q186_metadata_kappa"    -> TextOps.metadataKappaOracle,
   )
 }

@@ -1195,4 +1195,104 @@ object Dedup {
        |    // CAST(count(*) AS BIGINT) AS contam_ppm
        |FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q184 — LSH banding PARAMETER SWEEP: the (bands, rows/band) operating
+  // curve every MinHash deployment records before picking its config (the
+  // q176 nprobe-sweep discipline applied to LSH). With a K-hash signature,
+  // (b, r) with b·r = K trades candidate volume against recall along
+  // p(match) = 1 − (1 − s^r)^b: more rows per band → fewer, more precise
+  // candidates. All three configs reuse ONE signature relation; truth is
+  // q82's exact join (the verified sets are ⊆ truth by construction —
+  // the verify step applies the SAME exact-Jaccard criterion — so recall
+  // is a plain count ratio, no pair-set intersection job).
+  // -------------------------------------------------------------------------
+
+  /** q184's config grid: every factorization b·r = K_HASHES with b > 1. */
+  private val SweepConfigs = Seq((8, 1), (4, 2), (2, 4))
+
+  /** Banding generalized to r rows per band (q29's `lshBands` is the
+    * r = 2 case): band j's hash = md5 of the concatenated minhash hexes
+    * j·r+1 .. j·r+r (fixed-width, so bare concat is unambiguous). */
+  private def bandsAt(sig: DataFrame, b: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(b - 1)), j =>
+        md5(concat((0 until r).map(k => element_at(col("m"), j * r + k + 1)): _*)))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** q184 — per config: candidate pairs, exact-verified pairs, global
+    * truth, recall ppm. One signature build + three banded bucket-joins
+    * + one exact-join count; every exchanged row is (id, idx, hash). */
+  def q184LshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).localCheckpoint()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    // truth: |exact qualifying pairs| — a 1-row control relation
+    val truth = SimJoin.q82JaccardJoin(spark, dir)
+      .agg(count(lit(1)).as("n_truth"))
+    val legs = SweepConfigs.map { case (b, r) =>
+      val cand = lshCandidates(bandsAt(sig, b, r))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = round((inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+        .cast("double")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .agg(count(lit(1)).as("n_candidates"),
+             sum(when(jac >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+                col("n_candidates"), coalesce(col("n_verified"), lit(0L)).as("n_verified"))
+    }
+    legs.reduce(_.union(_))
+      .crossJoin(truth) // 1-row control side
+      .withColumn("recall_ppm",
+        when(col("n_truth") === 0L, 0L)
+          .otherwise(expr("(1000000 * n_verified) DIV n_truth")))
+      .orderBy(col("rows_per_band"))
+  }
+
+  val lshBandSweepOracle: String = {
+    val cfgCtes = SweepConfigs.map { case (b, r) =>
+      val cat = (1 to r).map(k => s"m[j*$r+$k]").mkString(" || ")
+      s"""bands_${b}_$r AS (
+         |  SELECT doc_id, s, j, md5($cat) AS bh
+         |  FROM sig, generate_series(0, ${b - 1}) AS g(j)),
+         |cand_${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_${b}_$r a JOIN bands_${b}_$r b
+         |    ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver_${b}_$r AS (
+         |  SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(coalesce(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+         |  FROM (
+         |    SELECT CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS jac
+         |    FROM cand_${b}_$r c
+         |    JOIN sig x ON x.doc_id = c.doc_a
+         |    JOIN sig y ON y.doc_id = c.doc_b))""".stripMargin
+    }.mkString(",\n")
+    val legs = SweepConfigs
+      .map { case (b, r) => s"SELECT * FROM ver_${b}_$r" }
+      .mkString(" UNION ALL ")
+    s"""WITH $duckSignatures,
+       |truth AS (
+       |  -- empty-shingle docs never pair (no shared posting exists); the
+       |  -- degenerate 0 >= 0 "pair" of two empty docs must not count
+       |  SELECT CAST(count(*) AS BIGINT) AS n_truth FROM (
+       |    SELECT a.doc_id
+       |    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    WHERE len(a.s) > 0 AND len(b.s) > 0
+       |      AND 2*len(list_intersect(a.s, b.s)) >=
+       |          len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       |$cfgCtes
+       |SELECT v.n_bands, v.rows_per_band, v.n_candidates, v.n_verified,
+       |  t.n_truth,
+       |  CASE WHEN t.n_truth = 0 THEN 0
+       |       ELSE (1000000 * v.n_verified) // t.n_truth END AS recall_ppm
+       |FROM ($legs) v CROSS JOIN truth t
+       |ORDER BY v.rows_per_band""".stripMargin
+  }
 }

@@ -65,7 +65,8 @@ object SimJoin {
   val DefaultMaxDf = 12L
 
   def q82JaccardJoin(spark: SparkSession, dir: String): DataFrame =
-    jaccardJoinOn(docs(spark, dir), maxDf = None)
+    jaccardJoinOn(docs(spark, dir), maxDf = None,
+                  leafKey = Some(s"simjoin_shingles:$dir"))
 
   /** q92 — the skew-hatch configuration: exact verify over a max-df-cut
     * index. On the benchmark corpus the cut loses nothing (the oracle is
@@ -74,7 +75,8 @@ object SimJoin {
     * shared by 10⁶ docs creates a 10¹² candidate pair list in the exact
     * plan and zero in this one. */
   def q92JaccardJoinMaxDf(spark: SparkSession, dir: String): DataFrame =
-    jaccardJoinOn(docs(spark, dir), maxDf = Some(DefaultMaxDf))
+    jaccardJoinOn(docs(spark, dir), maxDf = Some(DefaultMaxDf),
+                  leafKey = Some(s"simjoin_shingles:$dir"))
 
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     // codegen'd shingle kernel, not the interpreted HOF form — same
@@ -85,29 +87,39 @@ object SimJoin {
   }
 
   /** The PPJoin core over any `(doc_id, text)` relation; `maxDf` is the
-    * opt-in index cut described in the scaladoc above. */
-  def jaccardJoinOn(documents: DataFrame, maxDf: Option[Long]): DataFrame = {
+    * opt-in index cut described in the scaladoc above. `leafKey` names the
+    * derived posting/rank relations for session-level sharing
+    * ([[graft.Leaves]]) — the q82/q92 pair consume identical leaves, and
+    * under the share flag they (and repeat invocations) reuse one
+    * materialization; unkeyed callers keep full per-call isolation. */
+  def jaccardJoinOn(documents: DataFrame, maxDf: Option[Long],
+                    leafKey: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    def leaf(part: String)(build: => DataFrame): DataFrame =
+      graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part))(build)
     // narrow posting relation (doc_id, shingle) materialized once: the df
     // aggregate and the rank join both consume it, and the kernel + explode
     // would otherwise run per consumer (at cluster scale this is the
-    // persisted postings table every text-index pipeline keeps anyway)
-    val ex = documents
-      .select(col("doc_id"),
-              explode(call_function("graft_shingles", col("text"))).as("s"))
-      .localCheckpoint()
+    // persisted postings table every text-index pipeline keeps anyway —
+    // which is exactly what the share flag turns it into)
+    val ex = leaf("postings") {
+      documents.select(
+        col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("s"))
+    }
     val dfRel = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rarest-first rank of every posting; ties break on the shingle text
     // so the order (and the candidate set) is deterministic at any
     // parallelism. Three consumers (prefix ×2 via self-join + the verify
-    // postings): materialize once.
+    // postings): materialize once. Threshold-independent, so shareable.
     val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = ex.join(dfRel, "s")
-      .select(col("doc_id"), col("s"), col("df"),
-              (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
-              count(lit(1)).over(wDoc).as("len"))
-      .localCheckpoint()
+    val ranked = leaf("ranked") {
+      ex.join(dfRel, "s")
+        .select(col("doc_id"), col("s"), col("df"),
+                (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
+                count(lit(1)).over(wDoc).as("len"))
+    }
     // prefix length = n − ⌈t·n⌉ + 1, in integers: ⌈n·TN/TD⌉ = (n·TN+TD−1) DIV TD
     // The maxDf cut applies HERE — postings above the cut never reach the
     // inverted-index self-join, so no candidate (and no dedup-shuffle row)
@@ -175,22 +187,23 @@ object SimJoin {
     * rows vs 0.77M at 4/5 (measured); the threshold is the candidate-
     * volume knob, and 0.8 is both the cheap and the standard setting. */
   def q93WeightedJaccardJoin(spark: SparkSession, dir: String): DataFrame =
-    weightedJaccardJoinOn(bigramTf(spark, dir))
+    weightedJaccardJoinOn(bigramTf(spark, dir),
+                          leafKey = Some(s"simjoin_wranked:$dir"))
 
   /** The bigram term-frequency relation (doc_id, term, tf) both weighted
     * operators (q93 exact, q97 LSH) consume. */
-  def bigramTf(spark: SparkSession, dir: String): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-              explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-                concat(element_at(col("t"), i), lit(" "),
-                       element_at(col("t"), i + 1)))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-  }
+  def bigramTf(spark: SparkSession, dir: String): DataFrame =
+    graft.Leaves.shared(spark, s"simjoin_bigram_tf:$dir") {
+      val t = TextOps.tokens(col("text"))
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+                explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+                  concat(element_at(col("t"), i), lit(" "),
+                         element_at(col("t"), i + 1)))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
 
   /** q93's threshold: Jw ≥ 4/5. */
   private val WTN = 4
@@ -216,7 +229,8 @@ object SimJoin {
     val tf = bigramTf(spark, dir)
     // control scalar (|docs|), the sanctioned bounded collect
     val n = tf.select(countDistinct(col("doc_id")).as("n")).head().getLong(0)
-    weightedJaccardJoinOn(tf, maxDf = Some(math.max(1L, n / WeightedDfFracDen)))
+    weightedJaccardJoinOn(tf, maxDf = Some(math.max(1L, n / WeightedDfFracDen)),
+                          leafKey = Some(s"simjoin_wranked:$dir"))
   }
 
   /** q139's relative-cut denominator: index terms with df > N/5 are cut. */
@@ -227,20 +241,25 @@ object SimJoin {
     * index cut (q139 scaladoc above): applied to the PREFIX postings only,
     * never the verify postings, so emitted pairs are always exact. */
   def weightedJaccardJoinOn(tf: DataFrame, TN: Int = WTN, TD: Int = WTD,
-                            maxDf: Option[Long] = None): DataFrame = {
+                            maxDf: Option[Long] = None,
+                            leafKey: Option[String] = None): DataFrame = {
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ordW = wDoc.orderBy(col("df"), col("term"))
     // per-posting: doc weight W, cumulative weight before this posting in
-    // rarest-first order (cum_excl), remaining weight from here (rem)
-    val ranked = tf.join(dfRel, "term")
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-              sum(col("tf")).over(wDoc).as("w"),
-              (sum(col("tf")).over(ordW.rowsBetween(
-                 Window.unboundedPreceding, Window.currentRow)) - col("tf"))
-                .as("cum_excl"))
-      .withColumn("rem", col("w") - col("cum_excl"))
-      .localCheckpoint()
+    // rarest-first order (cum_excl), remaining weight from here (rem).
+    // Threshold-INdependent (prefix filtering happens below), so q93/q139
+    // share one materialization under the leaf flag.
+    val ranked = graft.Leaves.sharedOpt(tf.sparkSession,
+                                        leafKey.map(_ + ":wranked")) {
+      tf.join(dfRel, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+                sum(col("tf")).over(wDoc).as("w"),
+                (sum(col("tf")).over(ordW.rowsBetween(
+                   Window.unboundedPreceding, Window.currentRow)) - col("tf"))
+                  .as("cum_excl"))
+        .withColumn("rem", col("w") - col("cum_excl"))
+    }
     // per-doc minimum overlap o_min = ⌈TN·W/TD⌉; prefix keeps postings
     // whose exclusion would not yet disprove the threshold
     val oMin = expr(s"(w*$TN + ${TD - 1}) DIV $TD")

@@ -819,4 +819,70 @@ object TextOps {
        |  (1000000 * (part - n_docs * total_tokens))
        |    // (n_docs * total_tokens) AS gini_ppm
        |FROM agg ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q186 — chance-corrected METADATA AGREEMENT (Cohen 1960 κ): collapses
+  // q177's confusion matrix to the one scalar a data-quality dashboard
+  // tracks — observed lang-vs-prediction agreement corrected for the
+  // agreement two independent raters with these marginals would reach by
+  // luck. Raw agreement flatters a skewed corpus (predict-the-majority
+  // scores high); κ is the standard fix.
+  //
+  // Everything is exact integer arithmetic on BIGINT-safe magnitudes
+  // lifted to DECIMAL(38,0)/HUGEINT for the n² products:
+  //   κ_ppm = 10⁶·(n·diag − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c),
+  // floored at 0 (truncating integer division of a possibly-negative
+  // numerator is the one place Spark DIV — toward zero — and DuckDB // —
+  // toward −∞ — disagree; a below-chance classifier reads κ = 0, which is
+  // the operational meaning anyway).
+  // -------------------------------------------------------------------------
+
+  /** q186 — one-row κ readout: docs, agreeing docs, agreement ppm, chance
+    * ppm, kappa ppm. The corpus collapses to the ≤|langs|²-row confusion
+    * relation FIRST (q177's aggregate); everything after is arithmetic on
+    * a bounded dimension. */
+  def q186MetadataKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = q177LangConfusion(spark, dir)
+      .select(col("lang"), col("pred_lang"), col("n"))
+    val marg = conf.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+      .join(conf.groupBy(col("pred_lang")).agg(sum(col("n")).as("col_n")),
+            col("lang") === col("pred_lang"))
+      .select(sum(col("row_n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("col_n")).as("chance"))
+    conf.agg(sum(col("n")).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(marg) // 1-row control side
+      .select(
+        col("n_docs"), col("n_agree"),
+        expr("(1000000 * n_agree) DIV n_docs").as("agree_ppm"),
+        expr("CAST((1000000 * chance) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("chance_ppm"),
+        expr("""CAST(greatest(0, (1000000 * (CAST(n_docs AS DECIMAL(38,0)) * n_agree - chance))
+                   DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs - chance)) AS BIGINT)""")
+          .as("kappa_ppm"))
+  }
+
+  val metadataKappaOracle: String =
+    s"""WITH pred AS ($langIdOracle),
+       |conf AS (
+       |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |  GROUP BY d.lang, p.pred_lang),
+       |rowm AS (SELECT lang, sum(n) AS row_n FROM conf GROUP BY lang),
+       |colm AS (SELECT pred_lang, sum(n) AS col_n FROM conf GROUP BY pred_lang),
+       |chance AS (
+       |  SELECT sum(CAST(r.row_n AS HUGEINT) * c.col_n) AS chance
+       |  FROM rowm r JOIN colm c ON r.lang = c.pred_lang),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM conf)
+       |SELECT t.n_docs, t.n_agree,
+       |  (1000000 * t.n_agree) // t.n_docs AS agree_ppm,
+       |  CAST((1000000 * c.chance) // (CAST(t.n_docs AS HUGEINT) * t.n_docs) AS BIGINT)
+       |    AS chance_ppm,
+       |  CAST(greatest(0, (1000000 * (CAST(t.n_docs AS HUGEINT) * t.n_agree - c.chance))
+       |    // (CAST(t.n_docs AS HUGEINT) * t.n_docs - c.chance)) AS BIGINT) AS kappa_ppm
+       |FROM tot t CROSS JOIN chance c""".stripMargin
 }
