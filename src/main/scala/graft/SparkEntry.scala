@@ -204,6 +204,8 @@ object SparkEntry {
     "q184_lsh_band_sweep"   -> (Dedup.q184LshBandSweep _),
     "q185_release_diff"     -> (Releases.q185ReleaseDiff _),
     "q186_metadata_kappa"   -> (TextOps.q186MetadataKappa _),
+    "q187_collocations"     -> (TextOps.q187Collocations _),
+    "q188_integrity_audit"  -> (Integrity.q188IntegrityAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -615,5 +617,7 @@ object SparkEntry {
     "q184_lsh_band_sweep"    -> Dedup.lshBandSweepOracle,
     "q185_release_diff"      -> Releases.releaseDiffOracle,
     "q186_metadata_kappa"    -> TextOps.metadataKappaOracle,
+    "q187_collocations"      -> TextOps.collocationsOracle,
+    "q188_integrity_audit"   -> Integrity.integrityAuditOracle,
   )
 }

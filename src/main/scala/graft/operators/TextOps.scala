@@ -885,4 +885,77 @@ object TextOps {
        |  CAST(greatest(0, (1000000 * (CAST(t.n_docs AS HUGEINT) * t.n_agree - c.chance))
        |    // (CAST(t.n_docs AS HUGEINT) * t.n_docs - c.chance)) AS BIGINT) AS kappa_ppm
        |FROM tot t CROSS JOIN chance c""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q187 — COLLOCATION mining by LOG-FREE LIFT: the top bigrams whose
+  // corpus frequency exceeds what their parts' frequencies predict —
+  // PMI's ranking (Church & Hanks CL'90) with the transcendental log
+  // dropped: log is monotone, so ranking by the exact rational
+  //   lift = P(ab) / (P(a)·P(b)) = c_ab·N² / (N_b·c_a·c_b)
+  // is ranking by PMI, and the integer-ppm lift is bit-identical across
+  // engines where a floating log never is. The tokenizer-phrase /
+  // multi-word-expression miner (what "new york"-style merges train on).
+  //
+  // Scale shape: consumes the SAME bigram-TF leaf as q93/q97/q139
+  // (shared under `spark.graft.shareLeaves`), collapses it to the global
+  // (term, c_ab) relation, floors at MinColloc BEFORE any join (the
+  // filtered relation is collocation-sized, not vocab-sized), and joins
+  // it against the unigram counts on each component word. Products route
+  // through DECIMAL(38,0)/HUGEINT (N² ppm-scaled exceeds int64).
+  // -------------------------------------------------------------------------
+
+  /** q187's count floor: a bigram must occur ≥ 5 times to be scored
+    * (rare-pair lift is noise — the standard collocation cut). */
+  val MinColloc = 5L
+
+  /** q187 — top-20 collocations by exact integer lift ppm. */
+  def q187Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val tf = SimJoin.bigramTf(spark, dir)
+    val big = tf.groupBy(col("term")).agg(sum(col("tf")).as("c_ab"))
+      .filter(col("c_ab") >= MinColloc)
+    val uni = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // 1-row control totals: all tokens / all bigram occurrences
+    val tot = tf.agg(sum(col("tf")).as("n_big"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_uni")))
+    big
+      .withColumn("w1", element_at(split(col("term"), " "), 1))
+      .withColumn("w2", element_at(split(col("term"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(tot)
+      .select(col("term"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * n_uni * n_uni)
+                DIV (CAST(n_big AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+      .limit(20)
+  }
+
+  val collocationsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wr
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(wr) AS w FROM t) GROUP BY w),
+       |tf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS c_ab FROM (
+       |    SELECT unnest([wr[i]||' '||wr[i+1] for i in range(1, len(wr))]) AS term
+       |    FROM t WHERE len(wr) >= 2)
+       |  GROUP BY term),
+       |tot AS (
+       |  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+       |         (SELECT sum(c_ab) FROM tf) AS n_big)
+       |SELECT term, c_ab, c_a, c_b, lift_ppm FROM (
+       |  SELECT b.term, b.c_ab, a.c AS c_a, w.c AS c_b,
+       |    CAST((1000000::HUGEINT * b.c_ab * tot.n_uni * tot.n_uni)
+       |      // (CAST(tot.n_big AS HUGEINT) * a.c * w.c) AS BIGINT) AS lift_ppm
+       |  FROM tf b
+       |  JOIN uni a ON a.w = split_part(b.term, ' ', 1)
+       |  JOIN uni w ON w.w = split_part(b.term, ' ', 2)
+       |  CROSS JOIN tot
+       |  WHERE b.c_ab >= $MinColloc)
+       |ORDER BY lift_ppm DESC, term LIMIT 20""".stripMargin
 }
