@@ -206,6 +206,9 @@ object SparkEntry {
     "q186_metadata_kappa"   -> (TextOps.q186MetadataKappa _),
     "q187_collocations"     -> (TextOps.q187Collocations _),
     "q188_integrity_audit"  -> (Integrity.q188IntegrityAudit _),
+    "q189_percentile_gate"  -> (TextOps.q189PercentileGate _),
+    "q190_simpson_conc"     -> (TextOps.q190SimpsonConcentration _),
+    "q191_stratified_split" -> (TrainPrep.q191StratifiedSplit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -619,5 +622,8 @@ object SparkEntry {
     "q186_metadata_kappa"    -> TextOps.metadataKappaOracle,
     "q187_collocations"      -> TextOps.collocationsOracle,
     "q188_integrity_audit"   -> Integrity.integrityAuditOracle,
+    "q189_percentile_gate"   -> TextOps.percentileGateOracle,
+    "q190_simpson_conc"      -> TextOps.simpsonConcentrationOracle,
+    "q191_stratified_split"  -> TrainPrep.stratifiedSplitOracle,
   )
 }

@@ -106,4 +106,44 @@ object PrefixSum {
       .drop("__bucket", "__off")
     (ranked, n)
   }
+
+  /** PARTITIONED two-phase rank: `outCol` = 1-based rank of each row
+    * within its `partCol` group, ordered by `orderCols` — the scale-safe
+    * replacement for `Window.partitionBy(part).orderBy(...)` when a single
+    * partition value can be fact-sized (one source holding most of a
+    * 100 TB corpus would otherwise funnel through one task).
+    *
+    * Caller supplies `bucketCol`: an integral 0..B−1 column derived from
+    * the leading order key (so bucket boundaries respect the order).
+    * Control state is |parts|·B rows — both bounded dimensions. Window
+    * partitions are (part, bucket): each bounded to ~1/B of its part.
+    * `orderCols` must be a total order within (part, bucket) for the
+    * result to be deterministic. */
+  def partitionedRank(df: DataFrame, partCol: String, bucketCol: String,
+                      orderCols: Seq[String], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val partials = df.groupBy(col(partCol), col(bucketCol))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val offsets = partials.toSeq.flatMap { case (p, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, c) =>
+        val o = acc; acc += c; Row(p, b, o)
+      }
+    }
+    val pField = df.schema(partCol)
+    val bField = df.schema(bucketCol)
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1),
+      StructType(Seq(StructField(partCol, pField.dataType, pField.nullable),
+                     StructField(bucketCol, LongType, nullable = false),
+                     StructField("__off", LongType, nullable = false))))
+    val w = Window.partitionBy(col(partCol), col(bucketCol))
+      .orderBy(orderCols.map(col): _*)
+    df.join(broadcast(offDf), Seq(partCol, bucketCol))
+      .withColumn(outCol, col("__off") + row_number().over(w).cast("long"))
+      .drop("__off")
+  }
 }

@@ -958,4 +958,160 @@ object TextOps {
        |  CROSS JOIN tot
        |  WHERE b.c_ab >= $MinColloc)
        |ORDER BY lift_ppm DESC, term LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q189 — PERCENTILE length gate (outlier trimming): the distributional
+  // complement of Gopher's absolute length bounds — per source, the exact
+  // nearest-rank P1/P99 of token length and the trim counts a [P1, P99]
+  // gate would produce. Absolute bounds (q113) encode a fixed contract;
+  // percentile bounds track each source's own distribution (the "drop the
+  // freak 2%" curation stage run before computing corpus statistics that
+  // outliers would dominate).
+  //
+  // Exactness discipline = q178's: the corpus collapses to the
+  // (source, distinct-length) HISTOGRAM first; the cumulative window and
+  // the threshold pick run over that bounded dimension, never over docs.
+  // Nearest-rank definition: P_p = smallest length whose cumulative count
+  // ≥ ⌈p·n⌉, all in integers.
+  // -------------------------------------------------------------------------
+
+  /** q189 — per source: n, exact P1/P99 token-length bounds, and the
+    * below/above/kept doc counts of the implied trim gate. */
+  def q189PercentileGate(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    // nearest-rank targets: ⌈n/100⌉ and ⌈99n/100⌉
+    val p01 = expr("(n + 99) DIV 100")
+    val p99 = expr("(99*n + 99) DIV 100")
+    val bounds = cum
+      .groupBy(col("source"), col("n"))
+      .agg(min(when(col("cum") >= p01, col("len"))).as("p01_len"),
+           min(when(col("cum") >= p99, col("len"))).as("p99_len"))
+    hist.join(bounds, "source")
+      .groupBy(col("source"))
+      .agg(first(col("n")).as("n_docs"),
+        first(col("p01_len")).as("p01_len"),
+        first(col("p99_len")).as("p99_len"),
+        sum(when(col("len") < col("p01_len"), col("c")).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("len") > col("p99_len"), col("c")).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("len") >= col("p01_len") &&
+                 col("len") <= col("p99_len"), col("c")).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val percentileGateOracle: String =
+    s"""WITH hist AS (
+       |  SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT source,
+       |      CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS len
+       |    FROM documents)
+       |  GROUP BY source, len),
+       |cum AS (
+       |  SELECT *,
+       |    sum(c) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n
+       |  FROM hist),
+       |bounds AS (
+       |  SELECT source, n,
+       |    min(CASE WHEN cum >= (n + 99) // 100 THEN len END) AS p01_len,
+       |    min(CASE WHEN cum >= (99*n + 99) // 100 THEN len END) AS p99_len
+       |  FROM cum GROUP BY source, n)
+       |SELECT h.source, CAST(b.n AS BIGINT) AS n_docs,
+       |  CAST(b.p01_len AS BIGINT) AS p01_len,
+       |  CAST(b.p99_len AS BIGINT) AS p99_len,
+       |  CAST(sum(CASE WHEN h.len < b.p01_len THEN h.c ELSE 0 END) AS BIGINT)
+       |    AS n_below,
+       |  CAST(sum(CASE WHEN h.len > b.p99_len THEN h.c ELSE 0 END) AS BIGINT)
+       |    AS n_above,
+       |  CAST(sum(CASE WHEN h.len >= b.p01_len AND h.len <= b.p99_len
+       |           THEN h.c ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM hist h JOIN bounds b ON b.source = h.source
+       |GROUP BY h.source, b.n, b.p01_len, b.p99_len
+       |ORDER BY h.source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q190 — SIMPSON concentration audit (log-free diversity): per source,
+  // the average char-level and token-level collision probability in exact
+  // ppm — Σ count² / L², the probability two random positions hold the
+  // same symbol (Simpson 1949; the Rényi-2 "effective vocabulary"
+  // readout). Gibberish/repetition detection that needs NO transcendental
+  // entropy: a doc of one repeated char reads 10⁶; uniformly diverse text
+  // reads ≈ 10⁶/|alphabet|. Complements q163's positional coverage (which
+  // asks WHERE repetition sits; this asks HOW concentrated the symbol
+  // distribution is). Everything is integer arithmetic — per-doc Σcnt²
+  // fits int64 for any document under 3 GB.
+  // -------------------------------------------------------------------------
+
+  /** q190 — per source: docs and mean char-/token-collision ppm (each
+    * doc's ppm an exact integer, averaged by truncating DIV). The corpus
+    * explodes once per granularity to partial-aggregated narrow
+    * (doc, symbol) relations. */
+  def q190SimpsonConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+    def collisionPpm(sym: DataFrame): DataFrame =
+      sym.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("cnt")).as("c2"), sum(col("cnt")).as("l"))
+        .select(col("doc_id"),
+                expr("(1000000 * c2) DIV (l * l)").as("ppm"))
+    // length >= 1 guard: Spark's sequence(1, 0) would DESCEND ([1, 0]),
+    // inventing two rows for an empty doc where DuckDB's generate_series
+    // yields none; both engines then drop empty docs via the inner join
+    val chars = collisionPpm(d.filter(length(col("t")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+          .as("s")))
+    val toks = collisionPpm(d.select(col("doc_id"),
+      explode(tokens(col("t"))).as("s")))
+    d.select(col("doc_id"), col("source"))
+      .join(chars.select(col("doc_id"), col("ppm").as("char_ppm")), "doc_id")
+      .join(toks.select(col("doc_id"), col("ppm").as("tok_ppm")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("sum(char_ppm) DIV count(1)").as("avg_char_collision_ppm"),
+           expr("sum(tok_ppm) DIV count(1)").as("avg_tok_collision_ppm"),
+           max(col("char_ppm")).as("max_char_collision_ppm"),
+           max(col("tok_ppm")).as("max_tok_collision_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val simpsonConcentrationOracle: String =
+    """WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
+      |cp AS (
+      |  SELECT doc_id, (1000000 * sum(cnt*cnt)) // (sum(cnt)*sum(cnt)) AS ppm
+      |  FROM (
+      |    SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT doc_id, unnest([substr(t, i, 1) for i in range(1, len(t) + 1)]) AS s
+      |      FROM d)
+      |    GROUP BY doc_id, s)
+      |  GROUP BY doc_id),
+      |tp AS (
+      |  SELECT doc_id, (1000000 * sum(cnt*cnt)) // (sum(cnt)*sum(cnt)) AS ppm
+      |  FROM (
+      |    SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS s
+      |      FROM d)
+      |    GROUP BY doc_id, s)
+      |  GROUP BY doc_id)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(cp.ppm) // count(*) AS BIGINT) AS avg_char_collision_ppm,
+      |  CAST(sum(tp.ppm) // count(*) AS BIGINT) AS avg_tok_collision_ppm,
+      |  CAST(max(cp.ppm) AS BIGINT) AS max_char_collision_ppm,
+      |  CAST(max(tp.ppm) AS BIGINT) AS max_tok_collision_ppm
+      |FROM d JOIN cp ON cp.doc_id = d.doc_id JOIN tp ON tp.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -1030,4 +1030,59 @@ object TrainPrep {
        |    // CAST(sum(n_tok) AS BIGINT) AS loss_ppm
        |FROM x GROUP BY max_len, source ORDER BY max_len, source""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q191 — EXACT stratified train/val/test SPLIT: per source, docs are
+  // totally ordered by content hash (reproducible, shuffle-free, and
+  // content-addressed — re-adding the same doc lands in the same split)
+  // and cut at EXACT integer boundaries: n_val = n_test = n DIV 100,
+  // train = the rest. Hash-modulo splits (doc_id % 100 < 98) only
+  // APPROXIMATE proportions; rank-based cutting makes them exact, which
+  // is what a 1%-val contract means when val feeds a per-source metric.
+  //
+  // Scale shape: the rank comes from PrefixSum.partitionedRank — window
+  // partitions are (source, hash-prefix-bucket), each ~1/256 of its
+  // source, with |sources|·256 rows of driver control state; a plain
+  // source-partitioned window would funnel a dominant source through one
+  // task. The oracle uses the naive window (DuckDB is single-node);
+  // equality proves the two-phase rank exact.
+  // -------------------------------------------------------------------------
+
+  /** q191 — per (source, split): docs, exact share ppm. */
+  def q191StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      // bucket = first two hash hex chars → 0..255, order-respecting
+      .withColumn("__b",
+        expr("""CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT)"""))
+    val ranked = PrefixSum.partitionedRank(d, "source", "__b",
+                                           Seq("h", "doc_id"), "r")
+    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ranked.join(totals, "source") // |sources|-row dimension, broadcastable
+      .withColumn("split",
+        when(col("r") <= col("n") - lit(2L) * expr("n DIV 100"), "train")
+          .when(col("r") <= col("n") - expr("n DIV 100"), "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("(1000000 * count(1)) DIV first(n)").as("share_ppm"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val stratifiedSplitOracle: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM d)
+      |SELECT source,
+      |  CASE WHEN r <= n - 2*(n // 100) THEN 'train'
+      |       WHEN r <= n - (n // 100) THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  (1000000 * CAST(count(*) AS BIGINT)) // CAST(max(n) AS BIGINT)
+      |    AS share_ppm
+      |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 }
