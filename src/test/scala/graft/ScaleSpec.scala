@@ -386,6 +386,60 @@ class ScaleSpec extends AnyFunSuite {
       "a hot-label vector reached the pair join despite the cap")
   }
 
+  test("round-6 operators keep the scale shapes: keyed joins only, " +
+       "windows histogram/bucket-partitioned, top-k heaped") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // q184: banded bucket-joins + keyed verify; the truth side is a 1-row
+    // control relation (BNLJ is the sanctioned shape for those)
+    val sw = finalPlan(graft.operators.Dedup.q184LshBandSweep(spark, dir))
+    assert(!sw.contains("CartesianProduct"), s"cartesian in q184:\n$sw")
+    // q185: one keyed full-outer join over (id, source, md5) — text never
+    // enters the exchange; no window
+    val rd = finalPlan(graft.operators.Releases.q185ReleaseDiff(spark, dir))
+    assert(!rd.contains("CartesianProduct"), s"cartesian in q185:\n$rd")
+    assert(!rd.contains("windowspecdefinition"), s"unexpected window in q185:\n$rd")
+    // q186: corpus collapses to the confusion dimension before any math
+    val ka = finalPlan(graft.operators.TextOps.q186MetadataKappa(spark, dir))
+    assert(!ka.contains("CartesianProduct"), s"cartesian in q186:\n$ka")
+    // q187: count floor before the unigram joins; top-20 must be a heap
+    // (TakeOrderedAndProject), not a global sort
+    val co = finalPlan(graft.operators.TextOps.q187Collocations(spark, dir))
+    assert(!co.contains("CartesianProduct"), s"cartesian in q187:\n$co")
+    assert(co.contains("TakeOrderedAndProject"), s"q187 top-k not heaped:\n$co")
+    // q188: PK scans + keyed LEFT ANTI joins; 1-row leg unions only
+    val ia = finalPlan(graft.operators.Integrity.q188IntegrityAudit(spark, dir))
+    assert(!ia.contains("CartesianProduct"), s"cartesian in q188:\n$ia")
+    assert(!ia.contains("windowspecdefinition"), s"unexpected window in q188:\n$ia")
+    // q189: every window runs over the (source, distinct-length) histogram
+    // and partitions by source
+    val pg = finalPlan(graft.operators.TextOps.q189PercentileGate(spark, dir))
+    assert(!pg.contains("CartesianProduct"), s"cartesian in q189:\n$pg")
+    val pgWins = pg.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(pgWins.nonEmpty && pgWins.forall(_.contains("source")),
+      s"q189 window not source-partitioned:\n$pg")
+    // q190: two partial-aggregated explodes; no window, no join wider
+    // than the (doc, ppm) relations
+    val sc = finalPlan(graft.operators.TextOps.q190SimpsonConcentration(spark, dir))
+    assert(!sc.contains("CartesianProduct"), s"cartesian in q190:\n$sc")
+    assert(!sc.contains("windowspecdefinition"), s"unexpected window in q190:\n$sc")
+    // q191: the rank windows partition by (source, hash bucket) — never a
+    // bare source partition (a dominant source must not own one task) —
+    // and no single-partition exchange exists anywhere
+    val ss = finalPlan(graft.operators.TrainPrep.q191StratifiedSplit(spark, dir))
+    assert(!ss.contains("CartesianProduct"), s"cartesian in q191:\n$ss")
+    assert(!ss.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q191:\n$ss")
+    val ssWins = ss.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(ssWins.nonEmpty && ssWins.forall(_.contains("__b")),
+      s"q191 rank window not bucket-partitioned:\n$ss")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
