@@ -209,6 +209,7 @@ object SparkEntry {
     "q189_percentile_gate"  -> (TextOps.q189PercentileGate _),
     "q190_simpson_conc"     -> (TextOps.q190SimpsonConcentration _),
     "q191_stratified_split" -> (TrainPrep.q191StratifiedSplit _),
+    "q192_video_decode"     -> (Multimodal.q192VideoDecode _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -625,5 +626,6 @@ object SparkEntry {
     "q189_percentile_gate"   -> TextOps.percentileGateOracle,
     "q190_simpson_conc"      -> TextOps.simpsonConcentrationOracle,
     "q191_stratified_split"  -> TrainPrep.stratifiedSplitOracle,
+    "q192_video_decode"      -> Multimodal.videoDecodeOracle,
   )
 }

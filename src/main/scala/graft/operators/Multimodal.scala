@@ -501,4 +501,190 @@ object Multimodal {
       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
       |  CAST(sum(v * v) AS BIGINT) AS sum_sq
       |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q192 — REAL video CONTAINER round-trip: uncompressed 24bpp AVI
+  // encoded by hand (RIFF 'AVI ': LIST hdrl [avih + LIST strl(strh
+  // 'vids'/'DIB ', strf BITMAPINFOHEADER)] + LIST movi ['00db' raw DIB
+  // frames, bottom-up rows, 4-byte stride]) and parsed back by the same
+  // strict chunk-WALKING discipline as q180's WAV reader (word-aligned
+  // skips, header/geometry cross-checks, fail-loud). The video analog of
+  // q140/q180: container + raw-frame handling is real; COMPRESSED video
+  // codecs stay honest stubs — they are not bit-exactly oracle-able and
+  // the JDK ships no decoder for them.
+  // -------------------------------------------------------------------------
+
+  /** Frame pixel formula shared verbatim with the oracle ([[pixel]] plus
+    * a frame term). */
+  private def framePixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+
+  /** Frame count: 2..4. */
+  private def aviFrames(id: Long): Int = (2 + id % 3).toInt
+
+  /** One hand-built AVI per document (geometry = q140's w/h formulas). */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val nf = aviFrames(id)
+        val stride = (w * 3 + 3) / 4 * 4 // DIB rows pad to 4 bytes
+        val frameLen = stride * h
+        val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val moviLen = 4 + nf * (8 + frameLen)
+        val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+        val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(t: String): Unit = bb.put(t.getBytes("US-ASCII")): Unit
+        tag("RIFF"); bb.putInt(riffLen); tag("AVI ")
+        tag("LIST"); bb.putInt(hdrlLen); tag("hdrl")
+        tag("avih"); bb.putInt(56)
+        bb.putInt(33333); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(nf); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+        bb.putInt(w); bb.putInt(h)
+        (0 until 4).foreach(_ => bb.putInt(0))
+        tag("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+        tag("strh"); bb.putInt(56)
+        tag("vids"); tag("DIB ")
+        bb.putInt(0); bb.putInt(0) // flags, priority+language
+        bb.putInt(0)               // initial frames
+        bb.putInt(1); bb.putInt(30) // scale, rate
+        bb.putInt(0); bb.putInt(nf) // start, length
+        bb.putInt(frameLen); bb.putInt(-1) // bufsize, quality
+        bb.putInt(0)               // sample size
+        bb.putShort(0); bb.putShort(0); bb.putShort(w.toShort); bb.putShort(h.toShort)
+        tag("strf"); bb.putInt(40)
+        bb.putInt(40); bb.putInt(w); bb.putInt(h)
+        bb.putShort(1); bb.putShort(24)
+        bb.putInt(0); bb.putInt(frameLen)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        tag("LIST"); bb.putInt(moviLen); tag("movi")
+        var f = 0
+        while (f < nf) {
+          tag("00db"); bb.putInt(frameLen)
+          var row = 0
+          while (row < h) {
+            val y = h - 1 - row // DIB rows are bottom-up
+            var x = 0
+            while (x < w) {
+              val v = framePixel(id, f, x, y).toByte
+              bb.put(v); bb.put(v); bb.put(v) // B G R, grey
+              x += 1
+            }
+            var pad = w * 3
+            while (pad < stride) { bb.put(0.toByte); pad += 1 }
+            row += 1
+          }
+          f += 1
+        }
+        (id, bb.array())
+      })
+      .toDF("doc_id", "avi")
+  }
+
+  /** REAL parse: walk the RIFF tree strictly (unknown chunks skipped with
+    * RIFF word alignment — q180's lesson), cross-check avih geometry
+    * against strf, decode every '00db' DIB frame, 8×8 nearest-resample
+    * each, and report exact integer features. */
+  def parseAvi(video: DataFrame): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select("doc_id", "avi").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"doc $id: not RIFF")
+        require(bb.getInt == bytes.length - 8, s"doc $id: RIFF length lies")
+        require(tag() == "AVI ", s"doc $id: not AVI")
+        var w = -1; var h = -1; var nfDeclared = -1; var bpp = -1
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(end: Int): Unit = {
+          while (bb.position() + 8 <= end) {
+            val t = tag(); val len = bb.getInt
+            val next = bb.position() + len + (len & 1) // RIFF word align
+            t match {
+              case "LIST" =>
+                tag() // list type: descend regardless (hdrl/strl/movi)
+                walk(bb.position() + len - 4)
+              case "avih" =>
+                require(len >= 56, s"doc $id: short avih")
+                val base = bb.position()
+                nfDeclared = bb.getInt(base + 16)
+                w = bb.getInt(base + 32); h = bb.getInt(base + 36)
+              case "strf" =>
+                require(len >= 40, s"doc $id: short strf")
+                val base = bb.position()
+                require(bb.getInt(base + 4) == w && bb.getInt(base + 8) == h,
+                  s"doc $id: strf geometry contradicts avih")
+                bpp = bb.getShort(base + 14).toInt
+                require(bpp == 24, s"doc $id: unsupported bpp $bpp")
+              case "00db" | "00dc" =>
+                val data = new Array[Byte](len); bb.get(data)
+                frames += data
+              case _ => // skip junk/idx1/strh…
+            }
+            bb.position(next)
+          }
+        }
+        walk(bytes.length)
+        require(w > 0 && h > 0 && bpp == 24, s"doc $id: missing headers")
+        require(frames.length == nfDeclared,
+          s"doc $id: ${frames.length} frames, avih declared $nfDeclared")
+        val stride = (w * 3 + 3) / 4 * 4
+        var sum = 0L; var pFirst = -1; var pLast = -1
+        for ((data, f) <- frames.zipWithIndex) {
+          require(data.length == stride * h, s"doc $id: frame $f size")
+          def at(gx: Int, gy: Int): Int = {
+            val x = gx * w / 8; val y = gy * h / 8
+            data((h - 1 - y) * stride + x * 3 + 2) & 0xff // R, top-down
+          }
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) { sum += at(gx, gy); gx += 1 }
+            gy += 1
+          }
+          if (f == 0) pFirst = at(0, 0)
+          if (f == frames.length - 1) pLast = at(7, 7)
+        }
+        (id, frames.length.toLong, w.toLong, h.toLong, sum,
+         pFirst.toLong, pLast.toLong)
+      })
+      .toDF("doc_id", "n_frames", "width", "height", "thumb_sum",
+            "p_first_00", "p_last_77")
+  }
+
+  /** q192 — encode → strict container parse → exact frame features. */
+  def q192VideoDecode(spark: SparkSession, dir: String): DataFrame =
+    parseAvi(videoTable(spark, dir)).orderBy(col("doc_id"))
+
+  val videoDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id*37 + 11) % 48 AS w,
+      |    16 + (doc_id*53 + 7) % 48 AS h,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, w, h, nf, f, gx, gy,
+      |    (doc_id*31 + f*19 + ((gx*w)//8)*7 + ((gy*h)//8)*13) % 256 AS px
+      |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy),
+      |       generate_series(0, 3) g3(f)
+      |  WHERE f < nf)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum(px) AS BIGINT) AS thumb_sum,
+      |  CAST(max(CASE WHEN f = 0 AND gx = 0 AND gy = 0 THEN px END) AS BIGINT)
+      |    AS p_first_00,
+      |  CAST(max(CASE WHEN f = nf - 1 AND gx = 7 AND gy = 7 THEN px END) AS BIGINT)
+      |    AS p_last_77
+      |FROM cells GROUP BY doc_id, nf, w, h
+      |ORDER BY doc_id""".stripMargin
 }

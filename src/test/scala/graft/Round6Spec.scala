@@ -61,4 +61,53 @@ class Round6Spec extends AnyFunSuite {
     assert(sawLoss, "JPEG round-tripped bit-exactly — if the JDK codec " +
       "became lossless, promote it to an exact-oracle query like q182")
   }
+
+  test("q192 AVI walker: unknown chunks (incl. odd-length, RIFF-padded) " +
+       "are skipped; corrupt magic and frame-count lies fail loudly") {
+    import spark.implicits._
+    def one(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.select("avi").head().getAs[Array[Byte]](0)
+    val avi = one(Multimodal.videoTable(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 5L))
+
+    // splice an unknown ODD-length chunk right after 'AVI ' — a correct
+    // walker honors the RIFF pad byte (q180's word-alignment lesson)
+    val junk = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")); junk.putInt(5)
+    junk.put(Array[Byte](1, 2, 3, 4, 5, 0))
+    val spliced = {
+      val bb = java.nio.ByteBuffer.allocate(avi.length + 14)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(avi, 0, 12)           // RIFF <len> AVI(space)
+      bb.put(junk.array())
+      bb.put(avi, 12, avi.length - 12)
+      val out = bb.array()
+      // fix the RIFF length for the inserted bytes
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, out.length - 8)
+      out
+    }
+    val parsedSpliced = Multimodal.parseAvi(
+      Seq((5L, spliced)).toDF("doc_id", "avi")).collect().head
+    val parsedClean = Multimodal.parseAvi(
+      Seq((5L, avi)).toDF("doc_id", "avi")).collect().head
+    assert(parsedSpliced === parsedClean,
+      "junk chunk must not perturb the decoded features")
+
+    // corrupt magic fails loudly
+    val broken = avi.clone(); broken(8) = 'X'.toByte
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.parseAvi(Seq((5L, broken)).toDF("doc_id", "avi")).collect()
+    }
+    // avih frame-count lie fails loudly (declared vs actual cross-check).
+    // avih payload starts at offset 12 (RIFF hdr) + 12 (LIST hdr) + 8
+    // (avih tag+len); dwTotalFrames is +16 into it.
+    val lying = avi.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 12 + 8 + 16, 99)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.parseAvi(Seq((5L, lying)).toDF("doc_id", "avi")).collect()
+    }
+  }
 }
