@@ -210,6 +210,7 @@ object SparkEntry {
     "q190_simpson_conc"     -> (TextOps.q190SimpsonConcentration _),
     "q191_stratified_split" -> (TrainPrep.q191StratifiedSplit _),
     "q192_video_decode"     -> (Multimodal.q192VideoDecode _),
+    "q193_fluency_score"    -> (Corpus.q193FluencyScore _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -627,5 +628,6 @@ object SparkEntry {
     "q190_simpson_conc"      -> TextOps.simpsonConcentrationOracle,
     "q191_stratified_split"  -> TrainPrep.stratifiedSplitOracle,
     "q192_video_decode"      -> Multimodal.videoDecodeOracle,
+    "q193_fluency_score"     -> Corpus.fluencyScoreOracle,
   )
 }

@@ -490,6 +490,78 @@ object Corpus {
       .orderBy(col("w1"))
   }
 
+  // -------------------------------------------------------------------------
+  // q193 — per-doc FLUENCY scoring against the corpus bigram LM (the
+  // CCNet/Wenzek'20 perplexity-filter shape, log-free): each bigram
+  // occurrence scores its exact integer continuation likelihood
+  // p(w₂|w₁) = ⌊10⁶·c₁₂/c₁⌋ ppm, a doc scores the truncated mean of its
+  // bigram ppms, sources roll up n/avg/min/max. A doc of boilerplate
+  // reads high (every continuation is the common one); shuffled or
+  // gibberish text reads low. Perplexity's exp/log monotonically maps to
+  // this mean-likelihood readout for RANKING docs, and the integer form
+  // is bit-identical across engines where a floating log-prob sum never
+  // is. In-corpus scoring needs no smoothing — every scored bigram was
+  // counted by the LM it is scored against (cross-corpus scoring would
+  // need the add-one extension; documented, not implemented).
+  //
+  // Scale: LM = the (w1, w2, c12, c1) relation (vocab-bounded, keyed);
+  // scoring = one equi-join of the doc-bigram relation against it, then
+  // two partial aggregates (doc, then source). No window over docs.
+  // -------------------------------------------------------------------------
+
+  /** q193 — per source: scored docs and the avg/min/max doc-fluency ppm. */
+  def q193FluencyScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+                 element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+              col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    val docScores = bigrams
+      .join(lm, Seq("w1", "w2"))
+      .select(col("doc_id"), col("source"),
+              expr("(1000000 * c12) DIV c1").as("ppm"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("sum(ppm) DIV count(1)").as("doc_ppm"))
+    docScores.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+           expr("sum(doc_ppm) DIV count(1)").as("avg_fluency_ppm"),
+           min(col("doc_ppm")).as("min_fluency_ppm"),
+           max(col("doc_ppm")).as("max_fluency_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val fluencyScoreOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS wr
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source,
+      |    unnest([{'w1': wr[i], 'w2': wr[i+1]} for i in range(1, len(wr))], recursive := true)
+      |  FROM t WHERE len(wr) >= 2),
+      |lm AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12,
+      |    sum(count(*)) OVER (PARTITION BY w1) AS c1
+      |  FROM bg GROUP BY w1, w2),
+      |ds AS (
+      |  SELECT doc_id, source,
+      |    sum((1000000 * lm.c12) // CAST(lm.c1 AS BIGINT))
+      |      // count(*) AS doc_ppm
+      |  FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+      |  GROUP BY doc_id, source)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(doc_ppm) // count(*) AS BIGINT) AS avg_fluency_ppm,
+      |  CAST(min(doc_ppm) AS BIGINT) AS min_fluency_ppm,
+      |  CAST(max(doc_ppm) AS BIGINT) AS max_fluency_ppm
+      |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   val bigramLmOracle: String =
     """WITH bg AS (
       |  SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (

@@ -68,6 +68,34 @@ class Round6dSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 fluency score replays from a driver-side bigram LM; " +
+       "repeated boilerplate outranks unique text") {
+    val srcDocs = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSeq))
+      .filter(_._2.size >= 2)
+    val allBigrams = srcDocs.flatMap(_._2.sliding(2).map(p => (p.head, p(1))))
+    val c12 = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def docPpm(toks: Seq[String]): Long = {
+      val ppms = toks.sliding(2).map { p =>
+        1000000L * c12((p.head, p(1))) / c1(p.head)
+      }.toSeq
+      ppms.sum / ppms.size
+    }
+    val expected = srcDocs.groupBy(_._1).view.mapValues { ds =>
+      val scores = ds.map(d => docPpm(d._2))
+      (ds.size.toLong, scores.sum / ds.size, scores.min, scores.max)
+    }.toMap
+    val got = operators.Corpus.q193FluencyScore(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // every source's max strictly exceeds its min on this corpus — the
+    // score separates docs, it is not a constant
+    assert(got.values.forall { case (_, _, mn, mx) => mx > mn })
+  }
+
   test("q190 Simpson concentration: per-source averages replay from exact " +
        "driver-side collision probabilities; bounds hold") {
     val got = TextOps.q190SimpsonConcentration(spark, dir).collect()
