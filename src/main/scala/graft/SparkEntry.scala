@@ -211,6 +211,8 @@ object SparkEntry {
     "q191_stratified_split" -> (TrainPrep.q191StratifiedSplit _),
     "q192_video_decode"     -> (Multimodal.q192VideoDecode _),
     "q193_fluency_score"    -> (Corpus.q193FluencyScore _),
+    "q194_filter_overlap"   -> (TrainPrep.q194FilterOverlap _),
+    "q195_release_drift"    -> (Releases.q195ReleaseDrift _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -629,5 +631,7 @@ object SparkEntry {
     "q191_stratified_split"  -> TrainPrep.stratifiedSplitOracle,
     "q192_video_decode"      -> Multimodal.videoDecodeOracle,
     "q193_fluency_score"     -> Corpus.fluencyScoreOracle,
+    "q194_filter_overlap"    -> TrainPrep.filterOverlapOracle,
+    "q195_release_drift"     -> Releases.releaseDriftOracle,
   )
 }

@@ -73,4 +73,74 @@ object Releases {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q195 — release DISTRIBUTION drift (the PSI dashboard readout, log-free):
+  // token-length decile histograms of the two releases side by side, with
+  // exact integer per-bucket shares and absolute share deltas in ppm. PSI
+  // weights the same deltas by a log ratio; the L1 form ranks drift
+  // identically per bucket and is bit-exact across engines. Catches what
+  // q185's row diff can't: a release whose rows mostly "changed" but whose
+  // DISTRIBUTION stayed put (harmless) vs one where a small row delta
+  // moved a whole decile (retrain trigger).
+  //
+  // Scale: each release collapses to a ≤10-row histogram at the scan;
+  // everything after is arithmetic on those 10 rows.
+  // -------------------------------------------------------------------------
+
+  /** q195 — per decile-bucket: release doc counts, shares, |Δshare| ppm. */
+  def q195ReleaseDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val prevLen = d.filter(pmod(col("doc_id"), lit(16L)) =!= 0L)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val currLen = d.filter(pmod(col("doc_id"), lit(16L)) =!= 5L)
+      .select(size(TextOps.tokens(
+        when(pmod(col("doc_id"), lit(8L)) === 3L,
+             concat(col("text"), lit(RevTail))).otherwise(col("text"))))
+        .cast("long").as("n"))
+    def hist(lens: DataFrame, cnt: String): DataFrame =
+      lens.select(least(lit(9L), expr("n DIV 10")).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val p = hist(prevLen, "n_prev")
+    val c = hist(currLen, "n_curr")
+    p.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+      .crossJoin( // 1-row control totals
+        prevLen.agg(count(lit(1)).as("tot_prev"))
+          .crossJoin(currLen.agg(count(lit(1)).as("tot_curr"))))
+      .select(col("bucket"), col("n_prev"), col("n_curr"),
+        expr("(1000000 * n_prev) DIV tot_prev").as("share_prev_ppm"),
+        expr("(1000000 * n_curr) DIV tot_curr").as("share_curr_ppm"),
+        abs(expr("(1000000 * n_prev) DIV tot_prev") -
+            expr("(1000000 * n_curr) DIV tot_curr")).as("drift_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val releaseDriftOracle: String =
+    s"""WITH prev AS (
+       |  SELECT len(regexp_split_to_array(lower(text), '\\s+')) AS n
+       |  FROM documents WHERE doc_id % 16 <> 0),
+       |curr AS (
+       |  SELECT len(regexp_split_to_array(lower(
+       |    CASE WHEN doc_id % 8 = 3 THEN text || '$RevTail' ELSE text END), '\\s+')) AS n
+       |  FROM documents WHERE doc_id % 16 <> 5),
+       |ph AS (SELECT least(9, n // 10) AS bucket, CAST(count(*) AS BIGINT) AS n_prev
+       |       FROM prev GROUP BY 1),
+       |ch AS (SELECT least(9, n // 10) AS bucket, CAST(count(*) AS BIGINT) AS n_curr
+       |       FROM curr GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM prev) AS tot_prev,
+       |               (SELECT count(*) FROM curr) AS tot_curr)
+       |SELECT CAST(coalesce(ph.bucket, ch.bucket) AS BIGINT) AS bucket,
+       |  CAST(coalesce(n_prev, 0) AS BIGINT) AS n_prev,
+       |  CAST(coalesce(n_curr, 0) AS BIGINT) AS n_curr,
+       |  (1000000 * CAST(coalesce(n_prev, 0) AS BIGINT)) // tot_prev AS share_prev_ppm,
+       |  (1000000 * CAST(coalesce(n_curr, 0) AS BIGINT)) // tot_curr AS share_curr_ppm,
+       |  abs((1000000 * CAST(coalesce(n_prev, 0) AS BIGINT)) // tot_prev -
+       |      (1000000 * CAST(coalesce(n_curr, 0) AS BIGINT)) // tot_curr) AS drift_ppm
+       |FROM ph FULL OUTER JOIN ch ON ph.bucket = ch.bucket
+       |CROSS JOIN tot
+       |ORDER BY bucket""".stripMargin
 }

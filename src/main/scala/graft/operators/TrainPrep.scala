@@ -1085,4 +1085,102 @@ object TrainPrep {
       |  (1000000 * CAST(count(*) AS BIGINT)) // CAST(max(n) AS BIGINT)
       |    AS share_ppm
       |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q194 — FILTER OVERLAP / REDUNDANCY audit (the Dolma/RefinedWeb
+  // ablation bookkeeping): every doc is flagged by each of the four
+  // standard gates — lexicon (q166), PII presence (q144), blocked URL
+  // (q148), absolute length bounds — and the corpus rolls up to the 2⁴
+  // flag-combination table. This answers "which filters do UNIQUE work"
+  // (a doc counted only under one gate is that gate's marginal
+  // contribution; a doc flagged by three is why ablating any single
+  // filter barely moves the survivor count).
+  //
+  // Scale: four codegen'd per-doc flag maps over one corpus scan each
+  // (the URL gate adds its narrow host explode + 10-row broadcast
+  // blocklist), joined on doc_id (keyed equi-joins), then ONE ≤16-row
+  // aggregate. No window.
+  // -------------------------------------------------------------------------
+
+  /** q194's absolute length gate (tokens): outside [20, 90] is flagged —
+    * bites both tails of this corpus's 10..99 distribution. */
+  val LenLo = 20L
+  val LenHi = 90L
+
+  /** q194 — (f_lex, f_pii, f_url, f_len) → doc count + gate multiplicity. */
+  def q194FilterOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Lexicon.labTable(spark, dir)
+      .select(col("doc_id"), col("label").as("f_lex"))
+    def anyMatch(c: org.apache.spark.sql.Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))) > 0
+    val pii = Pii.piiTable(spark, dir).select(col("doc_id"),
+      when(anyMatch(col("pii_text"), Pii.emailPat) ||
+           anyMatch(col("pii_text"), Pii.phonePat) ||
+           anyMatch(col("pii_text"), Pii.ipPat), 1L).otherwise(0L).as("f_pii"))
+    val block = broadcast(UrlOps.blockedDomains.toDF("domain"))
+    val url = UrlOps.urlTable(spark, dir)
+      .select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("url_text"),
+          lit(UrlOps.urlPat), lit(1))).as("host"))
+      .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+      .join(block.withColumn("hit", lit(1L)), Seq("domain"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(coalesce(col("hit"), lit(0L))).as("f_url"))
+    val len = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(TextOps.tokens(col("text"))).cast("long")
+               .between(LenLo, LenHi), 0L).otherwise(1L).as("f_len"))
+    lex.join(pii, "doc_id").join(url, "doc_id").join(len, "doc_id")
+      .groupBy(col("f_lex"), col("f_pii"), col("f_url"), col("f_len"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_gates",
+        col("f_lex") + col("f_pii") + col("f_url") + col("f_len"))
+      .orderBy(col("f_lex"), col("f_pii"), col("f_url"), col("f_len"))
+  }
+
+  val filterOverlapOracle: String = {
+    def flat(s: String) = s.linesIterator.map(_.trim).mkString(" ")
+    val lexIn = Lexicon.lexicon.map(t => s"'$t'").mkString(", ")
+    val blockVals = UrlOps.blockedDomains.map(d => s"('$d')").mkString(", ")
+    s"""WITH lexf AS (
+       |  SELECT doc_id, CASE WHEN len(list_filter(
+       |      regexp_split_to_array(lower(text || ${flat(Lexicon.lexTailSql)}), '\\s+'),
+       |      x -> x IN ($lexIn))) > 0 THEN 1 ELSE 0 END AS f_lex
+       |  FROM documents),
+       |piif AS (
+       |  SELECT doc_id, CASE WHEN
+       |      len(regexp_extract_all(pii_text, '${Pii.emailPat}', 0)) +
+       |      len(regexp_extract_all(pii_text, '${Pii.phonePat}', 0)) +
+       |      len(regexp_extract_all(pii_text, '${Pii.ipPat}', 0)) > 0
+       |    THEN 1 ELSE 0 END AS f_pii
+       |  FROM (SELECT doc_id, text || ${flat(Pii.piiTailSql)} AS pii_text
+       |        FROM documents)),
+       |block(domain) AS (VALUES $blockVals),
+       |urlf AS (
+       |  SELECT u.doc_id,
+       |    max(CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END) AS f_url
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(unnest(regexp_extract_all(url_text, '${UrlOps.urlPat}', 1)),
+       |                         '^www\\.', '') AS domain
+       |        FROM (SELECT doc_id, text || ${flat(UrlOps.urlTailSql)} AS url_text
+       |              FROM documents)) h
+       |  RIGHT JOIN documents u ON u.doc_id = h.doc_id
+       |  LEFT JOIN block b ON b.domain = h.domain
+       |  GROUP BY u.doc_id),
+       |lenf AS (
+       |  SELECT doc_id, CASE WHEN len(regexp_split_to_array(lower(text), '\\s+'))
+       |      BETWEEN $LenLo AND $LenHi THEN 0 ELSE 1 END AS f_len
+       |  FROM documents)
+       |SELECT CAST(l.f_lex AS BIGINT) AS f_lex, CAST(p.f_pii AS BIGINT) AS f_pii,
+       |  CAST(u.f_url AS BIGINT) AS f_url, CAST(n.f_len AS BIGINT) AS f_len,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(l.f_lex + p.f_pii + u.f_url + n.f_len AS BIGINT) AS n_gates
+       |FROM lexf l
+       |JOIN piif p ON p.doc_id = l.doc_id
+       |JOIN urlf u ON u.doc_id = l.doc_id
+       |JOIN lenf n ON n.doc_id = l.doc_id
+       |GROUP BY l.f_lex, p.f_pii, u.f_url, n.f_len
+       |ORDER BY f_lex, f_pii, f_url, f_len""".stripMargin
+  }
 }

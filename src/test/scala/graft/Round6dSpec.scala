@@ -96,6 +96,32 @@ class Round6dSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, mn, mx) => mx > mn })
   }
 
+  test("q194 filter overlap: mask counts tie out against each gate's own " +
+       "operator; multi-gate docs exist (overlap is real)") {
+    val rows = operators.TrainPrep.q194FilterOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._5).sum === total, "masks must partition the corpus")
+    assert(rows.forall { case (a, b, c, d, _, g) => a + b + c + d === g })
+    // lexicon marginal ties out against q166's per-source flagged sum
+    val lexFlagged = operators.Lexicon.q166LexiconFilter(spark, dir)
+      .agg(sum(col("docs_flagged"))).collect().head.getLong(0)
+    assert(rows.filter(_._1 == 1L).map(_._5).sum === lexFlagged)
+    assert(rows.exists(r => r._6 >= 2 && r._5 > 0),
+      "fixture moduli share docs — some doc must trip ≥2 gates")
+  }
+
+  test("q195 release drift: histograms conserve releases; drift nonzero") {
+    val rows = operators.Releases.q195ReleaseDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._2).sum === ids.count(_ % 16 != 0).toLong)
+    assert(rows.map(_._3).sum === ids.count(_ % 16 != 5).toLong)
+    assert(rows.exists(_._4 > 0), "carved releases must show some drift")
+  }
+
   test("q190 Simpson concentration: per-source averages replay from exact " +
        "driver-side collision probabilities; bounds hold") {
     val got = TextOps.q190SimpsonConcentration(spark, dir).collect()
