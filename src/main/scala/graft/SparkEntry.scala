@@ -213,6 +213,8 @@ object SparkEntry {
     "q193_fluency_score"    -> (Corpus.q193FluencyScore _),
     "q194_filter_overlap"   -> (TrainPrep.q194FilterOverlap _),
     "q195_release_drift"    -> (Releases.q195ReleaseDrift _),
+    "q196_hubness_audit"    -> (Similarity.q196HubnessAudit _),
+    "q197_memorization"     -> (Corpus.q197MemorizationProbe _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -633,5 +635,7 @@ object SparkEntry {
     "q193_fluency_score"     -> Corpus.fluencyScoreOracle,
     "q194_filter_overlap"    -> TrainPrep.filterOverlapOracle,
     "q195_release_drift"     -> Releases.releaseDriftOracle,
+    "q196_hubness_audit"     -> Similarity.hubnessAuditOracle,
+    "q197_memorization"      -> Corpus.memorizationProbeOracle,
   )
 }

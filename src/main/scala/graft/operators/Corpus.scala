@@ -1571,4 +1571,84 @@ object Corpus {
        |  CAST(count(DISTINCT rh) AS BIGINT) AS distinct_rebuilt,
        |  min(rh) AS min_rh, max(rh) AS max_rh
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q197 — MEMORIZATION-RISK probe (the Carlini'21/infini-gram lookup
+  // shape): for each doc, the LONGEST suffix n-gram (n ∈ 2..5) that also
+  // occurs in at least one OTHER document. A model that has seen a
+  // training doc whose ending is corpus-frequent can complete it from
+  // n-gram statistics alone; max_n = 0 means the ending is unique — the
+  // completion would be genuine memorization, which is what extraction
+  // audits probe with exactly this suffix-lookup primitive. Per-source
+  // histogram of max_n.
+  //
+  // Scale: per n, one narrow (doc_id, hash(gram)) explode →
+  // distinct-doc df (partial-aggregated) → ONE keyed join against the
+  // |docs|-row suffix relation. No window, no pair join; gram text never
+  // shuffles (md5 of it does).
+  // -------------------------------------------------------------------------
+
+  /** q197's probe lengths. */
+  val MemNs: Seq[Int] = Seq(2, 3, 4, 5)
+
+  /** q197 — per (source, max_n): doc counts. */
+  def q197MemorizationProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("len", size(col("t")).cast("long"))
+      .localCheckpoint() // consumed 2×|MemNs| times below
+    val flags = MemNs.map { n =>
+      val grams = d.filter(col("len") >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), col("len") - (n - 1)), i =>
+            md5(concat_ws(" ", slice(col("t"), i.cast("int"), lit(n)))))).as("g"))
+        .distinct() // df counts DISTINCT docs
+      val dfRel = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      d.filter(col("len") >= n)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("t"), (col("len") - (n - 1)).cast("int"),
+                                   lit(n)))).as("g"))
+        .join(dfRel, "g")
+        .filter(col("df") >= 2L) // the suffix also ends/appears elsewhere
+        .select(col("doc_id"), lit(n.toLong).as("n"))
+    }
+    val best = flags.reduce(_.union(_))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("max_n"))
+    d.select(col("doc_id"), col("source"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("max_n"), lit(0L)).as("max_n"))
+      .groupBy(col("source"), col("max_n"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("max_n"))
+  }
+
+  val memorizationProbeOracle: String = {
+    val legs = MemNs.map { n =>
+      s"""SELECT s.doc_id, $n AS n
+         |FROM (
+         |  SELECT doc_id, md5(array_to_string(wr[len(wr)-${n - 1}:len(wr)], ' ')) AS g
+         |  FROM t WHERE len(wr) >= $n) s
+         |JOIN (
+         |  SELECT g, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id,
+         |      unnest([md5(array_to_string(wr[i:i+${n - 1}], ' '))
+         |              for i in range(1, len(wr)-${n - 2})]) AS g
+         |    FROM t WHERE len(wr) >= $n)
+         |  GROUP BY g) f ON f.g = s.g
+         |WHERE f.df >= 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS wr
+       |  FROM documents),
+       |flags AS (
+       |$legs),
+       |best AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS max_n
+       |         FROM flags GROUP BY doc_id)
+       |SELECT d.source, CAST(coalesce(b.max_n, 0) AS BIGINT) AS max_n,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, source FROM t) d
+       |LEFT JOIN best b ON b.doc_id = d.doc_id
+       |GROUP BY d.source, coalesce(b.max_n, 0)
+       |ORDER BY source, max_n""".stripMargin
+  }
 }

@@ -1814,4 +1814,66 @@ object Similarity {
        |  CAST(max(norm_u) AS BIGINT) AS max_norm_u,
        |  CAST(sum(norm_u) AS BIGINT) AS sum_norm_u
        |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q196 — HUBNESS audit (Radovanović et al. JMLR'10): the k-occurrence
+  // distribution — how many query top-k lists each corpus point appears
+  // in. High-dimensional spaces grow "hubs" (points inside everyone's
+  // neighborhood) and anti-hubs (never retrieved); a heavy k-occurrence
+  // tail degrades ANN recall and poisons contrastive sampling (q155's
+  // hard negatives would keep drawing the same hubs). The readout is the
+  // full k-occurrence histogram including the never-retrieved 0-bucket.
+  //
+  // Scale: the query side is a strided sample (a production run caps it
+  // at a fixed size; the stride keeps the fixture deterministic) and
+  // BROADCASTS against one corpus scan — the q32 shape — then two
+  // ≤|sample|·K-row aggregates. No corpus×corpus pair ever exists.
+  // -------------------------------------------------------------------------
+
+  /** q196's query-sample stride. */
+  val HubSampleMod = 10L
+
+  /** q196 — (k_occurrence, n_points), 0-bucket included. */
+  def q196HubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(HubSampleMod)) === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    val top = topK(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+    val occ = top.groupBy(col("n_id")).agg(count(lit(1)).as("k_occ"))
+    val hist = occ.groupBy(col("k_occ")).agg(count(lit(1)).as("n_points"))
+    val zero = e.agg(count(lit(1)).as("n_total"))
+      .crossJoin(occ.agg(count(lit(1)).as("n_covered"))) // 1-row controls
+      .select(lit(0L).as("k_occ"),
+              (col("n_total") - col("n_covered")).as("n_points"))
+    zero.unionByName(hist).orderBy(col("k_occ"))
+  }
+
+  val hubnessAuditOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |top AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |        round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |      FROM e q JOIN e n
+       |        ON q.vec_id % $HubSampleMod = 0 AND n.vec_id != q.vec_id))
+       |  WHERE rank <= $TOP_K),
+       |occ AS (SELECT n_id, CAST(count(*) AS BIGINT) AS k_occ
+       |        FROM top GROUP BY n_id),
+       |hist AS (SELECT k_occ, CAST(count(*) AS BIGINT) AS n_points
+       |         FROM occ GROUP BY k_occ)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS k_occ,
+       |    CAST((SELECT count(*) FROM e) - (SELECT count(*) FROM occ) AS BIGINT)
+       |      AS n_points
+       |  UNION ALL SELECT k_occ, n_points FROM hist)
+       |ORDER BY k_occ""".stripMargin
 }

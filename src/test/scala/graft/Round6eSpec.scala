@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Corpus, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 third batch: hubness conservation laws and a full driver-side
+  * replay of the memorization probe. */
+class Round6eSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q196 hubness: histogram conserves the corpus and the retrieval " +
+       "mass; 0-bucket present") {
+    val rows = Similarity.q196HubnessAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % Similarity.HubSampleMod === 0L).count()
+    assert(rows.map(_._2).sum === nVecs, "every point lands in one bucket")
+    assert(rows.map { case (k, n) => k * n }.sum === nQueries * 5L,
+      "total k-occurrences must equal |queries| * K")
+    assert(rows.exists(_._1 == 0L), "anti-hub bucket must be reported")
+    assert(rows.exists(r => r._1 > 0 && r._2 > 0))
+  }
+
+  test("q197 memorization probe replays from a driver-side n-gram index") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split("\\s+").toSeq))
+    def gramsOf(t: Seq[String], n: Int): Seq[String] =
+      if (t.size < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+    val expected = {
+      val byN = Corpus.MemNs.map { n =>
+        val df = scala.collection.mutable.Map.empty[String, Int]
+        for ((_, _, t) <- docs; g <- gramsOf(t, n).distinct)
+          df(g) = df.getOrElse(g, 0) + 1
+        n -> df
+      }.toMap
+      docs.map { case (_, src, t) =>
+        val maxN = Corpus.MemNs.filter { n =>
+          t.size >= n && byN(n)(t.takeRight(n).mkString(" ")) >= 2
+        }
+        (src, if (maxN.isEmpty) 0L else maxN.max.toLong)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val got = Corpus.q197MemorizationProbe(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected)
+    // the probe separates: some doc's ending is shared, some is unique
+    assert(expected.keys.exists(_._2 == 0L) && expected.keys.exists(_._2 > 0L))
+  }
+}

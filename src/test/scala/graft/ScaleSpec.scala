@@ -438,6 +438,26 @@ class ScaleSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(ssWins.nonEmpty && ssWins.forall(_.contains("__b")),
       s"q191 rank window not bucket-partitioned:\n$ss")
+    // q194: codegen'd flag maps + keyed doc_id joins; the only broadcast
+    // is the 10-row blocklist — no cartesian, no window
+    val fo = finalPlan(graft.operators.TrainPrep.q194FilterOverlap(spark, dir))
+    assert(!fo.contains("CartesianProduct"), s"cartesian in q194:\n$fo")
+    assert(!fo.contains("windowspecdefinition"), s"unexpected window in q194:\n$fo")
+    // q195: two ≤10-row histograms + 1-row totals; no cartesian, no window
+    val dr = finalPlan(graft.operators.Releases.q195ReleaseDrift(spark, dir))
+    assert(!dr.contains("CartesianProduct"), s"cartesian in q195:\n$dr")
+    assert(!dr.contains("windowspecdefinition"), s"unexpected window in q195:\n$dr")
+    // q196: the query sample broadcasts against one corpus scan (the q32
+    // BNLJ shape is the sanctioned broadcast-dimension join); top-k heaps
+    val hub = finalPlan(graft.operators.Similarity.q196HubnessAudit(spark, dir))
+    assert(!hub.contains("CartesianProduct"), s"cartesian in q196:\n$hub")
+    assert(hub.contains("BroadcastNestedLoopJoin") || hub.contains("BroadcastHashJoin"),
+      s"q196 query sample not broadcast:\n$hub")
+    // q197: per-n gram relations join keyed on the hashed gram; no
+    // cartesian, no window anywhere
+    val mem = finalPlan(graft.operators.Corpus.q197MemorizationProbe(spark, dir))
+    assert(!mem.contains("CartesianProduct"), s"cartesian in q197:\n$mem")
+    assert(!mem.contains("windowspecdefinition"), s"unexpected window in q197:\n$mem")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
