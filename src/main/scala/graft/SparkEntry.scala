@@ -215,6 +215,7 @@ object SparkEntry {
     "q195_release_drift"    -> (Releases.q195ReleaseDrift _),
     "q196_hubness_audit"    -> (Similarity.q196HubnessAudit _),
     "q197_memorization"     -> (Corpus.q197MemorizationProbe _),
+    "q198_nfc_audit"        -> (EncodingQa.q198NfcAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -637,5 +638,6 @@ object SparkEntry {
     "q195_release_drift"     -> Releases.releaseDriftOracle,
     "q196_hubness_audit"     -> Similarity.hubnessAuditOracle,
     "q197_memorization"      -> Corpus.memorizationProbeOracle,
+    "q198_nfc_audit"         -> EncodingQa.nfcAuditOracle,
   )
 }

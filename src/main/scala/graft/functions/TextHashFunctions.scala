@@ -85,6 +85,19 @@ object TextHashUtil {
     * the kernels on non-ASCII text — the kernels are the contract; the
     * declarative forms exist as semantics documentation and are compared
     * on ASCII fixtures. */
+  /** Unicode NFC normalization (UAX#15) — the canonical-composition
+    * pre-pass a text pipeline runs before hashing/dedup (a decomposed
+    * `e` + U+0301 and the precomposed `é` must not count as different
+    * documents). java.text.Normalizer is locale-independent by spec. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: quickly-checked-normalized strings (all ASCII included)
+    // skip the composer entirely
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def shingleStrings(text: String): Array[String] = {
     val t = text.toLowerCase(Locale.ROOT).split("\\s+", -1)
     if (t.length < 3) return Array.empty
@@ -213,6 +226,26 @@ object TextHashUtil {
 }
 
 /** `graft_shingles(text)` → ARRAY<STRING> of distinct 3-gram shingles. */
+/** `graft_nfc(text)` → STRING: Unicode NFC normalization (UAX#15), as a
+  * native codegen'd Expression — no UDF, no interpreted fallback. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_nfc expects STRING")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashUtil.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashUtil.nfc($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class ShingleSet(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"

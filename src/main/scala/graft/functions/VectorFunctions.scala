@@ -211,6 +211,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_bloom_might",
       exprs => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
   }
 }
 
@@ -250,6 +252,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_bloom_might"),
       new ExpressionInfo(classOf[BloomMight].getName, "graft_bloom_might"),
       (exprs: Seq[Expression]) => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
     // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)

@@ -125,4 +125,64 @@ object EncodingQa {
       |  CAST(sum(n_nonascii) AS BIGINT) AS total_nonascii,
       |  CAST(sum(n_nonascii) * 1000000 // sum(n_chars) AS BIGINT) AS nonascii_ppm
       |FROM cnts GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q198 — Unicode NORMALIZATION audit (UAX#15 NFC): the canonical-
+  // composition pre-pass every hash-based stage assumes — a decomposed
+  // `e`+U+0301 and the precomposed `é` are byte-different but
+  // canonically-equal text, so un-normalized corpora silently miss
+  // exact-dup/shingle matches. Per source: docs needing normalization and
+  // the code-point mass the composition saves. The normalizer is
+  // `graft_nfc` — a native codegen'd Catalyst Expression over
+  // java.text.Normalizer (locale-independent by spec); DuckDB's
+  // `nfc_normalize` implements the same UAX#15 algorithm, so the audit
+  // doubles as a cross-engine normalization-parity check.
+  //
+  // The ASCII corpus is NFC-trivially; [[nfcTail]] injects decomposed
+  // sequences on doc_id%5==1 and PRECOMPOSED decoys on doc_id%5==2 (a
+  // detector that can't tell them apart flags the decoys too).
+  // -------------------------------------------------------------------------
+
+  /** Decomposed markers (e+U+0301, a+U+0308) vs precomposed decoys —
+    * explicit escapes so no toolchain can silently normalize the
+    * source literal. */
+  def nfcTail(d: Column): Column = concat(
+    when(d % 5 === 1, lit(" cafe\u0301 ja\u0308ger")).otherwise(""),
+    when(d % 5 === 2, lit(" caf\u00e9 j\u00e4ger")).otherwise(""))
+
+  val nfcTailSql: String =
+    "CASE WHEN doc_id % 5 = 1 THEN ' cafe' || chr(769) || ' ja' || chr(776) || 'ger' ELSE '' END" +
+    " || CASE WHEN doc_id % 5 = 2 THEN ' caf' || chr(233) || ' j' || chr(228) || 'ger' ELSE '' END"
+
+  /** q198 — per source: docs needing NFC, code points saved, and the md5
+    * fingerprint of the normalized corpus (min/max — proves both engines
+    * COMPOSED to identical bytes, not merely counted alike). */
+  def q198NfcAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), nfcTail(col("doc_id"))).as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        call_function("graft_nfc", col("t")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") =!= col("t"), 1L).otherwise(0L)).as("docs_denorm"),
+        sum((length(col("t")) - length(col("nt"))).cast("long"))
+          .as("chars_saved"),
+        min(md5(col("nt"))).as("min_nfc_md5"),
+        max(md5(col("nt"))).as("max_nfc_md5"))
+      .orderBy(col("source"))
+  }
+
+  val nfcAuditOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text || $nfcTailSql AS t
+       |  FROM documents),
+       |n AS (SELECT doc_id, source, t, nfc_normalize(t) AS nt FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_denorm,
+       |  CAST(sum(length(t) - length(nt)) AS BIGINT) AS chars_saved,
+       |  min(md5(nt)) AS min_nfc_md5,
+       |  max(md5(nt)) AS max_nfc_md5
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
 }

@@ -32,6 +32,36 @@ class Round6eSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 > 0 && r._2 > 0))
   }
 
+  test("q198 NFC audit: only decomposed docs flagged (precomposed decoys " +
+       "pass), closed-form counts, kernel idempotent, raw corpus clean") {
+    val got = operators.EncodingQa.q198NfcAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ids = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for ((src, ds) <- ids.groupBy(_._1)) {
+      val denorm = ds.count(_._2 % 5 == 1).toLong
+      assert(got(src)._1 === ds.length.toLong)
+      assert(got(src)._2 === denorm, s"$src: only d%5==1 docs decompose")
+      // each decomposed tail composes e+U+0301 and a+U+0308 → 2 cp saved
+      assert(got(src)._3 === 2L * denorm, s"$src chars_saved")
+    }
+    // kernel: idempotent, identity on ASCII, composes the fixture
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = (s: String) =>
+      graft.functions.TextHashUtil.nfc(UTF8String.fromString(s)).toString
+    assert(k("plain ascii") === "plain ascii")
+    assert(k("cafe\u0301") === "caf\u00e9", "composes the decomposed form")
+    assert(k(k("cafe\u0301")) === k("cafe\u0301"), "idempotent")
+    // raw corpus (no tails) is already NFC everywhere
+    val raw = Tables.documents(spark, dir)
+      .select(sum(when(call_function("graft_nfc", col("text")) =!= col("text"),
+        1L).otherwise(0L)))
+      .collect().head.getLong(0)
+    assert(raw === 0L, "detector specificity: raw corpus must be clean")
+  }
+
   test("q197 memorization probe replays from a driver-side n-gram index") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text"))).collect()
