@@ -135,6 +135,15 @@ object Main {
     df.collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
   }
 
+  /** `card` — print the per-source DATASET CARD
+    * ([[operators.DataCard.q181DataCard]]) as a TSV with a header row:
+    * the datasheet a release ships next to its parquet. */
+  def cardCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    val df = operators.DataCard.q181DataCard(spark, sfDir)
+    val header = df.columns.mkString("\t")
+    header +: df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
       val q = streaming.Listen.stream(session(), zone, tables, ckpt)
@@ -201,6 +210,11 @@ object Main {
     case "funnel" :: sfDir :: rest if rest.size <= 1 =>
       val spark = session()
       funnelCmd(spark, sfDir, rest.headOption.getOrElse("v1")).foreach(println)
+      spark.stop()
+
+    case "card" :: sfDir :: Nil =>
+      val spark = session()
+      cardCmd(spark, sfDir).foreach(println)
       spark.stop()
 
     case "check-schema" :: tables :: Nil =>

@@ -216,6 +216,7 @@ object SparkEntry {
     "q196_hubness_audit"    -> (Similarity.q196HubnessAudit _),
     "q197_memorization"     -> (Corpus.q197MemorizationProbe _),
     "q198_nfc_audit"        -> (EncodingQa.q198NfcAudit _),
+    "q199_source_overlap"   -> (Dedup.q199SourceOverlap _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -639,5 +640,6 @@ object SparkEntry {
     "q196_hubness_audit"     -> Similarity.hubnessAuditOracle,
     "q197_memorization"      -> Corpus.memorizationProbeOracle,
     "q198_nfc_audit"         -> EncodingQa.nfcAuditOracle,
+    "q199_source_overlap"    -> Dedup.sourceOverlapOracle,
   )
 }

@@ -1295,4 +1295,42 @@ object Dedup {
        |FROM ($legs) v CROSS JOIN truth t
        |ORDER BY v.rows_per_band""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q199 — CROSS-SOURCE duplication matrix: q29's verified near-dup pairs
+  // attributed to their (unordered) source pair — the provenance-overlap
+  // readout that tells a curator WHICH crawls copy from each other
+  // (mirror sites, syndication, re-crawls under a new label). Within-
+  // source duplication (the diagonal) and cross-source leakage (the
+  // off-diagonal) are different remediations: the first is dedup, the
+  // second is a source-selection decision.
+  //
+  // Scale: the pair relation is the bounded LSH-verified output; both
+  // source attachments are keyed doc_id joins against the narrow
+  // (doc_id, source) projection; the matrix is ≤|sources|² rows.
+  // -------------------------------------------------------------------------
+
+  /** q199 — (src_lo, src_hi) → verified near-dup pair count. */
+  def q199SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+              greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH pairs AS ($lshNearDupOracle)
+       |SELECT least(a.source, b.source) AS src_lo,
+       |  greatest(a.source, b.source) AS src_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
 }

@@ -75,6 +75,16 @@ class CliSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("card: TSV dataset card with one row per source, matching q181") {
+    val lines = Main.cardCmd(spark, "/root/testdata/sf0.001")
+    val nSources = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source").distinct().count()
+    assert(lines.length === nSources + 1) // header + rows
+    assert(lines.head.startsWith("source\t"))
+    val cols = lines.head.split("\t").length
+    assert(lines.tail.forall(_.split("\t").length === cols))
+  }
+
   test("single: present vs missing") {
     import spark.implicits._
     val dir = tmpTables()
