@@ -217,6 +217,7 @@ object SparkEntry {
     "q197_memorization"     -> (Corpus.q197MemorizationProbe _),
     "q198_nfc_audit"        -> (EncodingQa.q198NfcAudit _),
     "q199_source_overlap"   -> (Dedup.q199SourceOverlap _),
+    "q200_ensemble_rank"    -> (Ensemble.q200EnsembleRank _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -641,5 +642,6 @@ object SparkEntry {
     "q197_memorization"      -> Corpus.memorizationProbeOracle,
     "q198_nfc_audit"         -> EncodingQa.nfcAuditOracle,
     "q199_source_overlap"    -> Dedup.sourceOverlapOracle,
+    "q200_ensemble_rank"     -> Ensemble.ensembleRankOracle,
   )
 }

@@ -509,8 +509,9 @@ object Corpus {
   // two partial aggregates (doc, then source). No window over docs.
   // -------------------------------------------------------------------------
 
-  /** q193 — per source: scored docs and the avg/min/max doc-fluency ppm. */
-  def q193FluencyScore(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc fluency relation (doc_id, source, doc_ppm) — q193's
+    * rollup input, also a q200 ensemble signal. */
+  def fluencyDocScores(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val bigrams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), t.as("t"))
@@ -524,19 +525,22 @@ object Corpus {
     val lm = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
-    val docScores = bigrams
+    bigrams
       .join(lm, Seq("w1", "w2"))
       .select(col("doc_id"), col("source"),
               expr("(1000000 * c12) DIV c1").as("ppm"))
       .groupBy(col("doc_id"), col("source"))
       .agg(expr("sum(ppm) DIV count(1)").as("doc_ppm"))
-    docScores.groupBy(col("source"))
+  }
+
+  /** q193 — per source: scored docs and the avg/min/max doc-fluency ppm. */
+  def q193FluencyScore(spark: SparkSession, dir: String): DataFrame =
+    fluencyDocScores(spark, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_scored"),
            expr("sum(doc_ppm) DIV count(1)").as("avg_fluency_ppm"),
            min(col("doc_ppm")).as("min_fluency_ppm"),
            max(col("doc_ppm")).as("max_fluency_ppm"))
       .orderBy(col("source"))
-  }
 
   val fluencyScoreOracle: String =
     """WITH t AS (

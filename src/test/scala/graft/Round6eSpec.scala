@@ -62,6 +62,46 @@ class Round6eSpec extends AnyFunSuite {
     assert(raw === 0L, "detector specificity: raw corpus must be clean")
   }
 
+  test("q200 ensemble rank: RRF top-20 replays from driver-side signal " +
+       "ranks; fusion genuinely mixes the three orders") {
+    val got = operators.Ensemble.q200EnsembleRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(got.length === 20)
+    // replay: collect the three signals and rank naively
+    val qual = operators.TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flu = operators.Corpus.fluencyDocScores(spark, dir)
+      .select(col("doc_id"), col("doc_ppm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = qual.keySet.intersect(flu.keySet).toSeq
+    def ranksOf(score: Long => Long, asc: Boolean): Map[Long, Long] =
+      ids.sortBy(id => (if (asc) score(id) else -score(id), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    def coll(id: Long): Long = {
+      val t = docs(id)
+      val c2 = t.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      1000000L * c2 / (t.size.toLong * t.size)
+    }
+    val (rq, rf, rd) = (ranksOf(qual, asc = false),
+                        ranksOf(flu, asc = false), ranksOf(coll, asc = true))
+    def rrf(id: Long): Long =
+      1000000000L / (60 + rq(id)) + 1000000000L / (60 + rf(id)) +
+        1000000000L / (60 + rd(id))
+    val expected = ids.sortBy(id => (-rrf(id), id)).take(20)
+      .map(id => (id, rq(id), rf(id), rd(id), rrf(id)))
+    assert(got.toSeq === expected)
+    // fusion genuinely mixes: the three signal orders disagree pairwise
+    // on this corpus (else RRF would be a re-label of one signal)
+    assert(ids.sortBy(id => (rq(id), id)) != ids.sortBy(id => (rf(id), id)))
+    assert(ids.sortBy(id => (rq(id), id)) != ids.sortBy(id => (rd(id), id)))
+  }
+
   test("q197 memorization probe replays from a driver-side n-gram index") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text"))).collect()

@@ -458,6 +458,18 @@ class ScaleSpec extends AnyFunSuite {
     val mem = finalPlan(graft.operators.Corpus.q197MemorizationProbe(spark, dir))
     assert(!mem.contains("CartesianProduct"), s"cartesian in q197:\n$mem")
     assert(!mem.contains("windowspecdefinition"), s"unexpected window in q197:\n$mem")
+    // q200: every global signal rank is the two-phase bucketed form — the
+    // rank windows partition by the score bucket, never a bare global
+    // order; no single-partition exchange anywhere
+    val ens = finalPlan(graft.operators.Ensemble.q200EnsembleRank(spark, dir))
+    assert(!ens.contains("CartesianProduct"), s"cartesian in q200:\n$ens")
+    assert(!ens.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q200:\n$ens")
+    val ensWins = ens.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(ensWins.nonEmpty && ensWins.forall(w =>
+        w.contains("__b") || w.contains("w1")), // w1: the LM head window
+      s"q200 rank window not bucket-partitioned:\n$ens")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
