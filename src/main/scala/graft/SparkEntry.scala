@@ -218,6 +218,8 @@ object SparkEntry {
     "q198_nfc_audit"        -> (EncodingQa.q198NfcAudit _),
     "q199_source_overlap"   -> (Dedup.q199SourceOverlap _),
     "q200_ensemble_rank"    -> (Ensemble.q200EnsembleRank _),
+    "q201_curriculum"       -> (TrainPrep.q201CurriculumPhases _),
+    "q202_contrastive_pairs" -> (Corpus.q202ContrastivePairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -643,5 +645,7 @@ object SparkEntry {
     "q198_nfc_audit"         -> EncodingQa.nfcAuditOracle,
     "q199_source_overlap"    -> Dedup.sourceOverlapOracle,
     "q200_ensemble_rank"     -> Ensemble.ensembleRankOracle,
+    "q201_curriculum"        -> TrainPrep.curriculumPhasesOracle,
+    "q202_contrastive_pairs" -> Corpus.contrastivePairsOracle,
   )
 }

@@ -1655,4 +1655,81 @@ object Corpus {
        |GROUP BY d.source, coalesce(b.max_n, 0)
        |ORDER BY source, max_n""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q202 — CONTRASTIVE pre-training PAIR construction (the SimCSE/ICT
+  // "inverse cloze" data shape): each doc splits into fixed 64-token
+  // chunks and every ADJACENT chunk pair is a positive (nearby text is
+  // topically coherent — the standard self-supervised positive without a
+  // model). The readout is the per-source pair economics + md5 pair
+  // fingerprints, so equality proves both engines constructed the exact
+  // same byte-level pairs, not merely the same counts.
+  //
+  // Scale: pure per-row map (chunk hashes + adjacent-pair hashes computed
+  // inside one codegen'd transform — no self-join for adjacency) + one
+  // rare explode of the pair hashes + partial-aggregated groupBys.
+  // -------------------------------------------------------------------------
+
+  /** q202's chunk width in tokens. */
+  val PairChunk = 64
+
+  /** q202 — per source: docs, multi-chunk docs, pairs, distinct pairs,
+    * byte-parity min/max pair fingerprints. */
+  def q202ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val W = PairChunk
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("len", size(col("t")).cast("long"))
+      .withColumn("nc", expr("(len + 63) DIV 64"))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0L, nc - 1), i -> md5(concat_ws(' ', slice(t, CAST(i*$W + 1 AS INT), $W))))"))
+      // guard: sequence(0, -1) would DESCEND; single-chunk docs pair nothing
+      .withColumn("pairs", when(col("nc") >= 2L, expr(
+        "transform(sequence(0L, nc - 2), i -> md5(concat(chunks[CAST(i AS INT)], chunks[CAST(i + 1 AS INT)])))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+    val perSrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nc") >= 2L, 1L).otherwise(0L)).as("n_multi"),
+        sum(when(col("nc") >= 2L, col("nc") - 1L).otherwise(0L)).as("n_pairs"))
+    val fp = d.select(col("source"), explode(col("pairs")).as("ph"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("ph")).as("distinct_pairs"),
+           min(col("ph")).as("min_pair_md5"),
+           max(col("ph")).as("max_pair_md5"))
+    perSrc.join(fp, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_multi"), col("n_pairs"),
+        coalesce(col("distinct_pairs"), lit(0L)).as("distinct_pairs"),
+        col("min_pair_md5"), col("max_pair_md5"))
+      .orderBy(col("source"))
+  }
+
+  val contrastivePairsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS wr,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS len
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, len, (len + 63) // 64 AS nc,
+       |    [md5(array_to_string(wr[i*$PairChunk+1 : least((i+1)*$PairChunk, len)], ' '))
+       |     for i in range(0, (len + 63) // 64)] AS chunks
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, source, nc,
+       |    [md5(chunks[i] || chunks[i+1]) for i in range(1, nc)] AS pairs
+       |  FROM c),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       |    CAST(sum(CASE WHEN nc >= 2 THEN nc - 1 ELSE 0 END) AS BIGINT) AS n_pairs
+       |  FROM p GROUP BY source),
+       |fp AS (
+       |  SELECT source, CAST(count(DISTINCT ph) AS BIGINT) AS distinct_pairs,
+       |    min(ph) AS min_pair_md5, max(ph) AS max_pair_md5
+       |  FROM (SELECT source, unnest(pairs) AS ph FROM p)
+       |  GROUP BY source)
+       |SELECT a.source, a.n_docs, a.n_multi, a.n_pairs,
+       |  CAST(coalesce(f.distinct_pairs, 0) AS BIGINT) AS distinct_pairs,
+       |  f.min_pair_md5, f.max_pair_md5
+       |FROM agg a LEFT JOIN fp f ON f.source = a.source
+       |ORDER BY a.source""".stripMargin
 }

@@ -27,23 +27,9 @@ object Ensemble {
   /** RRF constant (Cormack et al. SIGIR'09's k = 60). */
   val RrfK = 60L
 
-  /** Global 1-based rank of every row by `scoreCol` (desc unless `asc`),
-    * ties broken by doc_id — two-phase, no single-partition exchange. */
   private def rankedBy(df: DataFrame, scoreCol: String, asc: Boolean,
-                       out: String): DataFrame = {
-    val keyed = df
-      .withColumn("__ord",
-        (if (asc) col(scoreCol) else -col(scoreCol)).cast("long"))
-      .withColumn("__g", lit(1L))
-    val stats = keyed.agg(min(col("__ord")), max(col("__ord"))).collect().head
-    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
-    val width = math.max(1L, (mx - mn) / 256 + 1)
-    val bucketed = keyed.withColumn("__b",
-      expr(s"(__ord - ${mn}L) DIV ${width}L"))
-    PrefixSum.partitionedRank(bucketed, "__g", "__b",
-                              Seq("__ord", "doc_id"), out)
-      .drop("__ord", "__g", "__b")
-  }
+                       out: String): DataFrame =
+    PrefixSum.globalRankBy(df, scoreCol, asc, out)
 
   /** q200 — top-20 docs by integer RRF over the three signal ranks. */
   def q200EnsembleRank(spark: SparkSession, dir: String): DataFrame = {

@@ -146,4 +146,25 @@ object PrefixSum {
       .withColumn(outCol, col("__off") + row_number().over(w).cast("long"))
       .drop("__off")
   }
+
+  /** Global 1-based rank by an integral score column (desc unless `asc`),
+    * ties broken by `doc_id` — [[partitionedRank]] specialization with a
+    * score-derived 256-way bucket, so no naive global-order window is
+    * ever planned. `df` must carry a `doc_id` column. */
+  def globalRankBy(df: DataFrame, scoreCol: String, asc: Boolean,
+                   outCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("__ord",
+        (if (asc) col(scoreCol) else -col(scoreCol)).cast("long"))
+      .withColumn("__g", lit(1L))
+    val stats = keyed.agg(min(col("__ord")), max(col("__ord"))).collect().head
+    if (stats.isNullAt(0))
+      return df.withColumn(outCol, lit(null).cast(LongType))
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (mx - mn) / 256 + 1)
+    val bucketed = keyed.withColumn("__b",
+      expr(s"(__ord - ${mn}L) DIV ${width}L"))
+    partitionedRank(bucketed, "__g", "__b", Seq("__ord", "doc_id"), outCol)
+      .drop("__ord", "__g", "__b")
+  }
 }

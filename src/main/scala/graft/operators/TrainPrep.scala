@@ -1183,4 +1183,72 @@ object TrainPrep {
        |GROUP BY l.f_lex, p.f_pii, u.f_url, n.f_len
        |ORDER BY f_lex, f_pii, f_url, f_len""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q201 — CURRICULUM phase budget (Bengio et al. ICML'09 ordering, on
+  // the one difficulty axis a data pipeline can compute without a model):
+  // docs ranked easy→hard by q193's LM-fluency signal (most-predictable
+  // text first), cut into 4 equal-rank phases; per phase the token mass,
+  // a 2048-token pack estimate, and the fluency envelope — the schedule
+  // readout a curriculum trainer consumes.
+  //
+  // Scale: the global order is PrefixSum.globalRankBy (two-phase,
+  // score-bucketed — no naive global window); everything after is a
+  // 4-row aggregate. The oracle's naive rank window re-proves the
+  // two-phase rank.
+  // -------------------------------------------------------------------------
+
+  /** q201 — per phase 0..3 (easy→hard): docs, tokens, packs, envelope. */
+  def q201CurriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    val flu = Corpus.fluencyDocScores(spark, dir)
+      .select(col("doc_id"), col("doc_ppm"))
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val ranked = PrefixSum.globalRankBy(flu.join(toks, "doc_id"),
+                                        "doc_ppm", asc = false, "r")
+    val total = ranked.agg(count(lit(1)).as("n")) // 1-row control
+    ranked.crossJoin(total)
+      .withColumn("phase", expr("(4 * (r - 1)) DIV n"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        expr("(sum(n_tok) + 2047) DIV 2048").as("packs_2048"),
+        max(col("doc_ppm")).as("max_fluency_ppm"),
+        min(col("doc_ppm")).as("min_fluency_ppm"))
+      .orderBy(col("phase"))
+  }
+
+  val curriculumPhasesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS wr
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([{'w1': wr[i], 'w2': wr[i+1]} for i in range(1, len(wr))], recursive := true)
+      |  FROM t WHERE len(wr) >= 2),
+      |lm AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12,
+      |    sum(count(*)) OVER (PARTITION BY w1) AS c1
+      |  FROM bg GROUP BY w1, w2),
+      |flu AS (
+      |  SELECT doc_id,
+      |    sum((1000000 * lm.c12) // CAST(lm.c1 AS BIGINT)) // count(*) AS doc_ppm
+      |  FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+      |  GROUP BY doc_id),
+      |scored AS (
+      |  SELECT f.doc_id, f.doc_ppm, CAST(len(t.wr) AS BIGINT) AS n_tok
+      |  FROM flu f JOIN t ON t.doc_id = f.doc_id),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY doc_ppm DESC, doc_id) AS BIGINT) AS r,
+      |    count(*) OVER () AS n
+      |  FROM scored)
+      |SELECT (4 * (r - 1)) // n AS phase,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  (CAST(sum(n_tok) AS BIGINT) + 2047) // 2048 AS packs_2048,
+      |  CAST(max(doc_ppm) AS BIGINT) AS max_fluency_ppm,
+      |  CAST(min(doc_ppm) AS BIGINT) AS min_fluency_ppm
+      |FROM r GROUP BY 1 ORDER BY phase""".stripMargin
 }

@@ -102,6 +102,48 @@ class Round6eSpec extends AnyFunSuite {
     assert(ids.sortBy(id => (rq(id), id)) != ids.sortBy(id => (rd(id), id)))
   }
 
+  test("q201 curriculum: phases partition the scored corpus near-evenly, " +
+       "fluency envelope monotone easy→hard, pack arithmetic exact") {
+    val rows = operators.TrainPrep.q201CurriculumPhases(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val scored = operators.Corpus.fluencyDocScores(spark, dir).count()
+    assert(rows.map(_._2).sum === scored)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L,
+      "equal-rank cut must balance phase sizes within 1")
+    // easy phases hold the more fluent docs: max envelope non-increasing
+    val maxes = rows.map(_._5)
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => a >= b })
+    rows.foreach { case (_, _, tok, packs, _, _) =>
+      assert(packs === (tok + 2047) / 2048)
+    }
+  }
+
+  test("q202 contrastive pairs replay byte-exactly from a driver-side " +
+       "chunker") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSeq))
+    def md5hex(s: String): String =
+      graft.functions.TextHashUtil.md5Hex(s)
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val perDoc = ds.map { case (_, t) =>
+        val chunks = t.grouped(operators.Corpus.PairChunk)
+          .map(c => md5hex(c.mkString(" "))).toSeq
+        chunks.zip(chunks.drop(1)).map { case (a, b) => md5hex(a + b) }
+      }
+      val pairs = perDoc.flatten
+      src -> ((ds.size.toLong, perDoc.count(_.nonEmpty).toLong,
+               pairs.size.toLong, pairs.distinct.size.toLong,
+               pairs.min, pairs.max))
+    }
+    val got = operators.Corpus.q202ContrastivePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(got === expected)
+  }
+
   test("q197 memorization probe replays from a driver-side n-gram index") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text"))).collect()
