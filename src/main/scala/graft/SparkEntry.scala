@@ -220,6 +220,7 @@ object SparkEntry {
     "q200_ensemble_rank"    -> (Ensemble.q200EnsembleRank _),
     "q201_curriculum"       -> (TrainPrep.q201CurriculumPhases _),
     "q202_contrastive_pairs" -> (Corpus.q202ContrastivePairs _),
+    "q203_length_bias"      -> (Bias.q203LengthBias _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -647,5 +648,6 @@ object SparkEntry {
     "q200_ensemble_rank"     -> Ensemble.ensembleRankOracle,
     "q201_curriculum"        -> TrainPrep.curriculumPhasesOracle,
     "q202_contrastive_pairs" -> Corpus.contrastivePairsOracle,
+    "q203_length_bias"       -> Bias.lengthBiasOracle,
   )
 }

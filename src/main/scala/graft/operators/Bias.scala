@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Score-BIAS audit — exact Kendall τ_a rank correlation between the q35
+  * quality score and raw token length. Length bias is the classic
+  * quality-model pathology (a "quality" signal that secretly rewards
+  * length reweights the corpus toward long docs); the audit quantifies it
+  * with a tie-aware, log-free, integer-exact rank correlation.
+  *
+  * Method: both signals get a global two-phase rank
+  * ([[PrefixSum.globalRankBy]] — no naive global window), ranks collapse
+  * to DECILES, and τ_a computes from the ≤100-row decile CONTINGENCY
+  * table: concordant/discordant mass is a bounded-dimension self-join
+  * (≤10⁴ cell pairs regardless of corpus size), so no doc-pair relation
+  * ever exists. Deciling coarsens τ (within-decile order is tied by
+  * construction) — deterministic and scale-free, which is the point of
+  * an audit number.
+  *
+  * Signed division: Spark's DIV truncates toward zero, DuckDB's // floors
+  * — they disagree on negatives, so τ routes through sign·(|num| DIV den).
+  */
+object Bias {
+
+  /** q203 — one row: docs, unordered pair counts (concordant /
+    * discordant / tied), signed τ_a in ppm. */
+  def q203LengthBias(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tok"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("s_qual"))
+    val ranked = PrefixSum.globalRankBy(
+      PrefixSum.globalRankBy(scored, "s_qual", asc = false, "rq"),
+      "n_tok", asc = false, "rl")
+    val cells = ranked
+      .crossJoin(ranked.agg(count(lit(1)).as("n"))) // 1-row control
+      .select(expr("(10 * (rq - 1)) DIV n").as("dq"),
+              expr("(10 * (rl - 1)) DIV n").as("dl"), col("n"))
+      .groupBy(col("dq"), col("dl"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select(col("dq").as("dq1"), col("dl").as("dl1"),
+                         col("c").as("c1"), col("n"))
+    val b = cells.select(col("dq").as("dq2"), col("dl").as("dl2"),
+                         col("c").as("c2"))
+    // ordered cell pairs (≤10⁴ rows); each unordered doc pair counted
+    // twice across i≠j cells, so the DIV 2 below is exact
+    a.crossJoin(b)
+      .select(col("n"),
+        when((col("dq1") - col("dq2")) * (col("dl1") - col("dl2")) > 0,
+             col("c1") * col("c2")).otherwise(0L).as("conc2"),
+        when((col("dq1") - col("dq2")) * (col("dl1") - col("dl2")) < 0,
+             col("c1") * col("c2")).otherwise(0L).as("disc2"))
+      .groupBy(col("n"))
+      .agg(expr("sum(conc2) DIV 2").as("concordant"),
+           expr("sum(disc2) DIV 2").as("discordant"))
+      .select(col("n").as("n_docs"), col("concordant"), col("discordant"),
+        expr("n * (n - 1) DIV 2 - concordant - discordant").as("tied"),
+        expr("""CASE WHEN concordant >= discordant
+                THEN (1000000 * (concordant - discordant)) DIV (n * (n - 1) DIV 2)
+                ELSE -((1000000 * (discordant - concordant)) DIV (n * (n - 1) DIV 2))
+                END""").as("tau_a_ppm"))
+  }
+
+  val lengthBiasOracle: String = {
+    // the same quality subquery the q200 oracle embeds
+    val qual = TextOps.qualityOracle
+    s"""WITH q AS (
+       |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |    CAST(round(quality * 1000000.0) AS BIGINT) AS s_qual
+       |  FROM ($qual)),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY s_qual DESC, doc_id) AS BIGINT) AS rq,
+       |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rl,
+       |    count(*) OVER () AS n
+       |  FROM q),
+       |cells AS (
+       |  SELECT (10 * (rq - 1)) // n AS dq, (10 * (rl - 1)) // n AS dl,
+       |    CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.n,
+       |    CAST(sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) > 0
+       |             THEN a.c * b.c ELSE 0 END) // 2 AS BIGINT) AS concordant,
+       |    CAST(sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) < 0
+       |             THEN a.c * b.c ELSE 0 END) // 2 AS BIGINT) AS discordant
+       |  FROM cells a CROSS JOIN cells b GROUP BY a.n)
+       |SELECT n AS n_docs, concordant, discordant,
+       |  n * (n - 1) // 2 - concordant - discordant AS tied,
+       |  CASE WHEN concordant >= discordant
+       |    THEN (1000000 * (concordant - discordant)) // (n * (n - 1) // 2)
+       |    ELSE -((1000000 * (discordant - concordant)) // (n * (n - 1) // 2))
+       |  END AS tau_a_ppm
+       |FROM pairs""".stripMargin
+  }
+}

@@ -144,6 +144,33 @@ class Round6eSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q203 length-bias τ replays from driver-side decile contingency; " +
+       "pair classes partition all pairs") {
+    val got = operators.Bias.q203LengthBias(spark, dir).collect().head
+    val (n, c, dsc, tied, tau) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3), got.getLong(4))
+    assert(c + dsc + tied === n * (n - 1) / 2)
+    assert(math.abs(tau) <= 1000000L)
+    // replay deciles + τ from the collected signals
+    val rows = operators.TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tok"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def deciles(key: ((Long, Long, Long)) => Long): Map[Long, Long] = {
+      val sorted = rows.sortBy(r => (-key(r), r._1))
+      sorted.zipWithIndex.map { case (r, i) =>
+        r._1 -> (10L * i / rows.length) }.toMap
+    }
+    val (dq, dl) = (deciles(_._3), deciles(_._2))
+    var cc = 0L; var dd = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val s = (dq(rows(i)._1) - dq(rows(j)._1)) *
+              (dl(rows(i)._1) - dl(rows(j)._1))
+      if (s > 0) cc += 1 else if (s < 0) dd += 1
+    }
+    assert((c, dsc) === ((cc, dd)))
+  }
+
   test("q197 memorization probe replays from a driver-side n-gram index") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text"))).collect()
