@@ -221,6 +221,8 @@ object SparkEntry {
     "q201_curriculum"       -> (TrainPrep.q201CurriculumPhases _),
     "q202_contrastive_pairs" -> (Corpus.q202ContrastivePairs _),
     "q203_length_bias"      -> (Bias.q203LengthBias _),
+    "q204_audio_segments"   -> (Multimodal.q204AudioSegments _),
+    "q205_span_corruption"  -> (TrainPrep.q205SpanCorruption _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -649,5 +651,7 @@ object SparkEntry {
     "q201_curriculum"        -> TrainPrep.curriculumPhasesOracle,
     "q202_contrastive_pairs" -> Corpus.contrastivePairsOracle,
     "q203_length_bias"       -> Bias.lengthBiasOracle,
+    "q204_audio_segments"    -> Multimodal.audioSegmentsOracle,
+    "q205_span_corruption"   -> TrainPrep.spanCorruptionOracle,
   )
 }

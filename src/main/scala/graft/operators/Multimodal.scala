@@ -665,6 +665,100 @@ object Multimodal {
   def q192VideoDecode(spark: SparkSession, dir: String): DataFrame =
     parseAvi(videoTable(spark, dir)).orderBy(col("doc_id"))
 
+  // -------------------------------------------------------------------------
+  // q204 — audio ACTIVITY SEGMENTATION (the VAD / silence-trim readout):
+  // each decoded clip splits into 16-sample frames, a frame is ACTIVE if
+  // its energy Σs² clears a fixed threshold, and the clip reports frame
+  // counts plus the LONGEST active run — the numbers a speech pipeline
+  // uses to trim silence and bound segment length before ASR. Everything
+  // is exact integer arithmetic on the decoded PCM (q180's parse path),
+  // so the analytic oracle recomputes it from the sample formula.
+  // -------------------------------------------------------------------------
+
+  /** Frame width in samples, and the activity threshold (≈ the expected
+    * Σs² of a full-range 16-sample frame, so both classes occur). */
+  val VadFrame = 16
+  val VadThresh: Long = 16L * 358000000L
+
+  /** q204 — per clip: frames, active frames, longest active run. */
+  def q204AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val sparkS = spark
+    import sparkS.implicits._
+    parseWavSamples(audioTable(spark, dir))
+      .map { case (id, samples) =>
+        val nf = (samples.length + VadFrame - 1) / VadFrame
+        var active = 0L; var run = 0L; var best = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * VadFrame
+          val end = math.min(i + VadFrame, samples.length)
+          while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+          if (e >= VadThresh) { active += 1; run += 1; if (run > best) best = run }
+          else run = 0
+          f += 1
+        }
+        (id, nf.toLong, active, best)
+      }
+      .toDF("doc_id", "n_frames", "n_active", "max_run")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q180's strict parse, stopping at the raw int16 samples (shared by
+    * the feature and segmentation readouts). */
+  private def parseWavSamples(audio: DataFrame) = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("doc_id", "wav").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+        }
+        require(tag() == "RIFF" && { bb.getInt; tag() == "WAVE" },
+          s"doc $id: not a RIFF/WAVE stream")
+        var data: Array[Byte] = null
+        while (bb.remaining() >= 8 && data == null) {
+          val t = tag(); val len = bb.getInt
+          if (t == "data") { data = new Array[Byte](len); bb.get(data) }
+          else bb.position(bb.position() + len + (len & 1))
+        }
+        require(data != null, s"doc $id: no data chunk")
+        val sb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Int](data.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = sb.getShort.toInt; i += 1 }
+        (id, out)
+      })
+  }
+
+  val audioSegmentsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 64 + (doc_id * 31 + 17) % 192 AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, i,
+       |    ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+       |fr AS (
+       |  SELECT doc_id, i // $VadFrame AS f,
+       |    CASE WHEN sum(CAST(v AS BIGINT) * v) >= $VadThresh
+       |         THEN 1 ELSE 0 END AS act
+       |  FROM s GROUP BY doc_id, i // $VadFrame),
+       |runs AS (
+       |  SELECT doc_id, f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+       |  FROM fr WHERE act = 1),
+       |best AS (
+       |  SELECT doc_id, CAST(max(len) AS BIGINT) AS max_run FROM (
+       |    SELECT doc_id, count(*) AS len FROM runs GROUP BY doc_id, grp)
+       |  GROUP BY doc_id)
+       |SELECT fr.doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(act) AS BIGINT) AS n_active,
+       |  CAST(coalesce(max(b.max_run), 0) AS BIGINT) AS max_run
+       |FROM fr LEFT JOIN best b ON b.doc_id = fr.doc_id
+       |GROUP BY fr.doc_id ORDER BY fr.doc_id""".stripMargin
+
   val videoDecodeOracle: String =
     """WITH m AS (
       |  SELECT doc_id,

@@ -1219,6 +1219,101 @@ object TrainPrep {
       .orderBy(col("phase"))
   }
 
+  // -------------------------------------------------------------------------
+  // q205 — SPAN-CORRUPTION plan (the T5/Raffel'20 denoising objective's
+  // data prep, deterministic): tokens group into fixed 3-token spans, a
+  // span masks iff its content-addressed hash clears a 2/16 gate (~12.5%
+  // token mass), masked spans collapse to one sentinel. Hash-driven
+  // masking (not RNG) is what makes the plan REPRODUCIBLE — the property
+  // a training-data pipeline actually needs — and lets both engines
+  // replay it bit-identically: the corrupted text's md5 envelope is part
+  // of the contract.
+  //
+  // Scale: the corruption is ONE codegen'd per-row transform (no
+  // explode); the counting leg explodes to narrow (doc, span) rows and
+  // partial-aggregates. The sentinel is un-numbered (T5 numbers them
+  // per doc; a numbered variant needs a per-doc scan — documented
+  // simplification, the masking PLAN is the audited part).
+  // -------------------------------------------------------------------------
+
+  /** q205's span width and hex-gate (first md5 nibble < 2 → mask). */
+  val SpanW = 3
+  val SpanGate = 2
+
+  private def maskedSql(sid: String): String =
+    s"instr('0123456789abcdef', substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+    s"CAST($sid AS STRING))), 1, 1)) - 1 < $SpanGate"
+
+  /** q205 — per source: corruption-plan economics + corrupted-text md5
+    * envelope. */
+  def q205SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+    val corrupted = d.withColumn("corr", expr(
+      s"""concat_ws(' ', filter(transform(sequence(1, size(t)), p ->
+          CASE WHEN ${maskedSql(s"(p-1) DIV $SpanW")}
+               THEN CASE WHEN (p-1) % $SpanW = 0 THEN '<X>' END
+               ELSE element_at(t, p) END), x -> isnotnull(x)))"""))
+    val spans = d.select(col("doc_id"), col("source"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .withColumn("sid", expr(s"CAST(p0 DIV $SpanW AS BIGINT)"))
+      .withColumn("masked", expr(maskedSql("sid")))
+    val counts = spans.groupBy(col("source"))
+      .agg(sum(when(col("masked"), 1L).otherwise(0L)).as("masked_tokens"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(when(col("masked"),
+          concat(col("doc_id"), lit(":"), col("sid")))).as("masked_spans"))
+    val fp = corrupted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(md5(col("corr"))).as("min_corr_md5"),
+           max(md5(col("corr"))).as("max_corr_md5"))
+    fp.join(counts, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("masked_tokens"), col("masked_spans"),
+        expr("(1000000 * masked_tokens) DIV total_tokens").as("masked_ppm"),
+        col("min_corr_md5"), col("max_corr_md5"))
+      .orderBy(col("source"))
+  }
+
+  val spanCorruptionOracle: String = {
+    val maskedDuck = (sid: String) =>
+      s"strpos('0123456789abcdef', substr(md5(doc_id || ':' || ($sid)), 1, 1)) - 1 < $SpanGate"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS wr
+       |  FROM documents),
+       |corr AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(list_filter(
+       |      [CASE WHEN ${maskedDuck(s"(i-1)//$SpanW")}
+       |            THEN (CASE WHEN (i-1) % $SpanW = 0 THEN '<X>' END)
+       |            ELSE wr[i] END
+       |       for i in range(1, len(wr) + 1)],
+       |      x -> x IS NOT NULL), ' ') AS corr
+       |  FROM t),
+       |spans AS (
+       |  SELECT doc_id, source, (i - 1) // $SpanW AS sid,
+       |    ${maskedDuck(s"(i - 1)//$SpanW")} AS masked
+       |  FROM (SELECT doc_id, source, unnest(range(1, len(wr) + 1)) AS i
+       |        FROM t)),
+       |cnts AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS masked_tokens,
+       |    CAST(count(*) AS BIGINT) AS total_tokens,
+       |    CAST(count(DISTINCT CASE WHEN masked THEN doc_id || ':' || sid END)
+       |         AS BIGINT) AS masked_spans
+       |  FROM spans GROUP BY source),
+       |fp AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    min(md5(corr)) AS min_corr_md5, max(md5(corr)) AS max_corr_md5
+       |  FROM corr GROUP BY source)
+       |SELECT f.source, f.n_docs, c.total_tokens, c.masked_tokens,
+       |  c.masked_spans,
+       |  (1000000 * c.masked_tokens) // c.total_tokens AS masked_ppm,
+       |  f.min_corr_md5, f.max_corr_md5
+       |FROM fp f JOIN cnts c ON c.source = f.source
+       |ORDER BY f.source""".stripMargin
+  }
+
   val curriculumPhasesOracle: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS wr
