@@ -223,6 +223,8 @@ object SparkEntry {
     "q203_length_bias"      -> (Bias.q203LengthBias _),
     "q204_audio_segments"   -> (Multimodal.q204AudioSegments _),
     "q205_span_corruption"  -> (TrainPrep.q205SpanCorruption _),
+    "q206_k_anonymity"      -> (Pii.q206KAnonymity _),
+    "q207_jsonl_roundtrip"  -> (graft.sources.Jsonl.q207JsonlRoundTrip _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -653,5 +655,7 @@ object SparkEntry {
     "q203_length_bias"       -> Bias.lengthBiasOracle,
     "q204_audio_segments"    -> Multimodal.audioSegmentsOracle,
     "q205_span_corruption"   -> TrainPrep.spanCorruptionOracle,
+    "q206_k_anonymity"       -> Pii.kAnonymityOracle,
+    "q207_jsonl_roundtrip"   -> graft.sources.Jsonl.jsonlRoundTripOracle,
   )
 }

@@ -146,4 +146,62 @@ object Pii {
       |  min(md5(redacted)) AS min_fp, max(md5(redacted)) AS max_fp,
       |  CAST(count(DISTINCT md5(redacted)) AS BIGINT) AS n_distinct
       |FROM red GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q206 — K-ANONYMITY quasi-identifier audit (Sweeney 2002): PII
+  // regexes catch DIRECT identifiers; re-identification risk also lives
+  // in quasi-identifier COMBINATIONS — here (lang, source, token-length
+  // decade), the release-metadata triple an attacker can always observe.
+  // A doc whose combination has fewer than K members is re-identifiable
+  // within its group; the audit counts those per source plus the group
+  // landscape. The privacy complement of q144/q145's detection/redaction.
+  //
+  // Scale: one codegen'd map to the quasi-identifier triple, one
+  // partial-aggregated group count, one keyed join back — the q27 exact-
+  // dedup shape with a threshold readout.
+  // -------------------------------------------------------------------------
+
+  /** q206's anonymity threshold. */
+  val AnonK = 5L
+
+  /** q206 — per source: docs, QI groups, docs in below-K groups,
+    * smallest group, risk ppm. */
+  def q206KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("CAST(size(split(lower(text), '\\\\s+')) AS BIGINT) DIV 10")
+          .as("len_decade"))
+    val groups = d.groupBy(col("lang"), col("source"), col("len_decade"))
+      .agg(count(lit(1)).as("gsize"))
+    d.join(groups, Seq("lang", "source", "len_decade"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(concat(col("lang"), lit(":"), col("len_decade")))
+          .as("n_groups"),
+        sum(when(col("gsize") < AnonK, 1L).otherwise(0L)).as("n_below_k"),
+        min(col("gsize")).as("min_group"),
+        expr("(1000000 * sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END)) DIV count(1)")
+          .as("risk_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val kAnonymityOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) // 10
+       |      AS len_decade
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, source, len_decade, CAST(count(*) AS BIGINT) AS gsize
+       |  FROM d GROUP BY lang, source, len_decade)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT d.lang || ':' || d.len_decade) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN g.gsize < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_below_k,
+       |  CAST(min(g.gsize) AS BIGINT) AS min_group,
+       |  (1000000 * CAST(sum(CASE WHEN g.gsize < $AnonK THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS risk_ppm
+       |FROM d JOIN g ON g.lang = d.lang AND g.source = d.source
+       |              AND g.len_decade = d.len_decade
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -41,6 +41,56 @@ class Round6fSpec extends AnyFunSuite {
     assert(got.values.forall { case (nf, na, mr) => mr <= na && na <= nf })
   }
 
+  test("q206 k-anonymity replays from driver-side group sizes") {
+    val got = operators.Pii.q206KAnonymity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1),
+                 r.getString(2).split("\\s+").length.toLong / 10))
+    val sizes = d.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for ((src, ds) <- d.groupBy(_._1)) {
+      val below = ds.count(t => sizes(t) < operators.Pii.AnonK).toLong
+      val groups = ds.distinct.length.toLong
+      val minG = ds.map(sizes).min
+      assert(got(src) === ((ds.length.toLong, groups, below, minG,
+        1000000L * below / ds.length)), s"source $src")
+    }
+    // the audit has teeth on this corpus: some group is small somewhere
+    assert(got.values.exists(_._3 > 0), "no below-K group found anywhere")
+  }
+
+  test("q207 JSONL round-trip: one line per doc on disk; a corrupted " +
+       "line changes the envelope (the audit can actually fail)") {
+    val direct = graft.sources.Jsonl.q207JsonlRoundTrip(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    val path = java.nio.file.Paths.get(
+      Stores.path(spark, "jsonl_docs_" + dir.replaceAll("[^A-Za-z0-9]", "_")))
+    val lines = java.nio.file.Files.list(path).toArray.map(_.toString)
+      .filter(f => f.contains("part-") && f.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    assert(lines.length.toLong === Tables.documents(spark, dir).count(),
+      "JSONL must hold exactly one line per document")
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // corrupt one field and re-fingerprint: the row-fp SET must move
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    def fps(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select(md5(concat_ws("|", col("doc_id"), col("lang"),
+        col("source"), md5(col("text")))))
+      .collect().map(_.getString(0)).toSet
+    val mangledLine =
+      lines(0).replaceFirst("\"lang\":\"[a-z]+\"", "\"lang\":\"xx\"")
+    assert(mangledLine != lines(0), "fixture line must contain a lang field")
+    val mangled = spark.read.schema(docs.schema)
+      .json(lines.toSeq.updated(0, mangledLine).toDS())
+    assert(fps(mangled) != fps(docs),
+      "a mangled line must change the fingerprint set")
+    assert(direct.nonEmpty)
+  }
+
   test("q205 span corruption: per-doc masking replays from the hash gate; " +
        "corrupted text is byte-exactly reconstructible") {
     val got = TrainPrep.q205SpanCorruption(spark, dir).collect()
