@@ -225,6 +225,7 @@ object SparkEntry {
     "q205_span_corruption"  -> (TrainPrep.q205SpanCorruption _),
     "q206_k_anonymity"      -> (Pii.q206KAnonymity _),
     "q207_jsonl_roundtrip"  -> (graft.sources.Jsonl.q207JsonlRoundTrip _),
+    "q208_lexical_richness" -> (TextOps.q208LexicalRichness _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -657,5 +658,6 @@ object SparkEntry {
     "q205_span_corruption"   -> TrainPrep.spanCorruptionOracle,
     "q206_k_anonymity"       -> Pii.kAnonymityOracle,
     "q207_jsonl_roundtrip"   -> graft.sources.Jsonl.jsonlRoundTripOracle,
+    "q208_lexical_richness"  -> TextOps.lexicalRichnessOracle,
   )
 }

@@ -1089,6 +1089,50 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------------------------------------
+  // q208 — LEXICAL RICHNESS audit: per-source vocabulary size, hapax
+  // legomena (once-only types — the Zipf tail every tokenizer budget
+  // fight is about), hapax share of vocabulary, and type-token ratio, all
+  // in exact integer ppm. Complements q43 (head top-k) and q135 (coverage
+  // curve) with the TAIL-side numbers: a source whose hapax share spikes
+  // is OCR noise or ID-like garbage; one whose TTR collapses is template
+  // spam.
+  //
+  // Scale: the corpus collapses to the (source, token, count) vocabulary
+  // relation at the scan (partial-aggregated); everything after is a
+  // |vocab|-bounded aggregate. No window, no join.
+  // -------------------------------------------------------------------------
+
+  /** q208 — per source: tokens, vocab, hapax, hapax-of-vocab ppm, TTR ppm. */
+  def q208LexicalRichness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("total_tokens"), col("vocab"), col("hapax"),
+        expr("(1000000 * hapax) DIV vocab").as("hapax_ppm"),
+        expr("(1000000 * vocab) DIV total_tokens").as("ttr_ppm"))
+      .orderBy(col("source"))
+
+  val lexicalRichnessOracle: String =
+    """WITH v AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |agg AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM v GROUP BY source)
+      |SELECT source, total_tokens, vocab, hapax,
+      |  (1000000 * hapax) // vocab AS hapax_ppm,
+      |  (1000000 * vocab) // total_tokens AS ttr_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   val simpsonConcentrationOracle: String =
     """WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
       |cp AS (

@@ -91,6 +91,28 @@ class Round6fSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("q208 lexical richness replays from a driver-side vocabulary") {
+    val got = operators.TextOps.q208LexicalRichness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSeq))
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val toks = ds.flatMap(_._2)
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val (tot, vocab) = (toks.size.toLong, counts.size.toLong)
+      val hapax = counts.values.count(_ == 1L).toLong
+      assert(got(src) === ((tot, vocab, hapax,
+        1000000L * hapax / vocab, 1000000L * vocab / tot)), s"source $src")
+    }
+    // teeth: hapax exist somewhere, never exceed vocabulary, and at
+    // least one source has a non-hapax tail too
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.forall(v => v._3 <= v._2))
+    assert(got.values.exists(v => v._3 < v._2))
+  }
+
   test("q205 span corruption: per-doc masking replays from the hash gate; " +
        "corrupted text is byte-exactly reconstructible") {
     val got = TrainPrep.q205SpanCorruption(spark, dir).collect()
