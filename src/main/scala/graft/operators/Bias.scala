@@ -26,11 +26,16 @@ object Bias {
   /** q203 — one row: docs, unordered pair counts (concordant /
     * discordant / tied), signed τ_a in ppm. */
   def q203LengthBias(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint between the two-phase ranks: their control jobs re-read
+    // the narrow scored relation instead of recomputing the q35 scoring
+    // (the q200 lesson)
     val scored = TextOps.q35QualityScore(spark, dir)
       .select(col("doc_id"), col("n_tok"),
         expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("s_qual"))
+      .localCheckpoint()
     val ranked = PrefixSum.globalRankBy(
-      PrefixSum.globalRankBy(scored, "s_qual", asc = false, "rq"),
+      PrefixSum.globalRankBy(scored, "s_qual", asc = false, "rq")
+        .localCheckpoint(),
       "n_tok", asc = false, "rl")
     val cells = ranked
       .crossJoin(ranked.agg(count(lit(1)).as("n"))) // 1-row control

@@ -510,8 +510,16 @@ object Corpus {
   // -------------------------------------------------------------------------
 
   /** The per-doc fluency relation (doc_id, source, doc_ppm) — q193's
-    * rollup input, also a q200 ensemble signal. */
-  def fluencyDocScores(spark: SparkSession, dir: String): DataFrame = {
+    * rollup input and the q200/q201 ensemble/curriculum signal. Three
+    * consumers derive the identical relation from one table, so it is a
+    * [[graft.Leaves]] shared leaf under the bench's persisted-postings
+    * flag (per-call isolation by default, like the SimJoin leaves). */
+  def fluencyDocScores(spark: SparkSession, dir: String): DataFrame =
+    graft.Leaves.shared(spark, s"fluency_scores:$dir") {
+      fluencyDocScoresBuild(spark, dir)
+    }
+
+  private def fluencyDocScoresBuild(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val bigrams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), t.as("t"))

@@ -1205,8 +1205,9 @@ object TrainPrep {
     val toks = graft.Tables.documents(spark, dir)
       .select(col("doc_id"),
               size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-    val ranked = PrefixSum.globalRankBy(flu.join(toks, "doc_id"),
-                                        "doc_ppm", asc = false, "r")
+    val ranked = PrefixSum.globalRankBy(
+      flu.join(toks, "doc_id").localCheckpoint(), // control jobs re-read it
+      "doc_ppm", asc = false, "r")
     val total = ranked.agg(count(lit(1)).as("n")) // 1-row control
     ranked.crossJoin(total)
       .withColumn("phase", expr("(4 * (r - 1)) DIV n"))

@@ -52,6 +52,25 @@ class Round6bSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shareLeaves")
   }
 
+  test("fluency leaf: shareLeaves on ≡ off for q193/q200/q201, with reuse") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    spark.conf.unset("spark.graft.shareLeaves")
+    val off193 = rows(operators.Corpus.q193FluencyScore(spark, dir))
+    val off200 = rows(operators.Ensemble.q200EnsembleRank(spark, dir))
+    val off201 = rows(operators.TrainPrep.q201CurriculumPhases(spark, dir))
+    spark.conf.set("spark.graft.shareLeaves", "true")
+    try {
+      val before = Leaves.cache.size
+      assert(rows(operators.Corpus.q193FluencyScore(spark, dir)) === off193)
+      val after = Leaves.cache.size
+      assert(after > before, "q193 should have registered the fluency leaf")
+      assert(rows(operators.Ensemble.q200EnsembleRank(spark, dir)) === off200)
+      assert(rows(operators.TrainPrep.q201CurriculumPhases(spark, dir)) === off201)
+      assert(Leaves.cache.size === after,
+        "q200/q201 must reuse q193's fluency leaf")
+    } finally spark.conf.unset("spark.graft.shareLeaves")
+  }
+
   test("unkeyed callers isolate even with the flag on (generic inputs " +
        "can never collide in the shared cache)") {
     import spark.implicits._
