@@ -458,18 +458,28 @@ class ScaleSpec extends AnyFunSuite {
     val mem = finalPlan(graft.operators.Corpus.q197MemorizationProbe(spark, dir))
     assert(!mem.contains("CartesianProduct"), s"cartesian in q197:\n$mem")
     assert(!mem.contains("windowspecdefinition"), s"unexpected window in q197:\n$mem")
-    // q200: every global signal rank is the two-phase bucketed form — the
-    // rank windows partition by the score bucket, never a bare global
-    // order; no single-partition exchange anywhere
+    // q200: the final plan ends at checkpointed rank relations (each rank
+    // step checkpoints so its control jobs re-read rows), so pin the rank
+    // PRIMITIVE's shape directly: globalRankBy windows partition by the
+    // score bucket — never a bare global order — with no single-partition
+    // exchange
     val ens = finalPlan(graft.operators.Ensemble.q200EnsembleRank(spark, dir))
     assert(!ens.contains("CartesianProduct"), s"cartesian in q200:\n$ens")
     assert(!ens.contains("Exchange SinglePartition"),
       s"single-partition exchange in q200:\n$ens")
-    val ensWins = ens.linesIterator
+    val rankDf = graft.operators.PrefixSum.globalRankBy(
+      graft.Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("long").as("s")),
+      "s", asc = false, "r")
+    val rk = finalPlan(rankDf)
+    assert(!rk.contains("Exchange SinglePartition"),
+      s"single-partition exchange in globalRankBy:\n$rk")
+    val rkWins = rk.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
-    assert(ensWins.nonEmpty && ensWins.forall(w =>
-        w.contains("__b") || w.contains("w1")), // w1: the LM head window
-      s"q200 rank window not bucket-partitioned:\n$ens")
+    assert(rkWins.nonEmpty && rkWins.forall(_.contains("__b")),
+      s"globalRankBy window not bucket-partitioned:\n$rk")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
