@@ -40,13 +40,29 @@ object Leaves {
     case None    => build.localCheckpoint()
   }
 
+  /** Like [[shared]], but a leaf with a SINGLE consumer inside one query:
+    * flag off → the raw plan, NO localCheckpoint (the explode streams
+    * straight into its consumer — materializing for one reader only adds
+    * cost); flag on → the parquet-shared table, which repeat invocations
+    * (bench steady-state runs, a session re-running the query) reuse. */
+  def sharedOrInline(spark: SparkSession, key: String)
+                    (build: => DataFrame): DataFrame =
+    if (!enabled(spark)) build else shared(spark, key)(build)
+
   /** The leaf for `key` (callers pass a name + the table dir): built
     * fresh per call by default, built once and parquet-shared when the
     * session opts in. */
   def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     if (!enabled(spark)) build.localCheckpoint()
     else {
-      val full = spark.sparkContext.applicationId + ":" + key
+      // Evict entries from OTHER applications before touching the map: the
+      // appId key prefix already stops a stale session's plan from being
+      // served, but without a sweep a long-lived JVM cycling SparkSessions
+      // (repeated bench/test runs) accumulates dead DataFrame references
+      // forever. One pass per call over a map that holds a handful of keys.
+      val appPrefix = spark.sparkContext.applicationId + ":"
+      cache.keys.filterNot(_.startsWith(appPrefix)).foreach(cache.remove)
+      val full = appPrefix + key
       cache.getOrElseUpdate(full, {
         val name = "leaf_" + java.security.MessageDigest.getInstance("MD5")
           .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -48,21 +48,30 @@ object Bias {
     val b = cells.select(col("dq").as("dq2"), col("dl").as("dl2"),
                          col("c").as("c2"))
     // ordered cell pairs (≤10⁴ rows); each unordered doc pair counted
-    // twice across i≠j cells, so the DIV 2 below is exact
+    // twice across i≠j cells, so the /2 below is exact (sums are even).
+    // Pair-count arithmetic is O(n²) and the ppm numerator multiplies it
+    // by 1e6 — int64 wraps silently in Spark beyond ~6M docs while DuckDB
+    // errors, so everything O(n²) routes through DECIMAL(38,0) (HUGEINT
+    // in the oracle), the q186 discipline. τ uses the DOUBLED counts
+    // against n(n−1) directly, so no decimal halving enters the division.
     a.crossJoin(b)
       .select(col("n"),
         when((col("dq1") - col("dq2")) * (col("dl1") - col("dl2")) > 0,
-             col("c1") * col("c2")).otherwise(0L).as("conc2"),
+             expr("CAST(c1 AS DECIMAL(38,0)) * c2"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))")).as("conc2"),
         when((col("dq1") - col("dq2")) * (col("dl1") - col("dl2")) < 0,
-             col("c1") * col("c2")).otherwise(0L).as("disc2"))
+             expr("CAST(c1 AS DECIMAL(38,0)) * c2"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))")).as("disc2"))
       .groupBy(col("n"))
-      .agg(expr("sum(conc2) DIV 2").as("concordant"),
-           expr("sum(disc2) DIV 2").as("discordant"))
-      .select(col("n").as("n_docs"), col("concordant"), col("discordant"),
-        expr("n * (n - 1) DIV 2 - concordant - discordant").as("tied"),
-        expr("""CASE WHEN concordant >= discordant
-                THEN (1000000 * (concordant - discordant)) DIV (n * (n - 1) DIV 2)
-                ELSE -((1000000 * (discordant - concordant)) DIV (n * (n - 1) DIV 2))
+      .agg(expr("sum(conc2)").as("conc2s"), expr("sum(disc2)").as("disc2s"))
+      .select(col("n").as("n_docs"),
+        expr("CAST(conc2s / 2 AS BIGINT)").as("concordant"),
+        expr("CAST(disc2s / 2 AS BIGINT)").as("discordant"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) - conc2s - disc2s) / 2 AS BIGINT)")
+          .as("tied"),
+        expr("""CASE WHEN conc2s >= disc2s
+                THEN CAST((conc2s - disc2s) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)
+                ELSE -CAST((disc2s - conc2s) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)
                 END""").as("tau_a_ppm"))
   }
 
@@ -85,16 +94,18 @@ object Bias {
        |  FROM r GROUP BY 1, 2),
        |pairs AS (
        |  SELECT a.n,
-       |    CAST(sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) > 0
-       |             THEN a.c * b.c ELSE 0 END) // 2 AS BIGINT) AS concordant,
-       |    CAST(sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) < 0
-       |             THEN a.c * b.c ELSE 0 END) // 2 AS BIGINT) AS discordant
+       |    sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) > 0
+       |             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc2s,
+       |    sum(CASE WHEN (a.dq - b.dq) * (a.dl - b.dl) < 0
+       |             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc2s
        |  FROM cells a CROSS JOIN cells b GROUP BY a.n)
-       |SELECT n AS n_docs, concordant, discordant,
-       |  n * (n - 1) // 2 - concordant - discordant AS tied,
-       |  CASE WHEN concordant >= discordant
-       |    THEN (1000000 * (concordant - discordant)) // (n * (n - 1) // 2)
-       |    ELSE -((1000000 * (discordant - concordant)) // (n * (n - 1) // 2))
+       |SELECT n AS n_docs,
+       |  CAST(conc2s // 2 AS BIGINT) AS concordant,
+       |  CAST(disc2s // 2 AS BIGINT) AS discordant,
+       |  CAST((CAST(n AS HUGEINT) * (n - 1) - conc2s - disc2s) // 2 AS BIGINT) AS tied,
+       |  CASE WHEN conc2s >= disc2s
+       |    THEN CAST((conc2s - disc2s) * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+       |    ELSE -CAST((disc2s - conc2s) * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
        |  END AS tau_a_ppm
        |FROM pairs""".stripMargin
   }

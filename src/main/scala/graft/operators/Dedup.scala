@@ -53,9 +53,16 @@ object Dedup {
     * [[graft.functions.ShingleSet]]) — one codegen'd call per row instead
     * of interpreted nested higher-order functions; semantics identical to
     * the declarative form (and to the DuckDB oracle). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    Tables.documents(spark, dir).select(
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables.documents(spark, dir))
+
+  /** The same signature relation over ANY `(doc_id, text)` input — the
+    * streaming screen ([[graft.streaming.IncrementalScreen]]) bands its
+    * micro-batches through this, so stream and batch decisions share one
+    * kernel by construction. */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(
       col("doc_id"),
       call_function("graft_shingles", col("text")).as("sh"),
       call_function("graft_minhash", col("text"), lit(K_HASHES)).as("m"))
@@ -91,7 +98,7 @@ object Dedup {
     * columns: the bucket join and the pair-dedup shuffle never move the
     * shingle arrays (at 100 TB the arrays would otherwise dominate every
     * exchange). */
-  private[operators] def lshBands(sig: DataFrame): DataFrame =
+  private[graft] def lshBands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(N_BANDS - 1)), j =>
         md5(concat(element_at(col("m"), j * 2 + 1), element_at(col("m"), j * 2 + 2))))))
@@ -1232,15 +1239,18 @@ object Dedup {
     val legs = SweepConfigs.map { case (b, r) =>
       val cand = lshCandidates(bandsAt(sig, b, r))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val jac = round((inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
-          .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
-        .cast("double")
+      // verify with q82's EXACT integer criterion (TD·∩ ≥ TN·∪ at 1/2 ⇔
+      // 2·∩ ≥ |A|+|B|−∩), not a rounded double: a pair whose true Jaccard
+      // sits in [0.4999995, 0.5) would pass a 6-dp-rounded ≥ 0.5 test
+      // without being in q82's truth set, breaking verified ⊆ truth (and
+      // letting recall_ppm exceed 1e6) on very long documents
+      val qualifies = lit(2L) * inter >=
+        size(col("sh_a")) + size(col("sh_b")) - inter
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .agg(count(lit(1)).as("n_candidates"),
-             sum(when(jac >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+             sum(when(qualifies, 1L).otherwise(0L)).as("n_verified"))
         .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
                 col("n_candidates"), coalesce(col("n_verified"), lit(0L)).as("n_verified"))
     }
@@ -1265,11 +1275,10 @@ object Dedup {
          |ver_${b}_$r AS (
          |  SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
          |    CAST(count(*) AS BIGINT) AS n_candidates,
-         |    CAST(coalesce(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+         |    CAST(coalesce(sum(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
          |  FROM (
-         |    SELECT CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-         |      CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |      AS DECIMAL(28,12)), 6) AS DOUBLE) AS jac
+         |    SELECT len(list_intersect(x.s, y.s)) AS i,
+         |      len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS u
          |    FROM cand_${b}_$r c
          |    JOIN sig x ON x.doc_id = c.doc_a
          |    JOIN sig y ON y.doc_id = c.doc_b))""".stripMargin

@@ -180,7 +180,7 @@ object Pii {
           .as("n_groups"),
         sum(when(col("gsize") < AnonK, 1L).otherwise(0L)).as("n_below_k"),
         min(col("gsize")).as("min_group"),
-        expr("(1000000 * sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END)) DIV count(1)")
+        expr(s"(1000000 * sum(CASE WHEN gsize < $AnonK THEN 1 ELSE 0 END)) DIV count(1)")
           .as("risk_ppm"))
       .orderBy(col("source"))
   }

@@ -1824,19 +1824,30 @@ object Similarity {
   // hard negatives would keep drawing the same hubs). The readout is the
   // full k-occurrence histogram including the never-retrieved 0-bucket.
   //
-  // Scale: the query side is a strided sample (a production run caps it
-  // at a fixed size; the stride keeps the fixture deterministic) and
-  // BROADCASTS against one corpus scan — the q32 shape — then two
-  // ≤|sample|·K-row aggregates. No corpus×corpus pair ever exists.
+  // Scale: the query side is a FIXED-SIZE sample — the stride is derived
+  // from a corpus count so |sample| ≤ [[HubSampleCap]] at any scale, with
+  // a deterministic ORDER BY vec_id LIMIT as the hard bound (sparse id
+  // spaces can't inflate it) — and BROADCASTS against one corpus scan —
+  // the q32 shape — then two ≤|sample|·K-row aggregates. No corpus×corpus
+  // pair ever exists, and the broadcast side never grows with the corpus
+  // (a mod-constant stride would: 10% of a 100 TB table is not a
+  // dimension). The stride (vs a plain first-N cut) keeps the sample
+  // spread across the id space, so hubs local to one ingest era still
+  // show up.
   // -------------------------------------------------------------------------
 
-  /** q196's query-sample stride. */
-  val HubSampleMod = 10L
+  /** q196's query-sample budget: stride = ⌈n/cap⌉ ⇒ ≤cap sampled ids on a
+    * dense id space; the LIMIT makes the bound unconditional. */
+  val HubSampleCap = 200L
 
   /** q196 — (k_occurrence, n_points), 0-bucket included. */
   def q196HubnessAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val q = e.filter(pmod(col("vec_id"), lit(HubSampleMod)) === 0L)
+    val nctrl = e.agg(count(lit(1)).as("n_total")) // 1-row control
+    val q = e.crossJoin(broadcast(nctrl))
+      .filter(pmod(col("vec_id"),
+        expr(s"greatest(CAST(1 AS BIGINT), (n_total + ${HubSampleCap - 1}) DIV $HubSampleCap)")) === 0L)
+      .orderBy(col("vec_id")).limit(HubSampleCap.toInt)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
     val top = topK(e.crossJoin(broadcast(q))
@@ -1856,6 +1867,12 @@ object Similarity {
        |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
        |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |        FROM embeddings)),
+       |st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    (count(*) + ${HubSampleCap - 1}) // $HubSampleCap) AS stride FROM e),
+       |q AS (
+       |  SELECT vec_id, v, nrm FROM e, st WHERE vec_id % stride = 0
+       |  ORDER BY vec_id LIMIT $HubSampleCap),
        |top AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q_id, n_id,
@@ -1863,8 +1880,7 @@ object Similarity {
        |    FROM (
        |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
        |        round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
-       |      FROM e q JOIN e n
-       |        ON q.vec_id % $HubSampleMod = 0 AND n.vec_id != q.vec_id))
+       |      FROM q JOIN e n ON n.vec_id != q.vec_id))
        |  WHERE rank <= $TOP_K),
        |occ AS (SELECT n_id, CAST(count(*) AS BIGINT) AS k_occ
        |        FROM top GROUP BY n_id),

@@ -23,8 +23,13 @@ class Round6eSpec extends AnyFunSuite {
     val rows = Similarity.q196HubnessAudit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val nVecs = Tables.embeddings(spark, dir).count()
-    val nQueries = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % Similarity.HubSampleMod === 0L).count()
+    // mirror the count-derived sample rule: stride = ceil(n/cap), ids
+    // ≡ 0 mod stride, hard-capped at cap — and assert the bound holds
+    val cap = Similarity.HubSampleCap
+    val stride = math.max(1L, (nVecs + cap - 1) / cap)
+    val nQueries = math.min(cap, Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % stride === 0L).count())
+    assert(nQueries <= cap, "q196 sample must stay within its fixed budget")
     assert(rows.map(_._2).sum === nVecs, "every point lands in one bucket")
     assert(rows.map { case (k, n) => k * n }.sum === nQueries * 5L,
       "total k-occurrences must equal |queries| * K")

@@ -448,11 +448,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!dr.contains("CartesianProduct"), s"cartesian in q195:\n$dr")
     assert(!dr.contains("windowspecdefinition"), s"unexpected window in q195:\n$dr")
     // q196: the query sample broadcasts against one corpus scan (the q32
-    // BNLJ shape is the sanctioned broadcast-dimension join); top-k heaps
+    // BNLJ shape is the sanctioned broadcast-dimension join); top-k heaps.
+    // The sample is COUNT-DERIVED and hard-capped: the plan must carry the
+    // LIMIT (TakeOrdered/GlobalLimit) that makes the broadcast side a
+    // fixed-size dimension at any corpus scale — the q183 discipline.
     val hub = finalPlan(graft.operators.Similarity.q196HubnessAudit(spark, dir))
     assert(!hub.contains("CartesianProduct"), s"cartesian in q196:\n$hub")
     assert(hub.contains("BroadcastNestedLoopJoin") || hub.contains("BroadcastHashJoin"),
       s"q196 query sample not broadcast:\n$hub")
+    assert(hub.contains("TakeOrderedAndProject") || hub.contains("GlobalLimit"),
+      s"q196 sample missing its hard cap:\n$hub")
     // q197: per-n gram relations join keyed on the hashed gram; no
     // cartesian, no window anywhere
     val mem = finalPlan(graft.operators.Corpus.q197MemorizationProbe(spark, dir))

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Empirical scale-curve recorder (VERDICT r6 item 2).
+
+Runs graft.Bench on the top-cost queries + the two-phase rank primitives
+at sf0.1 (the driver fixture) and at the synthetic 3x / 10x replicas
+(tools/gen_scale.py), then fits the per-query scaling exponent
+
+    t ~ c * n^alpha   =>   alpha = least-squares slope of log t vs log n
+
+and writes SCALING_r07.json. The scale arguments in SCALING.md are
+plan-shape inspections; this artifact is the measured check: the bounded
+plans should sit near alpha ~ 1 (linear in corpus size). alpha is noisy
+for sub-second queries -- abs_sf1 seconds matter more there.
+
+Usage: python3 tools/scaling_curve.py [outPath]
+"""
+import json
+import math
+import subprocess
+import sys
+
+QUERIES = [
+    # exact/weighted similarity joins (the bench tail) + skew hatches
+    "q82_jaccard_join", "q92_jaccard_join_maxdf",
+    "q93_weighted_jaccard", "q139_weighted_maxdf",
+    # dedup family
+    "q27_dedup_exact", "q29_lsh_near_dup",
+    # shingle-heavy aggregation + substring cut
+    "q123_source_novelty", "q106_substr_cut", "q187_collocations",
+    "q197_memorization",
+    # two-phase rank primitives (q191 stratified, q200 RRF, q203 tau)
+    "q191_stratified_split", "q200_ensemble_rank", "q203_length_bias",
+    # bounded-sample ANN audits
+    "q32_ann_brute", "q196_hubness_audit",
+]
+
+SCALES = [
+    ("/root/testdata/sf0.1", 1.0),
+    ("/root/repo/scaledata/sf03", 3.0),
+    ("/root/repo/scaledata/sf1", 10.0),
+]
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir,
+           "SPARK_GRAFT_ONLY": ",".join(QUERIES)}
+    import os
+    full_env = dict(os.environ, **env)
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        capture_output=True, text=True, env=full_env, cwd="/root/repo")
+    for line in out.stdout.splitlines():
+        if line.strip().startswith('{"metric"'):
+            return json.loads(line.strip())
+        if '{"metric"' in line:
+            return json.loads(line[line.index('{"metric"'):])
+    raise SystemExit(f"no bench JSON for {sf_dir}:\n{out.stdout[-2000:]}")
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r07.json"
+    runs = []
+    for sf_dir, factor in SCALES:
+        r = run_bench(sf_dir)
+        print(f"{sf_dir}: total {r['value']:.1f}s", flush=True)
+        runs.append((factor, r["queries"], r.get("failed", "[]")))
+    result = {}
+    xs = [math.log(f) for f, _, _ in runs]
+    for q in QUERIES:
+        ts = [queries.get(q) for _, queries, _ in runs]
+        if any(t is None or t <= 0 for t in ts):
+            result[q] = {"error": "missing timing"}
+            continue
+        ys = [math.log(t) for t in ts]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        result[q] = {
+            "sec_at": {f"{f:g}x": round(t, 3) for (f, _, _), t in zip(runs, ts)},
+            "exponent": round(alpha, 3),
+        }
+    doc = {
+        "method": ("graft.Bench (warmup + min-of-2 toRdd.count) on sf0.1 and "
+                   "its 3x/10x deterministic replicas (tools/gen_scale.py: "
+                   "per-replica disjoint vocab, constant dimension "
+                   "cardinality, constant per-label blocks); exponent = "
+                   "least-squares slope of log t vs log n over the 3 points"),
+        "scales": {f"{f:g}x": d for d, f in SCALES},
+        "queries": result,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    print(json.dumps({q: v.get("exponent") for q, v in result.items()},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
