@@ -226,6 +226,11 @@ object SparkEntry {
     "q206_k_anonymity"      -> (Pii.q206KAnonymity _),
     "q207_jsonl_roundtrip"  -> (graft.sources.Jsonl.q207JsonlRoundTrip _),
     "q208_lexical_richness" -> (TextOps.q208LexicalRichness _),
+    "q209_containment_join" -> (SimJoin.q209ContainmentJoin _),
+    "q210_image_ahash"      -> (Multimodal.q210ImageAhash _),
+    "q211_keeper_sweep"     -> (Dedup.q211KeeperPolicySweep _),
+    "q212_quantile_norm"    -> (Bias.q212QuantileNorm _),
+    "q213_audio_envelope"   -> (Multimodal.q213AudioFingerprint _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -659,5 +664,10 @@ object SparkEntry {
     "q206_k_anonymity"       -> Pii.kAnonymityOracle,
     "q207_jsonl_roundtrip"   -> graft.sources.Jsonl.jsonlRoundTripOracle,
     "q208_lexical_richness"  -> TextOps.lexicalRichnessOracle,
+    "q209_containment_join"  -> SimJoin.containmentJoinOracle,
+    "q210_image_ahash"       -> Multimodal.imageAhashOracle,
+    "q211_keeper_sweep"      -> Dedup.keeperPolicySweepOracle,
+    "q212_quantile_norm"     -> Bias.quantileNormOracle,
+    "q213_audio_envelope"    -> Multimodal.audioFingerprintOracle,
   )
 }

@@ -75,6 +75,92 @@ object Bias {
                 END""").as("tau_a_ppm"))
   }
 
+  // -------------------------------------------------------------------------
+  // q212 — per-source QUANTILE-NORMALIZATION audit: compare every doc's
+  // GLOBAL quality decile against its decile WITHIN its source. A quality
+  // model calibrated on one domain systematically mis-ranks another
+  // (classifier-based filters are notoriously source-shifted — the
+  // motivation for per-source thresholds in CCNet-style pipelines);
+  // rank-based normalization is the standard correction, and this audit
+  // quantifies how much re-ranking it would actually do: per source, how
+  // many docs change decile, total and max displacement.
+  //
+  // Scale: BOTH rank passes are two-phase ([[PrefixSum]]) — the global
+  // decile via globalRankBy, the within-source decile via partitionedRank
+  // with a global score-derived bucket (bucket boundaries respect the
+  // order inside every source). No naive global or per-source window ever
+  // plans; a source owning 90% of a 100 TB corpus still splits across
+  // ~256 bucketed window partitions. The readout aggregates to |sources|
+  // rows. Deciles are integer-exact: d = (10·(rank−1)) DIV n.
+  // -------------------------------------------------------------------------
+
+  /** q212 — per source: docs, docs whose decile shifts, Σ|shift|, max. */
+  def q212QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("s_q"))
+      .join(graft.Tables.documents(spark, dir)
+              .select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .localCheckpoint() // rank control jobs re-read this, not the scoring
+    val g = PrefixSum.globalRankBy(base, "s_q", asc = false, "rg")
+      .localCheckpoint()
+    // within-source rank, two-phase: score-derived global bucket (order-
+    // respecting in every source), offsets |sources|·256 driver rows.
+    // The same sanctioned bounded collect that sizes the buckets also
+    // reads n_all, so the global decile needs no 1-row control relation
+    // (whose global count aggregate would plan the only single-partition
+    // exchange in the query).
+    val stats = g.agg(min(-col("s_q")), max(-col("s_q")),
+                      count(lit(1))).collect().head
+    val (mn, mx, nAll) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val width = math.max(1L, (mx - mn) / 256 + 1)
+    val bucketed = g.withColumn("__ord", -col("s_q"))
+      .withColumn("__b", expr(s"(__ord - ${mn}L) DIV ${width}L"))
+    val ranked = PrefixSum.partitionedRank(bucketed, "source", "__b",
+        Seq("__ord", "doc_id"), "rs")
+      .drop("__ord", "__b")
+    val deciled = ranked
+      .join(ranked.groupBy(col("source")).agg(count(lit(1)).as("n_src")),
+            Seq("source"))
+      .select(col("source"),
+        expr(s"(10 * (rg - 1)) DIV ${nAll}L").as("dg"),
+        expr("(10 * (rs - 1)) DIV n_src").as("ds"))
+    deciled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dg") =!= col("ds"), 1L).otherwise(0L)).as("n_shifted"),
+        sum(abs(col("dg") - col("ds"))).as("shift_sum"),
+        max(abs(col("dg") - col("ds"))).as("max_shift"))
+      .orderBy(col("source"))
+  }
+
+  val quantileNormOracle: String = {
+    val qual = TextOps.qualityOracle
+    s"""WITH q AS (
+       |  SELECT doc_id, CAST(round(quality * 1000000.0) AS BIGINT) AS s_q
+       |  FROM ($qual)),
+       |j AS (
+       |  SELECT q.doc_id, d.source, q.s_q
+       |  FROM q JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT source,
+       |    row_number() OVER (ORDER BY s_q DESC, doc_id) AS rg,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY s_q DESC, doc_id) AS rs,
+       |    count(*) OVER () AS n_all,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM j),
+       |d AS (
+       |  SELECT source, (10 * (rg - 1)) // n_all AS dg,
+       |    (10 * (rs - 1)) // n_src AS ds
+       |  FROM r)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN dg != ds THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted,
+       |  CAST(sum(abs(dg - ds)) AS BIGINT) AS shift_sum,
+       |  CAST(max(abs(dg - ds)) AS BIGINT) AS max_shift
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val lengthBiasOracle: String = {
     // the same quality subquery the q200 oracle embeds
     val qual = TextOps.qualityOracle

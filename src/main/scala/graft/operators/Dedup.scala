@@ -1342,4 +1342,90 @@ object Dedup {
        |JOIN documents a ON a.doc_id = p.doc_a
        |JOIN documents b ON b.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q211 — KEEPER-POLICY sweep: q74 ships min-id keepers, q154 ships
+  // best-quality keepers; before choosing, a curation run compares the
+  // candidate policies' corpus-level consequences side by side (the
+  // q176/q184 sweep discipline applied to the keeper rule). One row per
+  // policy over the SAME q42 clusters: survivors, token mass kept vs
+  // dropped, mean kept quality. Docs in no cluster are singletons (their
+  // own keeper) under every policy.
+  //
+  // Scale: clusters/quality are (id, number) relations; each policy is
+  // one groupBy(cluster) whose keeper comes from min(struct(order-key,
+  // doc_id, payload…)) — an algebraic min with map-side combine, NO
+  // per-cluster window, no text anywhere. The payload fields ride behind
+  // the (unique) tiebreak, so the min is total-order deterministic.
+  // -------------------------------------------------------------------------
+
+  /** q211 — per policy: n_kept, tokens kept/dropped, mean kept quality. */
+  def q211KeeperPolicySweep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q42DedupClusters(spark, dir)
+    val member = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tok"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("q_ppm"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .localCheckpoint() // three policy aggregates consume it; cuts CC lineage
+    def leg(policy: String, ord: org.apache.spark.sql.Column): DataFrame =
+      member.groupBy(col("cluster_id"))
+        .agg(min(struct(ord.as("o"), col("doc_id").as("id"),
+                        col("n_tok").as("kn"), col("q_ppm").as("kq"))).as("k"),
+             sum(col("n_tok")).as("tok_all"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("k.kn")).as("tokens_kept"),
+             (sum(col("tok_all")) - sum(col("k.kn"))).as("tokens_dropped"),
+             sum(col("k.kq")).as("kq_sum"))
+        // quality can be negative (q35's −3·punct term): route the mean
+        // through sign·(|num| DIV den) — Spark DIV truncates, DuckDB //
+        // floors, and they only agree on non-negative operands
+        .select(lit(policy).as("policy"), col("n_kept"), col("tokens_kept"),
+          col("tokens_dropped"),
+          expr("""CASE WHEN kq_sum >= 0 THEN kq_sum DIV n_kept
+                  ELSE -((-kq_sum) DIV n_kept) END""").as("kept_quality_ppm"))
+    leg("keep_best_quality", -col("q_ppm"))
+      .unionByName(leg("keep_longest", -col("n_tok")))
+      .unionByName(leg("keep_min_id", col("doc_id")))
+      .orderBy(col("policy"))
+  }
+
+  val keeperPolicySweepOracle: String = {
+    val legs = Seq(
+      ("keep_best_quality", "r_q"),
+      ("keep_longest", "r_l"),
+      ("keep_min_id", "r_i")).map { case (p, r) =>
+      s"""SELECT '$p' AS policy,
+         |  CAST(sum(CASE WHEN $r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN $r = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(n_tok) - sum(CASE WHEN $r = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_dropped,
+         |  CASE WHEN sum(CASE WHEN $r = 1 THEN q_ppm ELSE 0 END) >= 0
+         |    THEN CAST(sum(CASE WHEN $r = 1 THEN q_ppm ELSE 0 END)
+         |         // sum(CASE WHEN $r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    ELSE -CAST((-sum(CASE WHEN $r = 1 THEN q_ppm ELSE 0 END))
+         |         // sum(CASE WHEN $r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  END AS kept_quality_ppm
+         |FROM ranked""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"""WITH RECURSIVE $clusterCtes,
+       |clusters AS (
+       |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+       |scored AS (
+       |  SELECT doc_id, n_tok, CAST(round(quality * 1000000.0) AS BIGINT) AS q_ppm
+       |  FROM (${TextOps.qualityOracle})),
+       |member AS (
+       |  SELECT s.doc_id, s.n_tok, s.q_ppm,
+       |    coalesce(c.cluster_id, s.doc_id) AS cluster_id
+       |  FROM scored s LEFT JOIN clusters c ON c.doc_id = s.doc_id),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |                       ORDER BY q_ppm DESC, doc_id) AS r_q,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |                       ORDER BY n_tok DESC, doc_id) AS r_l,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS r_i
+       |  FROM member)
+       |SELECT * FROM ($legs) ORDER BY policy""".stripMargin
+  }
 }

@@ -294,6 +294,72 @@ object Multimodal {
       |FROM cells GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** q210 — perceptual AVERAGE-HASH (aHash) over the real codec path:
+    * decode → 8×8 nearest-neighbor thumbnail → one bit per cell, set iff
+    * the cell is brighter than the thumbnail mean. aHash is the classic
+    * cheap perceptual fingerprint for image-level near-dup detection
+    * (same family as pHash; bucket on the hash, verify inside buckets) —
+    * the image-side counterpart of the text MinHash pass. The mean test
+    * is INTEGER-exact: bit = 64·px > Σpx (no float mean, no rounding), so
+    * the oracle recomputes the identical 64 bits analytically from the
+    * q140 pixel formulas — the hash certifies decode + resample + binarize
+    * end-to-end. Output: row-major 64-char '0'/'1' string + popcount.
+    *
+    * Scale: partition-local decode, no shuffle until the final order — at
+    * 100 TB the hash lands as a column and dedup proceeds as hash-groupBy
+    * (q27's shape) or hamming-banded buckets (q30's), both id-only. */
+  def q210ImageAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .select("doc_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, doc $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
+        val raster = img.getRaster
+        val px = new Array[Long](64)
+        var sum = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val v = raster.getSample(gx * w / 8, gy * h / 8, 0).toLong
+            px(gy * 8 + gx) = v
+            sum += v
+            gx += 1
+          }
+          gy += 1
+        }
+        val bits = px.map(p => if (64L * p > sum) '1' else '0').mkString
+        (id, fmt, bits, px.count(p => 64L * p > sum).toLong)
+      })
+      .toDF("doc_id", "fmt", "ahash", "n_ones")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageAhashOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id*37 + 11) % 48 AS w,
+      |    16 + (doc_id*53 + 7) % 48 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, gx, gy,
+      |    (doc_id*31 + ((gx*w)//8)*7 + ((gy*h)//8)*13) % 256 AS px
+      |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy)),
+      |s AS (SELECT doc_id, sum(px) AS total FROM cells GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CASE WHEN c.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  string_agg(CASE WHEN 64*px > total THEN '1' ELSE '0' END, ''
+      |             ORDER BY gy, gx) AS ahash,
+      |  CAST(sum(CASE WHEN 64*px > total THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+      |FROM cells c JOIN s USING (doc_id)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** GIF-encoded images over the same geometry/pixel formulas — the JDK's
     * third lossless image codec (chainweb-data has no media path; this
     * family is the training-pipeline extension, cf. q140). */
@@ -435,46 +501,12 @@ object Multimodal {
     import spark.implicits._
     audio.select("doc_id", "wav").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def tag(): String = {
-          val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
-        }
-        require(tag() == "RIFF", s"doc $id: not RIFF")
-        val riffLen = bb.getInt
-        require(riffLen == bytes.length - 8, s"doc $id: RIFF length lies")
-        require(tag() == "WAVE", s"doc $id: not WAVE")
-        var sampleBytes: Array[Byte] = null
-        var fmtOk = false
-        while (bb.remaining() >= 8) {
-          val t = tag(); val len = bb.getInt
-          // RIFF word-aligns chunks: an odd-length chunk body is followed
-          // by one pad byte that is NOT counted in len.
-          val pad = len & 1
-          t match {
-            case "fmt " =>
-              require(len >= 16, s"doc $id: short fmt chunk")
-              val fmt = bb.getShort; val ch = bb.getShort
-              val rate = bb.getInt; bb.getInt; bb.getShort
-              val bits = bb.getShort
-              require(fmt == 1 && ch == 1 && rate == WavRate && bits == 16,
-                s"doc $id: unsupported fmt $fmt/$ch/$rate/$bits")
-              bb.position(bb.position() + (len - 16) + pad)
-              fmtOk = true
-            case "data" =>
-              sampleBytes = new Array[Byte](len); bb.get(sampleBytes)
-              if (pad == 1 && bb.remaining() > 0) bb.get()
-            case _ => bb.position(bb.position() + len + pad) // skip unknown
-          }
-        }
-        require(fmtOk && sampleBytes != null, s"doc $id: missing chunk")
-        val sb = java.nio.ByteBuffer.wrap(sampleBytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val n = sampleBytes.length / 2
+        val pcm = walkWavPcm(id, bytes)
+        val n = pcm.length
         var sumAbs = 0L; var sumSq = 0L; var peak = 0L
         var i = 0
         while (i < n) {
-          val v = sb.getShort.toLong
+          val v = pcm(i).toLong
           val a = math.abs(v)
           sumAbs += a; sumSq += v * v; if (a > peak) peak = a
           i += 1
@@ -483,6 +515,110 @@ object Multimodal {
       })
       .toDF("doc_id", "n_samples", "duration_us", "peak_abs", "sum_abs", "sum_sq")
   }
+
+  /** The strict RIFF chunk walk (q180's reader), factored so every audio
+    * consumer decodes through the identical fail-loud path. Returns the
+    * int16 PCM samples. */
+  private def walkWavPcm(id: Long, bytes: Array[Byte]): Array[Short] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"doc $id: not RIFF")
+    val riffLen = bb.getInt
+    require(riffLen == bytes.length - 8, s"doc $id: RIFF length lies")
+    require(tag() == "WAVE", s"doc $id: not WAVE")
+    var sampleBytes: Array[Byte] = null
+    var fmtOk = false
+    while (bb.remaining() >= 8) {
+      val t = tag(); val len = bb.getInt
+      // RIFF word-aligns chunks: an odd-length chunk body is followed
+      // by one pad byte that is NOT counted in len.
+      val pad = len & 1
+      t match {
+        case "fmt " =>
+          require(len >= 16, s"doc $id: short fmt chunk")
+          val fmt = bb.getShort; val ch = bb.getShort
+          val rate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          require(fmt == 1 && ch == 1 && rate == WavRate && bits == 16,
+            s"doc $id: unsupported fmt $fmt/$ch/$rate/$bits")
+          bb.position(bb.position() + (len - 16) + pad)
+          fmtOk = true
+        case "data" =>
+          sampleBytes = new Array[Byte](len); bb.get(sampleBytes)
+          if (pad == 1 && bb.remaining() > 0) bb.get()
+        case _ => bb.position(bb.position() + len + pad) // skip unknown
+      }
+    }
+    require(fmtOk && sampleBytes != null, s"doc $id: missing chunk")
+    val sb = java.nio.ByteBuffer.wrap(sampleBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Short](sampleBytes.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = sb.getShort; i += 1 }
+    out
+  }
+
+  /** q213 — audio ENERGY-ENVELOPE fingerprint: decode the WAV through the
+    * same strict walker, split the clip into 16 contiguous windows
+    * (window of sample i = (16·i) DIV n), and set bit w iff window w's
+    * mean |amplitude| exceeds the clip mean — INTEGER-exact via
+    * cross-multiplication (sum_w·n > total·n_w), no float mean. The
+    * envelope hash is the audio analog of q210's image aHash: the cheap
+    * perceptual key an audio dedup pass buckets on before exact
+    * verification (loudness-envelope matching — the first stage of
+    * Shazam-style fingerprinting, reduced to its oracle-able integer
+    * core). Oracle recomputes the bits analytically from the sample
+    * formula, certifying container walk + PCM decode + windowing.
+    *
+    * Scale: partition-local decode and fingerprint — no shuffle until the
+    * final order; dedup downstream is hash-groupBy on the envelope. */
+  def q213AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).select("doc_id", "wav").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val pcm = walkWavPcm(id, bytes)
+        val n = pcm.length
+        val winSum = new Array[Long](16)
+        val winCnt = new Array[Long](16)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val w = ((16L * i) / n).toInt
+          val a = math.abs(pcm(i).toLong)
+          winSum(w) += a; winCnt(w) += 1; total += a
+          i += 1
+        }
+        val bits = (0 until 16).map(w =>
+          if (winSum(w) * n > total * winCnt(w)) '1' else '0').mkString
+        val ones = bits.count(_ == '1').toLong
+        (id, n.toLong, bits, ones)
+      })
+      .toDF("doc_id", "n_samples", "envelope", "n_loud")
+      .orderBy(col("doc_id"))
+  }
+
+  val audioFingerprintOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + (doc_id * 31 + 17) % 192 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, i,
+      |    abs(((doc_id * 7919 + i * 104729) % 65536) - 32768) AS a
+      |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+      |w AS (
+      |  SELECT doc_id, n, (16 * i) // n AS win, sum(a) AS win_sum,
+      |    count(*) AS win_cnt
+      |  FROM s GROUP BY doc_id, n, (16 * i) // n),
+      |t AS (SELECT doc_id, sum(win_sum) AS total FROM w GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(max(w.n) AS BIGINT) AS n_samples,
+      |  string_agg(CASE WHEN win_sum * n > total * win_cnt
+      |             THEN '1' ELSE '0' END, '' ORDER BY win) AS envelope,
+      |  CAST(sum(CASE WHEN win_sum * n > total * win_cnt
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_loud
+      |FROM w JOIN t USING (doc_id)
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
   /** q180 — encode → parse → exact clip features. */
   def q180AudioDecode(spark: SparkSession, dir: String): DataFrame =

@@ -86,6 +86,39 @@ object SimJoin {
     graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
   }
 
+  /** The rarest-first ranked posting relation (doc_id, s, df, pos, len)
+    * the set-similarity operators share — q82/q92's PPJoin and q209's
+    * containment join consume the identical leaves.
+    *
+    * The narrow (doc_id, shingle) posting relation materializes once: the
+    * df aggregate and the rank join both consume it, and the kernel +
+    * explode would otherwise run per consumer (at cluster scale this is
+    * the persisted postings table every text-index pipeline keeps anyway —
+    * which is exactly what the share flag turns it into). Rank ties break
+    * on the shingle text so the order (and every candidate set derived
+    * from it) is deterministic at any parallelism. Threshold-independent,
+    * so shareable across operators and thresholds. */
+  private def rankedShingles(documents: DataFrame,
+                             leafKey: Option[String]): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def leaf(part: String)(build: => DataFrame): DataFrame =
+      graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part))(build)
+    val ex = leaf("postings") {
+      documents.select(
+        col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("s"))
+    }
+    val dfRel = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    leaf("ranked") {
+      ex.join(dfRel, "s")
+        .select(col("doc_id"), col("s"), col("df"),
+                (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
+                count(lit(1)).over(wDoc).as("len"))
+    }
+  }
+
   /** The PPJoin core over any `(doc_id, text)` relation; `maxDf` is the
     * opt-in index cut described in the scaladoc above. `leafKey` names the
     * derived posting/rank relations for session-level sharing
@@ -94,32 +127,7 @@ object SimJoin {
     * materialization; unkeyed callers keep full per-call isolation. */
   def jaccardJoinOn(documents: DataFrame, maxDf: Option[Long],
                     leafKey: Option[String] = None): DataFrame = {
-    val spark = documents.sparkSession
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    def leaf(part: String)(build: => DataFrame): DataFrame =
-      graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part))(build)
-    // narrow posting relation (doc_id, shingle) materialized once: the df
-    // aggregate and the rank join both consume it, and the kernel + explode
-    // would otherwise run per consumer (at cluster scale this is the
-    // persisted postings table every text-index pipeline keeps anyway —
-    // which is exactly what the share flag turns it into)
-    val ex = leaf("postings") {
-      documents.select(
-        col("doc_id"),
-        explode(call_function("graft_shingles", col("text"))).as("s"))
-    }
-    val dfRel = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rarest-first rank of every posting; ties break on the shingle text
-    // so the order (and the candidate set) is deterministic at any
-    // parallelism. Three consumers (prefix ×2 via self-join + the verify
-    // postings): materialize once. Threshold-independent, so shareable.
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = leaf("ranked") {
-      ex.join(dfRel, "s")
-        .select(col("doc_id"), col("s"), col("df"),
-                (row_number().over(wDoc.orderBy(col("df"), col("s"))) - 1).as("pos"),
-                count(lit(1)).over(wDoc).as("len"))
-    }
+    val ranked = rankedShingles(documents, leafKey)
     // prefix length = n − ⌈t·n⌉ + 1, in integers: ⌈n·TN/TD⌉ = (n·TN+TD−1) DIV TD
     // The maxDf cut applies HERE — postings above the cut never reach the
     // inverted-index self-join, so no candidate (and no dedup-shuffle row)
@@ -437,5 +445,90 @@ object SimJoin {
        |    ON a.doc_id < b.doc_id
        |   AND $TD*len(a.sh) >= $TN*len(b.sh) AND $TD*len(b.sh) >= $TN*len(a.sh))
        |WHERE $TD*i >= $TN*u
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q209 — CONTAINMENT self-join: ordered pairs (a, b) where C(A,B) =
+  // |A∩B| / |A| ≥ 4/5 — doc a's shingles mostly inside doc b. Jaccard is
+  // symmetric and punishes length mismatch, so it MISSES the
+  // quote/excerpt/boilerplate-wrapper case (a short doc embedded verbatim
+  // in a long one has tiny Jaccard but containment ≈ 1); asymmetric
+  // containment is the standard second pass of a set-similarity dedup
+  // stack (the overlap/containment variants in Chaudhuri et al. ICDE'06
+  // SSJoin §2; public). A containment hit marks doc a REDUNDANT given b —
+  // droppable without losing tokens b doesn't already carry.
+  //
+  // Architecture: same skeleton as [[jaccardJoinOn]], consuming the SAME
+  // ranked-posting leaves (threshold-independent, so the q82 leaf is
+  // reused verbatim):
+  //   - prefix filter: C ≥ t means B misses at most |A| − ⌈t·|A|⌉ of A's
+  //     shingles, so A's (|A| − ⌈t·|A|⌉ + 1) RAREST shingles must hit B in
+  //     at least one — the identical prefix-length formula, but probed
+  //     against B's FULL posting list (no length filter exists:
+  //     containment is one-sided by design, |B| may dwarf |A|);
+  //   - the implied length bound lb ≥ ⌈t·la⌉ (i ≤ lb) prunes candidates
+  //     before the verify join;
+  //   - counting verify on narrow (pair, shingle) rows — arrays never
+  //     shuffle — and the DECIDING test is integral: CD·∩ ≥ CN·|A|.
+  // Oracle: the naive all-ordered-pairs spec; equality IS the check.
+  // -------------------------------------------------------------------------
+
+  /** q209's containment threshold CN/CD = 4/5. */
+  private val CN = 4
+  private val CD = 5
+
+  def q209ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinOn(docs(spark, dir),
+                      leafKey = Some(s"simjoin_shingles:$dir"))
+
+  /** The containment core over any `(doc_id, text)` relation. */
+  def containmentJoinOn(documents: DataFrame,
+                        leafKey: Option[String] = None): DataFrame = {
+    val ranked = rankedShingles(documents, leafKey)
+    // A-side prefix: |A| − ⌈t·|A|⌉ + 1 rarest shingles (0-based pos)
+    val prefA = ranked.filter(
+      col("pos") < expr(s"len - ((len*$CN + ${CD - 1}) DIV $CD) + 1"))
+    val postings = ranked.select(col("doc_id"), col("s"), col("len"))
+    val cand = prefA.select(col("s"), col("doc_id").as("doc_a"),
+                            col("len").as("la"))
+      .join(postings.select(col("s"), col("doc_id").as("doc_b"),
+                            col("len").as("lb")), "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      // implied bound: ∩ ≤ |B|, so C ≥ t needs CD·|B| ≥ CN·|A|
+      .filter(lit(CD) * col("lb") >= lit(CN) * col("la"))
+      .select(col("doc_a"), col("doc_b"), col("la"))
+      .dropDuplicates("doc_a", "doc_b")
+    val interCnt = cand
+      .join(postings.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(postings.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("la"))
+      .agg(count(lit(1)).as("i"))
+    val cont = round((col("i").cast("double") / col("la").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    interCnt
+      .filter(lit(CD) * col("i") >= lit(CN) * col("la"))
+      .select(col("doc_a"), col("doc_b"), cont.as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q209's oracle — the naive ordered-pair spec with the same implied
+    * length bound and integral deciding test. */
+  val containmentJoinOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, ${TextOps.duckShingles} AS sh
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |          FROM documents))
+       |  WHERE len(sh) > 0)
+       |SELECT doc_a, doc_b,
+       |  CAST(round(CAST(CAST(i AS DOUBLE) / CAST(la AS DOUBLE)
+       |       AS DECIMAL(28,12)), 6) AS DOUBLE) AS containment
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la
+       |  FROM d a JOIN d b
+       |    ON a.doc_id != b.doc_id AND $CD*len(b.sh) >= $CN*len(a.sh))
+       |WHERE $CD*i >= $CN*la
        |ORDER BY doc_a, doc_b""".stripMargin
 }

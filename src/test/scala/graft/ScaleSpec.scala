@@ -487,6 +487,49 @@ class ScaleSpec extends AnyFunSuite {
       s"globalRankBy window not bucket-partitioned:\n$rk")
   }
 
+  test("round-7 operators: q209 keyed prefix-probe joins, q210 shuffle-" +
+       "free decode, q211 windowless keeper min, q212 bucketed ranks") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // q209: candidate generation is the prefix⋈postings equi-join on the
+    // shingle, verify is keyed counting joins — no cartesian anywhere;
+    // the only window is the shared rarest-first posting rank (per-doc
+    // partitions, bounded by a doc's shingle count)
+    val cj = finalPlan(graft.operators.SimJoin.q209ContainmentJoin(spark, dir))
+    assert(!cj.contains("CartesianProduct"), s"cartesian in q209:\n$cj")
+    val cjWins = cj.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(cjWins.forall(_.contains("doc_id")),
+      s"q209 window not doc-partitioned:\n$cj")
+    // q210: partition-local decode — no exchange before the final sort
+    val ah = graft.operators.Multimodal.q210ImageAhash(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ah.contains("CartesianProduct"), s"cartesian in q210:\n$ah")
+    assert(!ah.contains("windowspecdefinition"), s"unexpected window in q210:\n$ah")
+    // q211: keepers via algebraic min(struct) — NO per-cluster window at
+    // all (contrast q154's row_number, which this sweep deliberately
+    // avoids: three policies over one relation, map-side combinable)
+    val kp = finalPlan(graft.operators.Dedup.q211KeeperPolicySweep(spark, dir))
+    assert(!kp.contains("CartesianProduct"), s"cartesian in q211:\n$kp")
+    assert(!kp.contains("windowspecdefinition"),
+      s"q211 must aggregate keepers without a window:\n$kp")
+    // q213: same contract as q210 — partition-local decode, no window
+    val ae = finalPlan(graft.operators.Multimodal.q213AudioFingerprint(spark, dir))
+    assert(!ae.contains("CartesianProduct"), s"cartesian in q213:\n$ae")
+    assert(!ae.contains("windowspecdefinition"), s"unexpected window in q213:\n$ae")
+    // q212: both rank passes two-phase — windows partition by the score
+    // bucket, never a bare global/per-source order; no single-partition
+    // exchange
+    val qn = finalPlan(graft.operators.Bias.q212QuantileNorm(spark, dir))
+    assert(!qn.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q212:\n$qn")
+    val qnWins = qn.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(qnWins.forall(_.contains("__b")),
+      s"q212 rank window not bucket-partitioned:\n$qn")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
