@@ -231,6 +231,9 @@ object SparkEntry {
     "q211_keeper_sweep"     -> (Dedup.q211KeeperPolicySweep _),
     "q212_quantile_norm"    -> (Bias.q212QuantileNorm _),
     "q213_audio_envelope"   -> (Multimodal.q213AudioFingerprint _),
+    "q214_novelty_quality"  -> (Corpus.q214NoveltyByQuality _),
+    "q215_pii_cooccur"      -> (Pii.q215PiiCooccurrence _),
+    "q216_shard_plan"       -> (TrainPrep.q216ShardPlan _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -669,5 +672,8 @@ object SparkEntry {
     "q211_keeper_sweep"      -> Dedup.keeperPolicySweepOracle,
     "q212_quantile_norm"     -> Bias.quantileNormOracle,
     "q213_audio_envelope"    -> Multimodal.audioFingerprintOracle,
+    "q214_novelty_quality"   -> Corpus.noveltyByQualityOracle,
+    "q215_pii_cooccur"       -> Pii.piiCooccurrenceOracle,
+    "q216_shard_plan"        -> TrainPrep.shardPlanOracle,
   )
 }

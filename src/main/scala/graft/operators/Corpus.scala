@@ -1144,6 +1144,76 @@ object Corpus {
        |LEFT JOIN novel n USING (source)
        |ORDER BY s.source""".stripMargin
 
+  /** q214 — shingle NOVELTY by QUALITY decile: q123's acquisition-value
+    * curve re-ordered along the quality axis — scanning docs best-quality-
+    * first, which decile contributes each distinct shingle first? The
+    * readout answers the filtering-ablation question "do low-quality docs
+    * carry any unique content, or is everything they add already present
+    * in better copy?" (the RefinedWeb §4 style dedup-vs-filter interplay):
+    * a fat new_shingles tail in deciles 8-9 means aggressive quality
+    * cutoffs destroy lexical coverage; a thin one means they're free.
+    *
+    * Scale: the rank is two-phase ([[PrefixSum.globalRankBy]]); deciles
+    * are integer-exact from a driver-collected count (the q212 pattern —
+    * no 1-row control relation); the explode joins the |docs|-row decile
+    * relation on doc_id (narrow keyed join, text never shuffles); the
+    * shingle aggregate is min-combinable; the cumulative window runs on
+    * the 10-row decile rollup only. */
+  def q214NoveltyByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.q35QualityScore(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("s_q"))
+      .localCheckpoint() // rank control jobs re-read this, not the scoring
+    val stats = scored.agg(count(lit(1))).collect().head
+    val nAll = stats.getLong(0)
+    val deciled = PrefixSum.globalRankBy(scored, "s_q", asc = false, "rq")
+      .select(col("doc_id"), expr(s"(10 * (rq - 1)) DIV ${nAll}L").as("decile"))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("sh"))
+      .join(deciled, Seq("doc_id"))
+    val firstDec = ex.groupBy(col("sh")).agg(min(col("decile")).as("decile"))
+    val novel = firstDec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_shingles"))
+    deciled.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+      .join(novel, Seq("decile"), "left")
+      .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      // 10-row dimension window — the q123/q21 bounded pattern
+      .withColumn("cum_shingles",
+        sum(col("new_shingles")).over(Window.orderBy(col("decile"))))
+      .orderBy(col("decile"))
+  }
+
+  val noveltyByQualityOracle: String = {
+    val qual = TextOps.qualityOracle
+    s"""WITH q AS (
+       |  SELECT doc_id, CAST(round(quality * 1000000.0) AS BIGINT) AS s_q
+       |  FROM ($qual)),
+       |r AS (
+       |  SELECT doc_id,
+       |    (10 * (row_number() OVER (ORDER BY s_q DESC, doc_id) - 1))
+       |      // (SELECT count(*) FROM q) AS decile
+       |  FROM q),
+       |ex AS (
+       |  SELECT r.decile, sh FROM (
+       |    SELECT doc_id, unnest(${TextOps.duckShingles}) AS sh
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |          FROM documents)) e
+       |  JOIN r USING (doc_id)),
+       |fs AS (SELECT sh, min(decile) AS decile FROM ex GROUP BY sh),
+       |novel AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS new_shingles
+       |  FROM fs GROUP BY decile),
+       |docs AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM r GROUP BY decile)
+       |SELECT d.decile, d.n_docs,
+       |  CAST(coalesce(n.new_shingles, 0) AS BIGINT) AS new_shingles,
+       |  CAST(sum(coalesce(n.new_shingles, 0))
+       |    OVER (ORDER BY d.decile) AS BIGINT) AS cum_shingles
+       |FROM docs d LEFT JOIN novel n USING (decile)
+       |ORDER BY d.decile""".stripMargin
+  }
+
   /** q131 — per-language PERPLEXITY BUCKETS (CCNet, Wenzek et al. 2020
     * §4.3): split each language's scored docs into head/middle/tail
     * tertiles by the q118 LM score (higher = more fluent), the bucketing

@@ -185,6 +185,51 @@ object Pii {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------------------------------------
+  // q215 — PII CO-OCCURRENCE audit: q144 counts each identifier class in
+  // isolation; re-identification risk concentrates where classes CO-OCCUR
+  // (an email AND a phone in one document is a linkable identity, not two
+  // independent leaks — the compound-identifier escalation rule every
+  // privacy review applies). Per source: the distribution of distinct PII
+  // classes per doc (0..3) and the compound-risk count (≥ 2 classes).
+  //
+  // Scale: the same one codegen'd regex map as q144 + one partial-
+  // aggregated groupBy(source) — scan-bound, ~6 longs per source shuffle.
+  // -------------------------------------------------------------------------
+
+  /** q215 — per source: docs by distinct-PII-class count + compound risk. */
+  def q215PiiCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    def has(pat: String): Column =
+      when(size(regexp_extract_all(col("pii_text"), lit(pat), lit(0))) > 0, 1L)
+        .otherwise(0L)
+    piiTable(spark, dir)
+      .select(col("source"),
+        (has(emailPat) + has(phonePat) + has(ipPat)).as("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k") === 0L, 1L).otherwise(0L)).as("docs_0"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).as("docs_1"),
+        sum(when(col("k") === 2L, 1L).otherwise(0L)).as("docs_2"),
+        sum(when(col("k") === 3L, 1L).otherwise(0L)).as("docs_3"),
+        sum(when(col("k") >= 2L, 1L).otherwise(0L)).as("docs_compound"))
+      .orderBy(col("source"))
+  }
+
+  val piiCooccurrenceOracle: String =
+    piiCte + ",\n" + """k AS (
+      |  SELECT source,
+      |    (CASE WHEN len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN len(regexp_extract_all(pii_text, '\+1-[0-9]{3}-[0-9]{4}')) > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN len(regexp_extract_all(pii_text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0 THEN 1 ELSE 0 END) AS k
+      |  FROM pii)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_0,
+      |  CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_1,
+      |  CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_2,
+      |  CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS docs_3,
+      |  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_compound
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val kAnonymityOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, source, lang,

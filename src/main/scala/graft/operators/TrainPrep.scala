@@ -1347,4 +1347,57 @@ object TrainPrep {
       |  CAST(max(doc_ppm) AS BIGINT) AS max_fluency_ppm,
       |  CAST(min(doc_ppm) AS BIGINT) AS min_fluency_ppm
       |FROM r GROUP BY 1 ORDER BY phase""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q216 — export SHARD manifest: the deterministic write plan the final
+  // dataset-publishing stage computes — docs in content-id order, packed
+  // greedily into ~fixed-token shards (the WebDataset/Dolma shard layout:
+  // a doc belongs to the shard of its first token; shards are the unit of
+  // shuffling, resumption, and distribution). Per shard: docs, token
+  // mass, id range. The manifest is pure arithmetic over the corpus
+  // running token total, so it is reproducible from the table alone.
+  //
+  // Scale: the running total is the two-phase distributed prefix sum
+  // ([[PrefixSum.withRunningSum]] — bucketed partials, driver offsets,
+  // per-bucket windows; no single-partition exchange), then one
+  // partial-aggregated groupBy(shard). The q21 fact-sized-cumulative
+  // shape applied to the output side of the pipeline.
+  // -------------------------------------------------------------------------
+
+  /** q216's shard budget in whitespace tokens. */
+  val ShardTokens = 4096L
+
+  /** q216 — per shard: n_docs, n_tokens, first/last doc id. */
+  def q216ShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(split(lower(text), '\\\\s+')) AS BIGINT)").as("n_tok"))
+    PrefixSum.withRunningSum(d, "doc_id", col("n_tok"), "cum")
+      // exclusive prefix = cum − n_tok; decimal values are exact integers,
+      // so the BIGINT cast is lossless and the shard id integer-exact
+      .withColumn("shard_id",
+        expr(s"CAST(cum - n_tok AS BIGINT) DIV $ShardTokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  val shardPlanOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT CAST((cum - n_tok) // $ShardTokens AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 }

@@ -528,6 +528,28 @@ class ScaleSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(qnWins.forall(_.contains("__b")),
       s"q212 rank window not bucket-partitioned:\n$qn")
+    // q214: the rank window is bucketed; the only global-order window is
+    // the 10-row decile rollup (the q123 bounded-dimension pattern); the
+    // explode joins the decile relation on doc_id — no cartesian
+    val nq = finalPlan(graft.operators.Corpus.q214NoveltyByQuality(spark, dir))
+    assert(!nq.contains("CartesianProduct"), s"cartesian in q214:\n$nq")
+    val nqWins = nq.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(nqWins.forall(w => w.contains("__b") || w.contains("decile")),
+      s"q214 window neither bucketed rank nor decile rollup:\n$nq")
+    // q215: one codegen'd regex map + one partial agg — no window, no join
+    val pc = finalPlan(graft.operators.Pii.q215PiiCooccurrence(spark, dir))
+    assert(!pc.contains("CartesianProduct"), s"cartesian in q215:\n$pc")
+    assert(!pc.contains("windowspecdefinition"), s"unexpected window in q215:\n$pc")
+    // q216: the corpus running total is the two-phase prefix sum — per-
+    // bucket windows, broadcast offsets, NO single-partition exchange
+    val sp = finalPlan(graft.operators.TrainPrep.q216ShardPlan(spark, dir))
+    assert(!sp.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q216:\n$sp")
+    val spWins = sp.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(spWins.nonEmpty && spWins.forall(_.contains("__bucket")),
+      s"q216 running-sum window not bucket-partitioned:\n$sp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
