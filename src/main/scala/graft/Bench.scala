@@ -71,7 +71,8 @@ object Bench {
     // every recorded per-query number independent of query-set order.
     // The cost is reported as its own line item (prewarm_sec).
     val leafConsumers = Seq("q82_jaccard_join", "q93_weighted_jaccard",
-                            "q123_source_novelty", "q193_fluency_score")
+                            "q123_source_novelty", "q193_fluency_score",
+                            "q28_minhash_signature")
     val pw0 = System.nanoTime()
     leafConsumers.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>

@@ -54,7 +54,13 @@ object Dedup {
     * of interpreted nested higher-order functions; semantics identical to
     * the declarative form (and to the DuckDB oracle). */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesOf(Tables.documents(spark, dir))
+    // ~10 family members (q28/q29/q42/q74/q81/q88/q125/q184/q199...) derive
+    // the identical signature relation from one table: a shared leaf under
+    // the bench's persisted-postings flag (built once, re-read as parquet),
+    // per-call localCheckpoint isolation by default — the SimJoin pattern
+    graft.Leaves.shared(spark, s"dedup_signatures:$dir") {
+      signaturesOf(Tables.documents(spark, dir))
+    }
 
   /** The same signature relation over ANY `(doc_id, text)` input — the
     * streaming screen ([[graft.streaming.IncrementalScreen]]) bands its
@@ -121,7 +127,7 @@ object Dedup {
     // so recomputing it per consumer triples the dominant cost. Materialize
     // it once — at cluster scale this is a persisted intermediate table of
     // |docs| small rows, trivially cacheable.
-    val sig = signatures(spark, dir).localCheckpoint()
+    val sig = signatures(spark, dir)
     val cand = lshCandidates(lshBands(sig))
     // Shingle sets re-attach only for the (small) candidate set.
     val sh = sig.select(col("doc_id"), col("sh"))
@@ -167,7 +173,7 @@ object Dedup {
     * (K·32 bytes), shingles re-attach only for the exact column — q29's
     * discipline unchanged. */
   def q88MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).localCheckpoint()
+    val sig = signatures(spark, dir)
     val cand = lshCandidates(lshBands(sig))
     val matches = (1 to K_HASHES).map(k =>
         when(element_at(col("m_a"), k) === element_at(col("m_b"), k), 1L)
@@ -899,7 +905,7 @@ object Dedup {
     * signatures are never rescanned; shingles re-attach only for candidate
     * pairs, exactly as in q29. */
   def q81IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).localCheckpoint()
+    val sig = signatures(spark, dir)
     val bands = lshBands(sig)
     val isBatch = col("doc_id") % 5 === 4
     val cand = bands.filter(isBatch).toDF("new_doc", "band_idx", "band_hash")
@@ -1231,7 +1237,7 @@ object Dedup {
     * truth, recall ppm. One signature build + three banded bucket-joins
     * + one exact-join count; every exchanged row is (id, idx, hash). */
   def q184LshBandSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).localCheckpoint()
+    val sig = signatures(spark, dir)
     val sh = sig.select(col("doc_id"), col("sh"))
     // truth: |exact qualifying pairs| — a 1-row control relation
     val truth = SimJoin.q82JaccardJoin(spark, dir)

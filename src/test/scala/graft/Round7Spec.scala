@@ -50,6 +50,29 @@ class Round7Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shareLeaves")
   }
 
+  test("dedup signature leaf: shareLeaves on ≡ off for q28/q29/q184, " +
+       "with one leaf registered and reused across the family") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    spark.conf.unset("spark.graft.shareLeaves")
+    val off28 = rows(operators.Dedup.q28MinhashSignature(spark, dir))
+    val off29 = rows(operators.Dedup.q29LshNearDup(spark, dir))
+    val off184 = rows(operators.Dedup.q184LshBandSweep(spark, dir))
+    spark.conf.set("spark.graft.shareLeaves", "true")
+    try {
+      val before = Leaves.cache.size
+      assert(rows(operators.Dedup.q28MinhashSignature(spark, dir)) === off28)
+      val after = Leaves.cache.size
+      assert(after > before, "q28 should have registered the signature leaf")
+      assert(rows(operators.Dedup.q29LshNearDup(spark, dir)) === off29)
+      assert(Leaves.cache.size === after,
+        "q29 must reuse q28's signature leaf, not rebuild")
+      // q184's truth leg runs q82, which registers the SimJoin leaves —
+      // equality is the pin here, not the cache size
+      assert(rows(operators.Dedup.q184LshBandSweep(spark, dir)) === off184)
+    } finally spark.conf.unset("spark.graft.shareLeaves")
+  }
+
   test("q184 sweep: verified ⊆ truth (recall_ppm ≤ 1e6, n_verified ≤ " +
        "candidates and ≤ truth) for every (b, r) config") {
     val truth = operators.SimJoin.q82JaccardJoin(spark, dir).count()
