@@ -234,6 +234,7 @@ object SparkEntry {
     "q214_novelty_quality"  -> (Corpus.q214NoveltyByQuality _),
     "q215_pii_cooccur"      -> (Pii.q215PiiCooccurrence _),
     "q216_shard_plan"       -> (TrainPrep.q216ShardPlan _),
+    "q217_bpe_vocab_sweep"  -> (Bpe.q217BpeVocabSweep _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -675,5 +676,6 @@ object SparkEntry {
     "q214_novelty_quality"   -> Corpus.noveltyByQualityOracle,
     "q215_pii_cooccur"       -> Pii.piiCooccurrenceOracle,
     "q216_shard_plan"        -> TrainPrep.shardPlanOracle,
+    "q217_bpe_vocab_sweep"   -> Bpe.bpeVocabSweepOracle,
   )
 }

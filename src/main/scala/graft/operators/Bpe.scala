@@ -64,6 +64,14 @@ object Bpe {
     * word → symbol-sequence vocabulary (the trained tokenizer — applying
     * BPE to a known word IS looking up its final segmentation). */
   def learn(spark: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, snaps) = learnWithSnapshots(spark, dir, Set(K))
+    (merges, snaps(K))
+  }
+
+  /** [[learn]] exposing the vocabulary AFTER each round in `at` — the
+    * q217 sweep reads the k-merge operating points without re-learning. */
+  def learnWithSnapshots(spark: SparkSession, dir: String, at: Set[Int])
+      : (Seq[(Int, String, String, Long)], Map[Int, DataFrame]) = {
     var vocab = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")).between(1, MaxWord))
@@ -71,6 +79,7 @@ object Bpe {
       .select(col("w"), spacedCol(col("w")).as("spaced"), col("cnt"))
       .localCheckpoint()
 
+    val snaps = Map.newBuilder[Int, DataFrame]
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to K) {
       val top = vocab
@@ -89,8 +98,9 @@ object Bpe {
       vocab = vocab
         .select(col("w"), mergePass(col("spaced"), l, r).as("spaced"), col("cnt"))
         .localCheckpoint()
+      if (at(it)) snaps += it -> vocab
     }
-    (merges.result(), vocab)
+    (merges.result(), snaps.result())
   }
 
   /** q146 — the learned merge table: (iter, left_sym, right_sym,
@@ -179,4 +189,62 @@ object Bpe {
         |  CAST(sum(n_syms) AS BIGINT) AS total_subtokens,
         |  CAST(sum(length(w)) AS BIGINT) AS total_chars
         |FROM app GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q217 — VOCABULARY-SIZE sweep: corpus subtoken economics at k = 2, 4,
+  // and 8 merges — the "how much compression does each merge buy"
+  // operating curve a tokenizer-budget decision reads (vocab size trades
+  // embedding-table memory against sequence length; the curve's knee is
+  // the standard pick). The q176/q184 sweep discipline applied to
+  // tokenizer TRAINING: all three operating points come from ONE learning
+  // run ([[learnWithSnapshots]] — the k-merge vocabulary is a prefix of
+  // the K-merge run by construction).
+  //
+  // Scale: identical to q147 per leg — the segmentation vocabulary
+  // broadcasts to an equi-join on the word, one aggregate per leg; the
+  // corpus word relation materializes once for the three legs.
+  // -------------------------------------------------------------------------
+
+  /** q217's operating points (all ≤ [[K]]). */
+  val SweepMerges = Seq(2, 4, 8)
+
+  /** q217 — per merge count: words, subtokens, chars, chars-per-subtoken
+    * ppm (the compression readout; 1e6 = one char per subtoken). */
+  def q217BpeVocabSweep(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = learnWithSnapshots(spark, dir, SweepMerges.toSet)._2
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, MaxWord))
+      .localCheckpoint() // three sweep legs consume it
+    val legs = SweepMerges.map { k =>
+      val seg = snaps(k).select(col("w"),
+        size(split(col("spaced"), " ")).cast("long").as("n_syms"))
+      words.join(broadcast(seg), Seq("w"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("total_subtokens"),
+          sum(length(col("w")).cast("long")).as("total_chars"))
+        .select(lit(k.toLong).as("k_merges"), col("n_words"),
+          col("total_subtokens"), col("total_chars"),
+          expr("(1000000 * total_chars) DIV total_subtokens")
+            .as("chars_per_subtoken_ppm"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy(col("k_merges"))
+  }
+
+  /** q217's oracle: the SAME generated CTE chain exposes every
+    * intermediate vocabulary — each sweep leg re-tokenizes against v2/v4/
+    * v8 independently. */
+  val bpeVocabSweepOracle: String = {
+    val legs = SweepMerges.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k_merges, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split(v.spaced, ' '))) AS BIGINT) AS total_subtokens,
+         |  CAST(sum(length(t.w)) AS BIGINT) AS total_chars,
+         |  (1000000 * CAST(sum(length(t.w)) AS BIGINT))
+         |    // CAST(sum(len(string_split(v.spaced, ' '))) AS BIGINT)
+         |    AS chars_per_subtoken_ppm
+         |FROM toks t JOIN v$k v ON t.w = v.w
+         |WHERE length(t.w) BETWEEN 1 AND $MaxWord""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    oracleChain + s"\nSELECT * FROM (\n$legs\n) ORDER BY k_merges"
+  }
 }

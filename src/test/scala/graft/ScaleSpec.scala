@@ -541,6 +541,13 @@ class ScaleSpec extends AnyFunSuite {
     val pc = finalPlan(graft.operators.Pii.q215PiiCooccurrence(spark, dir))
     assert(!pc.contains("CartesianProduct"), s"cartesian in q215:\n$pc")
     assert(!pc.contains("windowspecdefinition"), s"unexpected window in q215:\n$pc")
+    // q217: three q147-shaped legs — segmentation vocab broadcast to the
+    // word equi-join, no cartesian, no window (1-row argmax collects are
+    // the sanctioned BPE driver loop)
+    val bv = finalPlan(graft.operators.Bpe.q217BpeVocabSweep(spark, dir))
+    assert(!bv.contains("CartesianProduct"), s"cartesian in q217:\n$bv")
+    assert(!bv.contains("windowspecdefinition"), s"unexpected window in q217:\n$bv")
+    assert(bv.contains("BroadcastHashJoin"), s"q217 vocab not broadcast:\n$bv")
     // q216: the corpus running total is the two-phase prefix sum — per-
     // bucket windows, broadcast offsets, NO single-partition exchange
     val sp = finalPlan(graft.operators.TrainPrep.q216ShardPlan(spark, dir))
