@@ -235,6 +235,7 @@ object SparkEntry {
     "q215_pii_cooccur"      -> (Pii.q215PiiCooccurrence _),
     "q216_shard_plan"       -> (TrainPrep.q216ShardPlan _),
     "q217_bpe_vocab_sweep"  -> (Bpe.q217BpeVocabSweep _),
+    "q218_bbit_minhash"     -> (Dedup.q218BbitMinhash _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -677,5 +678,6 @@ object SparkEntry {
     "q215_pii_cooccur"       -> Pii.piiCooccurrenceOracle,
     "q216_shard_plan"        -> TrainPrep.shardPlanOracle,
     "q217_bpe_vocab_sweep"   -> Bpe.bpeVocabSweepOracle,
+    "q218_bbit_minhash"      -> Dedup.bbitMinhashOracle,
   )
 }

@@ -219,6 +219,67 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------------
+  // q218 — b-BIT MINHASH calibration (Li & König WWW'10): store only the
+  // LOWEST BIT of each minhash slot — a 32× storage cut vs the hex
+  // signature — and estimate Jaccard from bit agreement with the b=1
+  // correction Ĵ = 2·A − 1 (a non-colliding slot still agrees by chance
+  // 1/2). The audit runs over q29's VERIFIED pairs (exact Jaccard known)
+  // and reports the calibration table: per agreement count, how many
+  // pairs, their mean exact Jaccard, and the b-bit estimate — the numbers
+  // that decide whether the compressed sketch is tight enough to replace
+  // the full one on this corpus.
+  //
+  // Scale: the pair relation is q29's bounded verified set; signatures
+  // re-attach through two keyed doc_id joins; the readout is a ≤(K+1)-row
+  // aggregate. The lowest bit is the hex parity of the md5's last nibble
+  // — pure string ops both engines compute identically.
+  // -------------------------------------------------------------------------
+
+  /** q218 — (n_agree, n_pairs, mean_jac_ppm, est_jac_ppm). */
+  def q218BbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    def bit(m: Column, i: Int): Column =
+      substring(element_at(m, i), 32, 1).isin(oddHex: _*)
+    val pairs = q29LshNearDup(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("jac_ppm"))
+    val nAgree = (1 to K_HASHES).map(i =>
+        when(bit(col("ma"), i) === bit(col("mb"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("m").as("mb")), "doc_b")
+      .select(nAgree.as("n_agree"), col("jac_ppm"))
+      .groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        // verified pairs have jac ≥ 1/2 ⇒ the mean's operands are nonneg
+        expr("sum(jac_ppm) DIV count(1)").as("mean_jac_ppm"))
+      .withColumn("est_jac_ppm",
+        expr(s"n_agree * 2000000 DIV $K_HASHES - 1000000"))
+      .orderBy(col("n_agree"))
+  }
+
+  val bbitMinhashOracle: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    val agreeSql = (1 to K_HASHES)
+      .map(i => s"CASE WHEN (substr(x.m[$i], 32, 1) IN $odd) = (substr(y.m[$i], 32, 1) IN $odd) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $duckSignatures,
+       |pairs AS ($lshNearDupOracle),
+       |agree AS (
+       |  SELECT CAST($agreeSql AS BIGINT) AS n_agree,
+       |    CAST(round(p.jaccard * 1000000) AS BIGINT) AS jac_ppm
+       |  FROM pairs p
+       |  JOIN sig x ON x.doc_id = p.doc_a
+       |  JOIN sig y ON y.doc_id = p.doc_b)
+       |SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm,
+       |  CAST(n_agree * 2000000 // $K_HASHES - 1000000 AS BIGINT) AS est_jac_ppm
+       |FROM agree GROUP BY n_agree ORDER BY n_agree""".stripMargin
+  }
+
   /** q87 — SimHash near-dup PAIRING by pigeonhole blocks: every pair of
     * docs whose fingerprints differ in ≤ 1 bit, found WITHOUT an
     * all-pairs comparison. Hamming ≤ d pairs must agree exactly on at

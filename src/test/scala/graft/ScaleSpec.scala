@@ -541,6 +541,11 @@ class ScaleSpec extends AnyFunSuite {
     val pc = finalPlan(graft.operators.Pii.q215PiiCooccurrence(spark, dir))
     assert(!pc.contains("CartesianProduct"), s"cartesian in q215:\n$pc")
     assert(!pc.contains("windowspecdefinition"), s"unexpected window in q215:\n$pc")
+    // q218: bounded verified-pair relation + two keyed doc_id joins; the
+    // readout is a ≤(K+1)-row aggregate — no cartesian anywhere (the only
+    // window is q29's per-pair dedup inside the pair source, doc-keyed)
+    val bb = finalPlan(graft.operators.Dedup.q218BbitMinhash(spark, dir))
+    assert(!bb.contains("CartesianProduct"), s"cartesian in q218:\n$bb")
     // q217: three q147-shaped legs — segmentation vocab broadcast to the
     // word equi-join, no cartesian, no window (1-row argmax collects are
     // the sanctioned BPE driver loop)
