@@ -35,6 +35,11 @@ class Round6bSpec extends AnyFunSuite {
 
     spark.conf.set("spark.graft.shareLeaves", "true")
     try {
+      // isolation: another suite's flag-on run (e.g. Round7Spec's q184
+      // truth leg) may have registered these keys already in this app —
+      // drop them so the "built once" assertions measure THIS test
+      Leaves.cache.keys.filter(_.contains("simjoin_"))
+        .foreach(Leaves.cache.remove)
       val before = Leaves.cache.size
       assert(rows(SimJoin.q82JaccardJoin(spark, dir)) === offQ82)
       val afterQ82 = Leaves.cache.size
@@ -60,6 +65,8 @@ class Round6bSpec extends AnyFunSuite {
     val off201 = rows(operators.TrainPrep.q201CurriculumPhases(spark, dir))
     spark.conf.set("spark.graft.shareLeaves", "true")
     try {
+      Leaves.cache.keys.filter(_.contains("fluency_"))
+        .foreach(Leaves.cache.remove) // same isolation as the test above
       val before = Leaves.cache.size
       assert(rows(operators.Corpus.q193FluencyScore(spark, dir)) === off193)
       val after = Leaves.cache.size

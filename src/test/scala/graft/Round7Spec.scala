@@ -42,6 +42,8 @@ class Round7Spec extends AnyFunSuite {
     val off = operators.Corpus.q123SourceNovelty(spark, dir).collect().toSeq
     spark.conf.set("spark.graft.shareLeaves", "true")
     try {
+      Leaves.cache.keys.filter(_.contains("novelty_"))
+        .foreach(Leaves.cache.remove) // isolation (the Round6bSpec rule)
       val before = Leaves.cache.size
       val on = operators.Corpus.q123SourceNovelty(spark, dir).collect().toSeq
       assert(on === off)
@@ -60,6 +62,9 @@ class Round7Spec extends AnyFunSuite {
     val off184 = rows(operators.Dedup.q184LshBandSweep(spark, dir))
     spark.conf.set("spark.graft.shareLeaves", "true")
     try {
+      // isolation from other suites' flag-on runs (the Round6bSpec rule)
+      Leaves.cache.keys.filter(_.contains("dedup_signatures"))
+        .foreach(Leaves.cache.remove)
       val before = Leaves.cache.size
       assert(rows(operators.Dedup.q28MinhashSignature(spark, dir)) === off28)
       val after = Leaves.cache.size
