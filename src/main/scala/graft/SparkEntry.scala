@@ -236,6 +236,11 @@ object SparkEntry {
     "q216_shard_plan"       -> (TrainPrep.q216ShardPlan _),
     "q217_bpe_vocab_sweep"  -> (Bpe.q217BpeVocabSweep _),
     "q218_bbit_minhash"     -> (Dedup.q218BbitMinhash _),
+    "q219_zipf_decay"       -> (TextOps.q219ZipfDecay _),
+    "q220_code_detect"      -> (CodeDetect.q220CodeDetect _),
+    "q221_centroid_affinity" -> (Similarity.q221CentroidAffinity _),
+    "q222_cdc_chunks"       -> (Cdc.q222CdcChunks _),
+    "q223_bitext_margin"    -> (Similarity.q223BitextMargin _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -679,5 +684,10 @@ object SparkEntry {
     "q216_shard_plan"        -> TrainPrep.shardPlanOracle,
     "q217_bpe_vocab_sweep"   -> Bpe.bpeVocabSweepOracle,
     "q218_bbit_minhash"      -> Dedup.bbitMinhashOracle,
+    "q219_zipf_decay"        -> TextOps.zipfDecayOracle,
+    "q220_code_detect"       -> CodeDetect.codeDetectOracle,
+    "q221_centroid_affinity" -> Similarity.centroidAffinityOracle,
+    "q222_cdc_chunks"        -> Cdc.cdcChunksOracle,
+    "q223_bitext_margin"     -> Similarity.bitextMarginOracle,
   )
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONTENT-DEFINED CHUNKING dedup (Muthitacharoen et al., "A Low-bandwidth
+  * Network File System", SOSP'01 — the LBFS/FastCDC family): chunk
+  * boundaries are declared wherever a rolling hash of the last [[K]] tokens
+  * hits 0 mod [[BoundaryMod]], so boundaries depend only on LOCAL content.
+  * Insert or delete one word and only the chunks touching the edit change
+  * identity — every other chunk keeps its fingerprint — which is why CDC
+  * catches shifted/partially-edited duplication that fixed-width chunking
+  * (q126's stride windows) structurally misses, and why it is the storage-
+  * dedup analog of the shingle family (q82) at chunk granularity.
+  *
+  * Position convention: a boundary at token position p (the END of a
+  * K-gram) closes the chunk at p; token q belongs to chunk
+  * |{boundaries p : p < q}|. The final chunk closes at the document end
+  * with no boundary needed. Expected chunk length = [[BoundaryMod]] tokens.
+  *
+  * Determinism: the rolling hash is the engine's one portable primitive —
+  * md5 of the K-gram text, top 8 hex digits as an integer
+  * ([[Sketches.h32]]) — and chunk fingerprints are md5 over the
+  * position-ordered token join, so both engines agree bit-for-bit.
+  *
+  * Scale shape: boundary positions are computed INSIDE the row (an array
+  * filter over the token sequence — no window, no lag, no shuffle); after
+  * the one posexplode the relation is (doc_id, pos, token) and groups by
+  * (doc, chunk) — doc-bounded tasks. The only corpus-wide exchange is the
+  * fingerprint groupBy, which carries 32-byte keys + counts (text never
+  * shuffles across docs). The chunk key packs (doc_id, chunk) as
+  * doc_id·2²⁰ + chunk — valid while docs stay under 2²⁰ chunks and ids
+  * under 2⁴³; a production corpus widens the pack or keys on the pair.
+  */
+object Cdc {
+
+  /** Rolling-hash window width in tokens. */
+  val K = 3
+
+  /** Boundary divisor: P(boundary) = 1/16 per position ⇒ ~16-token chunks. */
+  val BoundaryMod = 16L
+
+  /** (doc, chunk) relation: token count + md5 fingerprint per chunk. */
+  private[graft] def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      // boundary positions, computed in array land (sequence guarded: Spark's
+      // sequence(K, n) DESCENDS when n < K)
+      .withColumn("bp",
+        when(size(col("t")) >= K,
+          filter(sequence(lit(K), size(col("t"))), p =>
+            pmod(conv(substring(md5(concat_ws(" ",
+                   slice(col("t"), p - (K - 1), lit(K)))), 1, 8), 16, 10)
+                   .cast("long"),
+                 lit(BoundaryMod)) === 0L))
+        .otherwise(typedLit(Array.empty[Int])))
+    d.select(col("doc_id"), col("source"), col("bp"),
+        posexplode(col("t")).as(Seq("pos0", "w")))
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+      .withColumn("chunk",
+        size(filter(col("bp"), p => p < col("pos"))).cast("long"))
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_w"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+                    _.getField("w")))).as("fp"))
+  }
+
+  /** q222 — per source: chunk/word mass, distinct fingerprints, and the
+    * duplicate chunk/word volume (occurrences beyond each fingerprint's
+    * first (doc, chunk) keeper, min-key rule). */
+  def q222CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir).localCheckpoint() // consumed twice below
+    val key = col("doc_id") * lit(1048576L) + col("chunk")
+    val fpStats = ch.groupBy(col("fp"))
+      .agg(min(col("doc_id") * lit(1048576L) + col("chunk")).as("first_key"))
+    ch.join(fpStats, "fp")
+      .withColumn("is_dup", when(key =!= col("first_key"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_w")).as("n_words"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(col("is_dup")).as("dup_chunks"),
+        sum(col("is_dup") * col("n_w")).as("dup_words"))
+      .select(col("source"), col("n_chunks"), col("n_words"),
+        col("n_distinct_fp"), col("dup_chunks"), col("dup_words"),
+        expr("(1000000 * dup_words) DIV n_words").as("dup_word_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val cdcChunksOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1),
+       |kg AS (
+       |  SELECT doc_id, p, md5(array_to_string(t[p-${K - 1}:p], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range($K, len(t) + 1)) AS p FROM toks)),
+       |bounds AS (
+       |  SELECT doc_id, p FROM kg
+       |  WHERE (${Sketches.h32FromHexSql}) % $BoundaryMod = 0),
+       |words AS (
+       |  SELECT doc_id, source, i AS pos, t[i] AS w
+       |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t) + 1)) AS i
+       |        FROM toks)),
+       |chunked AS (
+       |  SELECT w.doc_id, w.source, w.pos, w.w, count(b.p) AS chunk
+       |  FROM words w LEFT JOIN bounds b
+       |    ON b.doc_id = w.doc_id AND b.p < w.pos
+       |  GROUP BY w.doc_id, w.source, w.pos, w.w),
+       |chunks AS (
+       |  SELECT doc_id, source, chunk, CAST(count(*) AS BIGINT) AS n_w,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+       |  FROM chunked GROUP BY doc_id, source, chunk),
+       |fs AS (
+       |  SELECT fp, min(doc_id * 1048576 + chunk) AS first_key
+       |  FROM chunks GROUP BY fp)
+       |SELECT c.source, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(c.n_w) AS BIGINT) AS n_words,
+       |  CAST(count(DISTINCT c.fp) AS BIGINT) AS n_distinct_fp,
+       |  CAST(sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
+       |       THEN c.n_w ELSE 0 END) AS BIGINT) AS dup_words,
+       |  (1000000 * CAST(sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
+       |       THEN c.n_w ELSE 0 END) AS BIGINT))
+       |    // CAST(sum(c.n_w) AS BIGINT) AS dup_word_ppm
+       |FROM chunks c JOIN fs f USING (fp)
+       |GROUP BY c.source ORDER BY c.source""".stripMargin
+}

@@ -1862,6 +1862,151 @@ object Similarity {
     zero.unionByName(hist).orderBy(col("k_occ"))
   }
 
+  // -------------------------------------------------------------------------
+  // q221 — IVF cell-AFFINITY audit: the pairwise cosine matrix of the
+  // coarse-quantizer centroids (q53's decimal-routed per-label means).
+  // Two cells whose centroids sit at cos ≥ ~0.95 are CONFUSABLE — vectors
+  // near their boundary land in either, which is exactly where single-probe
+  // IVF (q33) loses recall and where multi-probe (q53) has to spend its
+  // probes; a centroid pair at cos ≈ −1 is wasted quantizer capacity. This
+  // matrix is the maintenance readout that decides cell merges/splits
+  // before the next index rebuild (the same signal k-means uses to re-seed,
+  // q71's machinery, read as an audit instead of an iteration).
+  //
+  // Scale: the corpus is touched ONCE (the posexplode partial-aggregate
+  // that builds |labels|·dims centroid cells); everything downstream is a
+  // |labels|²-row broadcast self-join over a bounded dimension. Nothing
+  // here grows with the corpus.
+  // -------------------------------------------------------------------------
+
+  /** q221 — (label_a < label_b, cos_sim) over the q53-contract centroids
+    * (6dp decimal-routed means; cosine rounded to 4dp, index-order fold). */
+  def q221CentroidAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    def fold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    val aa = cent.select(col("label").as("label_a"), col("cv").as("av"))
+    val bb = cent.select(col("label").as("label_b"), col("cv").as("bv"))
+    aa.crossJoin(broadcast(bb)) // |labels|² — bounded dimension pair grid
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(fold(col("av"), col("bv")) /
+          sqrt(fold(col("av"), col("av")) * fold(col("bv"), col("bv"))), 4)
+          .as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val centroidAffinityOracle: String =
+    s"""WITH e AS (
+       |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM e, generate_series(1, $DIMS) AS g(i) GROUP BY label, i)
+       |  GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  round(list_dot_product(a.cv, b.cv) /
+       |        sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 4)
+       |    AS cos_sim
+       |FROM cent a JOIN cent b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q223 — MARGIN-based pair MINING (Artetxe & Schwenk ACL'19, the bitext
+  // mining criterion): raw nearest-neighbor cosine over-accepts in hub
+  // regions (q196's finding) — a point whose top-1 barely beats its top-4
+  // mean is a hub artifact, not a translation/duplicate pair. The absolute-
+  // margin variant scores each query's best match by how far it stands
+  // above the local similarity floor: margin3 = 3·cos₁ − (cos₂+cos₃+cos₄)
+  // (≥ 0.06 ⇔ cos₁ beats the rank-2..4 mean by ≥ 0.02). Mining runs the
+  // even-id half of the corpus against the odd-id half — the two-sided
+  // split every parallel-corpus/near-dup mining job has (source vs target
+  // language, old vs new crawl).
+  //
+  // Determinism: cosines are 4dp-rounded before ranking (the q32
+  // contract); the rank-2..4 sum is written in one fixed association
+  // ((c2+c3)+c4 — never an aggregate over doubles), so both engines run
+  // the identical IEEE op sequence.
+  //
+  // Scale: the candidate generator is the SAME-LABEL (IVF cell) join — no
+  // corpus×corpus pair exists; cells are bounded by the quantizer (the
+  // q183 cap hatch applies to oversized cells). The per-query window is
+  // cell-bounded. The output is one row per even-id vector.
+  // -------------------------------------------------------------------------
+
+  /** q223's accept bar: 3·cos₁ − (cos₂+cos₃+cos₄) ≥ 0.06, i.e. the best
+    * match beats the mean of ranks 2..4 by ≥ 0.02 cosine. */
+  val BitextMarginMin = 0.06
+
+  /** q223 — per even-id query: best odd-id same-cell match, its cosine,
+    * the ×3-scaled absolute margin, and the mined accept flag. Queries
+    * with fewer than 4 same-cell candidates are skipped (no margin). */
+  def q223BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val x = e.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+      .select(col("vec_id").as("q_id"), col("label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val y = e.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    val ranked = y.join(x, Seq("label")) // cell-keyed shuffle join, no broadcast
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+    def at(r: Int, c: String): Column = max(when(col("rank") === r, col(c)))
+    ranked.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_nb"),
+        at(1, "n_id").as("best_id"),
+        at(1, "cos_sim").as("cos_best"),
+        at(2, "cos_sim").as("c2"),
+        at(3, "cos_sim").as("c3"),
+        at(4, "cos_sim").as("c4"))
+      .filter(col("n_nb") === 4L)
+      .withColumn("margin3",
+        round(lit(3.0) * col("cos_best") - ((col("c2") + col("c3")) + col("c4")), 4))
+      .select(col("q_id"), col("best_id"), col("cos_best"), col("margin3"),
+        when(col("margin3") >= BitextMarginMin, 1L).otherwise(0L).as("mined"))
+      .orderBy(col("q_id"))
+  }
+
+  val bitextMarginOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      round(list_dot_product(q.v, n.v) / sqrt(q.nrm * n.nrm), 4) AS cos_sim
+       |    FROM e q JOIN e n ON n.label = q.label
+       |    WHERE q.vec_id % 2 = 0 AND n.vec_id % 2 = 1)),
+       |piv AS (
+       |  SELECT q_id, count(*) AS n_nb,
+       |    max(CASE WHEN rank = 1 THEN n_id END) AS best_id,
+       |    max(CASE WHEN rank = 1 THEN cos_sim END) AS cos_best,
+       |    max(CASE WHEN rank = 2 THEN cos_sim END) AS c2,
+       |    max(CASE WHEN rank = 3 THEN cos_sim END) AS c3,
+       |    max(CASE WHEN rank = 4 THEN cos_sim END) AS c4
+       |  FROM ranked WHERE rank <= 4 GROUP BY q_id)
+       |SELECT q_id, best_id, cos_best,
+       |  round(3.0 * cos_best - ((c2 + c3) + c4), 4) AS margin3,
+       |  CAST(CASE WHEN round(3.0 * cos_best - ((c2 + c3) + c4), 4)
+       |              >= CAST(0.06 AS DOUBLE)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS mined
+       |FROM piv WHERE n_nb = 4 ORDER BY q_id""".stripMargin
+
   val hubnessAuditOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, v, list_dot_product(v, v) AS nrm

@@ -1133,6 +1133,78 @@ object TextOps {
       |  (1000000 * vocab) // total_tokens AS ttr_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // q219 — ZIPF doubling-decay profile (log-free power-law readout): for a
+  // Zipf-distributed vocabulary f(r) ∝ r^−s, the ratio f(2r)/f(r) is the
+  // CONSTANT 2^−s at every rank r — so reading the frequency ratio at
+  // doubling ranks (1→2, 2→4, 4→8, 8→16) measures the exponent without a
+  // single logarithm (the q193/q187 determinism discipline: transcendental-
+  // free, exact integer ppm). Natural text sits near s ≈ 1 (ratio ≈
+  // 500 000 ppm); template/bot spam flattens the head (ratio → 10⁶); ID-like
+  // garbage steepens it. Complements q208 (tail: hapax/TTR) and q43 (head
+  // identities) with the SHAPE of the rank-frequency curve between them.
+  //
+  // Scale: the corpus collapses to the (source, token, count) vocabulary at
+  // the scan (partial-aggregated); the per-source rank is the two-phase
+  // [[PrefixSum.partitionedRank]] with a count-derived bucket — no
+  // single-partition window even when one source's vocabulary is huge. The
+  // rank ≤ 16 cut happens before the tiny r↔2r self-join (≤ 16·|sources|
+  // rows against 4·|sources|).
+  // -------------------------------------------------------------------------
+
+  /** q219's readout ranks: decay is measured r → 2r for each of these. */
+  val ZipfRanks: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q219 — per (source, r ∈ {1,2,4,8}): head frequencies f_r and f_2r
+    * (count desc, token asc tiebreak) and decay_ppm = 10⁶·f_2r / f_r. */
+  def q219ZipfDecay(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // bucket bounds: one tiny min/max control read (the PrefixSum idiom)
+    val stats = v.agg(min(col("c")).cast("long"), max(col("c")).cast("long"))
+      .collect().head
+    if (stats.isNullAt(0))
+      return v.select(col("source"), lit(0L).as("r"), lit(0L).as("f_r"),
+        lit(0L).as("f_2r"), lit(0L).as("decay_ppm")).limit(0)
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val width = math.max(1L, (mx - mn) / 64 + 1)
+    val bucketed = v
+      .withColumn("__ord", -col("c")) // rank order = count DESC
+      .withColumn("__b", expr(s"(${mx}L - CAST(c AS BIGINT)) DIV ${width}L"))
+    val ranked = PrefixSum.partitionedRank(
+        bucketed, "source", "__b", Seq("__ord", "w"), "rank")
+      .filter(col("rank") <= 2L * ZipfRanks.max)
+      .select(col("source"), col("rank"), col("c"))
+    val a = ranked.filter(col("rank").isin(ZipfRanks.map(_.toLong): _*))
+      .select(col("source"), col("rank").as("r"), col("c").as("f_r"))
+    val b = ranked
+      .select(col("source").as("source_b"), col("rank").as("rb"),
+              col("c").as("f_2r"))
+    a.join(b, col("source_b") === col("source") && col("rb") === col("r") * 2L)
+      .select(col("source"), col("r"), col("f_r"), col("f_2r"),
+        expr("(1000000 * f_2r) DIV f_r").as("decay_ppm"))
+      .orderBy(col("source"), col("r"))
+  }
+
+  val zipfDecayOracle: String = {
+    val ranks = ZipfRanks.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |r AS (
+       |  SELECT source, w, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+       |  FROM v)
+       |SELECT a.source, a.rank AS r, a.c AS f_r, b.c AS f_2r,
+       |  (1000000 * b.c) // a.c AS decay_ppm
+       |FROM r a JOIN r b ON b.source = a.source AND b.rank = 2 * a.rank
+       |WHERE a.rank IN ($ranks)
+       |ORDER BY a.source, a.rank""".stripMargin
+  }
+
   val simpsonConcentrationOracle: String =
     """WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
       |cp AS (
