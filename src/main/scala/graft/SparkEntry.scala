@@ -241,6 +241,9 @@ object SparkEntry {
     "q221_centroid_affinity" -> (Similarity.q221CentroidAffinity _),
     "q222_cdc_chunks"       -> (Cdc.q222CdcChunks _),
     "q223_bitext_margin"    -> (Similarity.q223BitextMargin _),
+    "q224_image_dhash"      -> (Multimodal.q224ImageDhash _),
+    "q225_loop_detect"      -> (TextOps.q225LoopDetect _),
+    "q226_source_minhash_sim" -> (Dedup.q226SourceMinhashSim _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -689,5 +692,8 @@ object SparkEntry {
     "q221_centroid_affinity" -> Similarity.centroidAffinityOracle,
     "q222_cdc_chunks"        -> Cdc.cdcChunksOracle,
     "q223_bitext_margin"     -> Similarity.bitextMarginOracle,
+    "q224_image_dhash"       -> Multimodal.imageDhashOracle,
+    "q225_loop_detect"       -> TextOps.loopDetectOracle,
+    "q226_source_minhash_sim" -> Dedup.sourceMinhashSimOracle,
   )
 }

@@ -1495,4 +1495,54 @@ object Dedup {
        |  FROM member)
        |SELECT * FROM ($legs) ORDER BY policy""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // q226 — SOURCE-level MinHash similarity matrix: the q28 signature
+  // kernel read at corpus granularity. MinHash's defining algebra — the
+  // minimum over a UNION is the minimum of the minima — means a source's
+  // signature is the per-slot min over its docs' signatures: no second
+  // pass over text, no source-level shingle set ever materializes. The
+  // slot-agreement rate between two sources estimates the Jaccard of
+  // their full shingle vocabularies — the cheap "how much does crawl A
+  // overlap crawl B" triage that runs BEFORE q199's exact doc-level dup
+  // matrix is worth its cost (resolution 1/K; production widens K).
+  //
+  // Scale: per-doc signatures come from the shared leaf; they collapse to
+  // |sources|·K rows at the scan (partial-aggregated min). The pairwise
+  // matrix is a broadcast self-join over that bounded dimension. Nothing
+  // downstream of the scan grows with the corpus.
+  // -------------------------------------------------------------------------
+
+  /** q226 — (src_a < src_b, slot agreements, similarity ppm). */
+  def q226SourceMinhashSim(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val slots = sig.join(src, "doc_id")
+      .select(col("source"), posexplode(col("m")).as(Seq("slot", "h")))
+      .groupBy(col("source"), col("slot")).agg(min(col("h")).as("h"))
+    val a = slots.select(col("source").as("src_a"), col("slot"), col("h").as("ha"))
+    val b = slots.select(col("source").as("src_b"), col("slot").as("slot_b"),
+                         col("h").as("hb"))
+    a.join(broadcast(b),
+        col("slot_b") === col("slot") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        expr(s"(1000000 * n_agree) DIV $K_HASHES").as("sim_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceMinhashSimOracle: String =
+    s"""WITH $duckSignatures,
+       |slots AS (
+       |  SELECT d.source, i AS slot, min(sig.m[i + 1]) AS h
+       |  FROM sig JOIN (SELECT doc_id, source FROM documents) d USING (doc_id),
+       |       range(0, $K_HASHES) t(i)
+       |  GROUP BY d.source, i)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  (1000000 * CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT))
+       |    // $K_HASHES AS sim_ppm
+       |FROM slots a JOIN slots b ON b.slot = a.slot AND a.source < b.source
+       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
 }

@@ -360,6 +360,72 @@ object Multimodal {
       |FROM cells c JOIN s USING (doc_id)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** q224 — perceptual DIFFERENCE-HASH (dHash) over the real codec path:
+    * decode → 9×8 nearest-neighbor thumbnail → one bit per horizontal
+    * neighbor pair, set iff the left cell is brighter than the right.
+    * dHash reads GRADIENTS where q210's aHash reads absolute brightness
+    * against the global mean — the standard complement: aHash is blind to
+    * a uniform brightness ramp (every cell near the mean), dHash is blind
+    * to low-frequency level shifts; image near-dup pipelines bucket on
+    * both and verify on the pair. Comparisons are integer pixel values —
+    * no mean, no division, nothing to round — so the oracle recomputes
+    * the identical 64 bits analytically from the q140 pixel formulas,
+    * certifying decode + 9-wide resample + gradient-binarize end to end.
+    *
+    * Scale: identical to q210 — partition-local decode, no shuffle until
+    * the final order; downstream dedup is hash-groupBy or hamming bands. */
+  def q224ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .select("doc_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, doc $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
+        val raster = img.getRaster
+        val sb = new StringBuilder(64)
+        var ones = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val l = raster.getSample(gx * w / 9, gy * h / 8, 0)
+            val r = raster.getSample((gx + 1) * w / 9, gy * h / 8, 0)
+            if (l > r) { sb.append('1'); ones += 1 } else sb.append('0')
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, fmt, sb.toString, ones)
+      })
+      .toDF("doc_id", "fmt", "dhash", "n_ones")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageDhashOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id*37 + 11) % 48 AS w,
+      |    16 + (doc_id*53 + 7) % 48 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, gx, gy,
+      |    (doc_id*31 + ((gx*w)//9)*7 + ((gy*h)//8)*13) % 256 AS px
+      |  FROM m, generate_series(0, 8) g1(gx), generate_series(0, 7) g2(gy))
+      |SELECT l.doc_id,
+      |  CASE WHEN l.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  string_agg(CASE WHEN l.px > r.px THEN '1' ELSE '0' END, ''
+      |             ORDER BY l.gy, l.gx) AS dhash,
+      |  CAST(sum(CASE WHEN l.px > r.px THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+      |FROM cells l JOIN cells r
+      |  ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+      |WHERE l.gx <= 7
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
   /** GIF-encoded images over the same geometry/pixel formulas — the JDK's
     * third lossless image codec (chainweb-data has no media path; this
     * family is the training-pipeline extension, cf. q140). */

@@ -1205,6 +1205,87 @@ object TextOps {
        |ORDER BY a.source, a.rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------------
+  // q225 — GENERATION-LOOP detection: the max within-doc multiplicity of
+  // any 4-gram — the signature of degenerate/looping text (a decoder
+  // stuck in a cycle, a template stamped repeatedly). Distinct from q69
+  // (repetition ratio = global token diversity: it can't tell one phrase
+  // repeated 4× from four phrases repeated once) and q190 (symbol
+  // concentration): a loop is a LOCAL n-gram echo, so the statistic is a
+  // per-doc max over n-gram counts, not a global ratio. The synthetic
+  // corpus never loops, so — the q144/q220 fixture pattern — docs at
+  // doc_id % 17 == 0 get a deterministic 4×-repeated phrase appended
+  // (vocabulary disjoint from the corpus); the detector scans everything.
+  //
+  // Scale: one explode to narrow (doc, gram-md5) rows, two partial-
+  // aggregated groupBys (per-doc gram counts collapse at the scan), one
+  // |sources|-row rollup. Gram text never shuffles — counts run on md5
+  // keys.
+  // -------------------------------------------------------------------------
+
+  /** Loop classification bar: some 4-gram echoed ≥ this many times. */
+  val LoopMinRep = 3L
+
+  /** The injected loop tail (4× the same phrase, corpus-disjoint words). */
+  def loopTail(d: Column): Column =
+    when(d % 17 === 0, lit(" spin cycle alpha beta" * 4)).otherwise("")
+
+  /** SQL twin — one line (the stripMargin-embedding rule). */
+  val loopTailSql: String =
+    "CASE WHEN doc_id % 17 = 0 THEN repeat(' spin cycle alpha beta', 4) ELSE '' END"
+
+  /** q225 — per source: docs, looping docs (max echo ≥ 3), the worst echo
+    * depth, and mean per-doc loop intensity ppm (10⁶·(max_rep−1)/n_grams). */
+  def q225LoopDetect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), loopTail(col("doc_id"))).as("lt"))
+    val t = split(lower(col("lt")), "\\s+")
+    val grams = d.select(col("doc_id"), col("source"),
+      explode(when(size(t) >= 4,
+        transform(sequence(lit(1), size(t) - 3), i =>
+          md5(concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+                        element_at(t, i + 2), element_at(t, i + 3)))))
+        .otherwise(typedLit(Array.empty[String]))).as("g"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_grams"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_rep") >= LoopMinRep, 1L).otherwise(0L))
+          .as("n_loop_docs"),
+        max(col("max_rep")).as("worst_rep"),
+        expr("sum((1000000 * (max_rep - 1)) DIV n_grams) DIV count(1)")
+          .as("avg_loop_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val loopDetectOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    regexp_split_to_array(lower(text || $loopTailSql), '\\s+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    unnest([md5(array_to_string(t[i:i+3], ' '))
+       |            for i in range(1, len(t) - 2)]) AS g
+       |  FROM d WHERE len(t) >= 4),
+       |per_doc AS (
+       |  SELECT doc_id, source,
+       |    CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_grams
+       |  FROM (SELECT doc_id, source, g, CAST(count(*) AS BIGINT) AS c
+       |        FROM grams GROUP BY doc_id, source, g)
+       |  GROUP BY doc_id, source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN max_rep >= $LoopMinRep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_loop_docs,
+       |  CAST(max(max_rep) AS BIGINT) AS worst_rep,
+       |  CAST(sum((1000000 * (max_rep - 1)) // n_grams) // count(*) AS BIGINT)
+       |    AS avg_loop_ppm
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val simpsonConcentrationOracle: String =
     """WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
       |cp AS (

@@ -170,4 +170,56 @@ class Round7bSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "candidates must come from the same-cell equi-join, never a cross join")
   }
+
+  // ---------------------------------------------------------------- q224
+
+  test("q224 image dhash: 64 gradient bits per image, and the hash reads a " +
+       "different signal than q210's aHash") {
+    val dh = operators.Multimodal.q224ImageDhash(spark, dir)
+      .select(col("doc_id"), col("dhash"), col("n_ones")).collect()
+    assert(dh.nonEmpty)
+    dh.foreach { r =>
+      assert(r.getAs[String]("dhash").length === 64)
+      val ones = r.getAs[Long]("n_ones")
+      assert(ones >= 0L && ones <= 64L)
+      assert(r.getAs[String]("dhash").count(_ == '1').toLong === ones)
+    }
+    val ah = operators.Multimodal.q210ImageAhash(spark, dir)
+      .select(col("doc_id"), col("ahash")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val differing = dh.count(r => ah(r.getAs[Long]("doc_id")) != r.getAs[String]("dhash"))
+    assert(differing > dh.length / 2,
+      "gradient bits must not collapse into the brightness bits")
+  }
+
+  // ---------------------------------------------------------------- q225
+
+  test("q225 loop detect: exactly the injected carriers loop, echo depth " +
+       "matches the 4x construction, clean prose never reaches the bar") {
+    val rows = operators.TextOps.q225LoopDetect(spark, dir).collect()
+    val reported = rows.map(_.getAs[Long]("n_loop_docs")).sum
+    val carriers = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 0).count()
+    assert(reported === carriers,
+      "loop docs must be exactly the tail carriers — no false positives")
+    assert(rows.map(_.getAs[Long]("worst_rep")).max === 4L,
+      "the injected phrase repeats exactly 4 times")
+  }
+
+  // ---------------------------------------------------------------- q226
+
+  test("q226 source minhash: complete strict-upper-triangle matrix, " +
+       "agreement within [0,K], and the union-min algebra holds per slot") {
+    val df = operators.Dedup.q226SourceMinhashSim(spark, dir)
+    val rows = df.collect()
+    val nSrc = Tables.documents(spark, dir)
+      .select(countDistinct(col("source"))).collect().head.getLong(0)
+    assert(rows.length.toLong === nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 0L && agree <= 8L)
+      assert(r.getAs[Long]("sim_ppm") === 1000000L * agree / 8L)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
 }
