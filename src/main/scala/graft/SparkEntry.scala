@@ -244,6 +244,7 @@ object SparkEntry {
     "q224_image_dhash"      -> (Multimodal.q224ImageDhash _),
     "q225_loop_detect"      -> (TextOps.q225LoopDetect _),
     "q226_source_minhash_sim" -> (Dedup.q226SourceMinhashSim _),
+    "q227_top_pc"           -> (Similarity.q227TopPc _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -695,5 +696,6 @@ object SparkEntry {
     "q224_image_dhash"       -> Multimodal.imageDhashOracle,
     "q225_loop_detect"       -> TextOps.loopDetectOracle,
     "q226_source_minhash_sim" -> Dedup.sourceMinhashSimOracle,
+    "q227_top_pc"            -> Similarity.topPcOracle,
   )
 }

@@ -2007,6 +2007,130 @@ object Similarity {
        |       THEN 1 ELSE 0 END AS BIGINT) AS mined
        |FROM piv WHERE n_nb = 4 ORDER BY q_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // q227 — DOMINANT PRINCIPAL COMPONENT of the embedding cloud (power
+  // iteration): the "all-but-the-top" audit (Mu & Viswanath ICLR'18) —
+  // embedding spaces grow a large common direction that carries frequency,
+  // not meaning; its loadings and eigenvalue share decide whether to
+  // project it out before cosine retrieval (isotropy repair), and which
+  // dimensions it loads on. Readout: the 64 loadings of the top PC of the
+  // CENTERED second-moment (covariance·n) matrix, plus the Rayleigh
+  // eigenvalue.
+  //
+  // Distribution contract (the two-phase discipline): the corpus is
+  // touched ONCE — a double posexplode fans each vector into its 64×64
+  // centered outer-product cells, which PARTIAL-AGGREGATE to the 4,096-
+  // cell Gram matrix before any exchange (the shuffle carries 4,096
+  // doubles per task, never vectors). The 8-step power iteration runs on
+  // the driver over that bounded dimension state — exactly the
+  // reference's dimension-loop shape (chainweb-data
+  // exec/Chainweb/Coins.hs:152-158 iterates a 1,435-row schedule the same
+  // way) — and the oracle replays the identical iteration as a generated
+  // CTE chain (the q146 BPE-replay pattern).
+  //
+  // Determinism: μ and every Gram cell are 6dp-rounded (μ decimal-routed
+  // like q53's centroids; cells are long-expansion sums, rounded after
+  // aggregation); each iteration re-rounds matvec components, norm, and
+  // loadings to 6dp, so both engines walk identical doubles. 6dp halves
+  // are not representable in binary, so HALF_UP vs half-even never
+  // diverges on these.
+  // -------------------------------------------------------------------------
+
+  /** Fixed power-iteration depth (deterministic, no convergence test). */
+  val PcIters = 8
+
+  /** Spark-round-compatible 6dp: BigDecimal.valueOf is the shortest
+    * decimal representation — the same contract Spark's Round applies. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** q227 — (dim, loading, lam): top-PC loadings + Rayleigh eigenvalue. */
+  def q227TopPc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")),
+              col("embedding").as("v"))
+    // centered mean per dim — the q53 decimal-route contract (bounded
+    // dimension, broadcast back into the cell explode)
+    val mu = e.groupBy(col("i"))
+      .agg(round(avg(col("xi").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("m"))
+    val cells = e
+      .select(col("i"), col("xi").cast("double").as("xi"),
+              posexplode(col("v")).as(Seq("j", "xj")))
+      .join(broadcast(mu), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum((col("xi") - col("m")) *
+                     (col("xj").cast("double") - col("mj"))), 6).as("g"))
+      .collect() // 4,096-cell bounded dimension control state
+    val g = Array.ofDim[Double](DIMS, DIMS)
+    cells.foreach(r => g(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
+      r.getAs[Double]("g"))
+    // 8-step power iteration from e0, every intermediate 6dp-rounded —
+    // the oracle replays this walk verbatim in SQL
+    var u = Array.tabulate(DIMS)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to PcIters) {
+      val mv = Array.tabulate(DIMS) { i =>
+        var s = 0.0; var j = 0
+        while (j < DIMS) { s += g(i)(j) * u(j); j += 1 }
+        r6(s)
+      }
+      val nrm = r6(math.sqrt(r6(mv.map(x => x * x).sum)))
+      u = mv.map(x => r6(x / nrm))
+    }
+    val w = Array.tabulate(DIMS) { i =>
+      var s = 0.0; var j = 0
+      while (j < DIMS) { s += g(i)(j) * u(j); j += 1 }
+      r6(s)
+    }
+    val lam = r6(u.zip(w).map { case (a, b) => a * b }.sum)
+    (0 until DIMS).map(i => (i.toLong, u(i), lam))
+      .toDF("dim", "loading", "lam")
+      .orderBy(col("dim"))
+  }
+
+  val topPcOracle: String = {
+    val steps = (1 to PcIters).map { k =>
+      s"""u$k AS (
+         |  SELECT list_transform(mv, x -> round(x / nrm, 6)) AS u FROM (
+         |    SELECT mv, round(sqrt(round(list_sum(list_transform(mv, x -> x * x)), 6)), 6) AS nrm
+         |    FROM (SELECT list_transform(range(1, ${DIMS + 1}), i ->
+         |            round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |              j -> gm.g[i][j] * u${k - 1}.u[j])), 6)) AS mv
+         |          FROM gm, u${k - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |mu AS (
+       |  SELECT list(m ORDER BY i) AS m FROM (
+       |    SELECT i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS m
+       |    FROM e, generate_series(1, $DIMS) AS gs(i) GROUP BY i)),
+       |cells AS (
+       |  SELECT i, j, round(sum((v[i] - mu.m[i]) * (v[j] - mu.m[j])), 6) AS g
+       |  FROM e, mu, generate_series(1, $DIMS) g1(i), generate_series(1, $DIMS) g2(j)
+       |  GROUP BY i, j),
+       |gm AS (
+       |  SELECT list(row ORDER BY i) AS g FROM (
+       |    SELECT i, list(g ORDER BY j) AS row FROM cells GROUP BY i)),
+       |u0 AS (SELECT list_transform(range(1, ${DIMS + 1}),
+       |         i -> CASE WHEN i = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS u),
+       |$steps,
+       |w AS (
+       |  SELECT u$PcIters.u AS u, list_transform(range(1, ${DIMS + 1}), i ->
+       |    round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |      j -> gm.g[i][j] * u$PcIters.u[j])), 6)) AS w
+       |  FROM gm, u$PcIters),
+       |lam AS (
+       |  SELECT u, round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |    i -> u[i] * w[i])), 6) AS lam FROM w)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, u[i] AS loading, lam
+       |FROM lam, generate_series(1, $DIMS) gs(i)
+       |ORDER BY dim""".stripMargin
+  }
+
   val hubnessAuditOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, v, list_dot_product(v, v) AS nrm

@@ -222,4 +222,29 @@ class Round7bSpec extends AnyFunSuite {
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
     }
   }
+
+  // ---------------------------------------------------------------- q227
+
+  test("q227 top pc: unit-norm loadings, positive Rayleigh eigenvalue " +
+       "bounded by the covariance trace") {
+    val rows = operators.Similarity.q227TopPc(spark, dir)
+      .orderBy(col("dim")).collect()
+    assert(rows.length === 64)
+    val u = rows.map(_.getAs[Double]("loading"))
+    val norm2 = u.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4,
+      s"loadings must be unit-norm, got |u|² = $norm2")
+    val lam = rows.head.getAs[Double]("lam")
+    assert(rows.forall(_.getAs[Double]("lam") === lam))
+    assert(lam > 0.0, "the centered second-moment matrix is PSD with mass")
+    // trace bound: λ₁ ≤ Σᵢ Gᵢᵢ = total centered variance mass
+    val e = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+    val trace = e.groupBy(col("i"))
+      .agg(sum(col("x").cast("double") * col("x")).as("sx2"),
+           sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(sum(col("sx2") - col("sx") * col("sx") / col("n"))).collect()
+      .head.getDouble(0)
+    assert(lam <= trace * 1.001, s"Rayleigh λ=$lam exceeds trace=$trace")
+  }
 }
