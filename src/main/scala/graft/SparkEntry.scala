@@ -245,6 +245,7 @@ object SparkEntry {
     "q225_loop_detect"      -> (TextOps.q225LoopDetect _),
     "q226_source_minhash_sim" -> (Dedup.q226SourceMinhashSim _),
     "q227_top_pc"           -> (Similarity.q227TopPc _),
+    "q228_pc_projection"    -> (Similarity.q228PcProjection _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -697,5 +698,6 @@ object SparkEntry {
     "q225_loop_detect"       -> TextOps.loopDetectOracle,
     "q226_source_minhash_sim" -> Dedup.sourceMinhashSimOracle,
     "q227_top_pc"            -> Similarity.topPcOracle,
+    "q228_pc_projection"     -> Similarity.pcProjectionOracle,
   )
 }

@@ -213,6 +213,9 @@ object VectorFunctions {
       exprs => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_gram",
+      exprs => GramMatrix(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
   }
 }
 
@@ -256,6 +259,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramMatrix].getName, "graft_gram"),
+      (exprs: Seq[Expression]) =>
+        GramMatrix(exprs(0), exprs(1)).toAggregateExpression()))
     // SURVEY §7.2's optional Catalyst rule: derive pushable leading-column
     // bounds from keyset OR-chain filters (see KeysetBoundRule scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.KeysetBoundRule)

@@ -2018,10 +2018,11 @@ object Similarity {
   // eigenvalue.
   //
   // Distribution contract (the two-phase discipline): the corpus is
-  // touched ONCE — a double posexplode fans each vector into its 64×64
-  // centered outer-product cells, which PARTIAL-AGGREGATE to the 4,096-
-  // cell Gram matrix before any exchange (the shuffle carries 4,096
-  // doubles per task, never vectors). The 8-step power iteration runs on
+  // touched ONCE — the custom `graft_gram` TypedImperativeAggregate
+  // ([[graft.functions.GramMatrix]]) folds each vector into a per-task
+  // 4,096-double buffer in place, so the shuffle carries ONE buffer per
+  // map task and the d²-fold explode a DataFrame spelling would need
+  // never materializes. The 8-step power iteration runs on
   // the driver over that bounded dimension state — exactly the
   // reference's dimension-loop shape (chainweb-data
   // exec/Chainweb/Coins.hs:152-158 iterates a 1,435-row schedule the same
@@ -2045,54 +2046,58 @@ object Similarity {
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
-  /** q227 — (dim, loading, lam): top-PC loadings + Rayleigh eigenvalue. */
-  def q227TopPc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Shared PC state: (μ, G, u, λ) — decimal-routed per-dim mean, the
+    * 6dp-rounded centered Gram (via the [[graft.functions.GramMatrix]]
+    * map-side-combining kernel: one d²-double buffer per map task, no
+    * d²-fold explode ever materializes), and the 8-step power-iteration
+    * loadings + Rayleigh eigenvalue. Driver state is DIMS² doubles —
+    * bounded dimension control, the reference's schedule-loop shape. */
+  private[graft] def topPcState(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double], Double) = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")),
-              col("embedding").as("v"))
-    // centered mean per dim — the q53 decimal-route contract (bounded
-    // dimension, broadcast back into the cell explode)
-    val mu = e.groupBy(col("i"))
+    val mu = new Array[Double](DIMS)
+    e.select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
       .agg(round(avg(col("xi").cast("double"))
                    .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
              .cast("double").as("m"))
-    val cells = e
-      .select(col("i"), col("xi").cast("double").as("xi"),
-              posexplode(col("v")).as(Seq("j", "xj")))
-      .join(broadcast(mu), "i")
-      .join(broadcast(mu.select(col("i").as("j"), col("m").as("mj"))), "j")
-      .groupBy(col("i"), col("j"))
-      .agg(round(sum((col("xi") - col("m")) *
-                     (col("xj").cast("double") - col("mj"))), 6).as("g"))
-      .collect() // 4,096-cell bounded dimension control state
-    val g = Array.ofDim[Double](DIMS, DIMS)
-    cells.foreach(r => g(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
-      r.getAs[Double]("g"))
+      .collect()
+      .foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+    val flat = e.agg(
+        call_function("graft_gram", col("embedding"), typedLit(mu.toSeq)).as("g"))
+      .collect().head.getSeq[Double](0)
+    val g = Array.tabulate(DIMS, DIMS)((i, j) => r6(flat(i * DIMS + j)))
     // 8-step power iteration from e0, every intermediate 6dp-rounded —
     // the oracle replays this walk verbatim in SQL
-    var u = Array.tabulate(DIMS)(i => if (i == 0) 1.0 else 0.0)
-    for (_ <- 1 to PcIters) {
-      val mv = Array.tabulate(DIMS) { i =>
-        var s = 0.0; var j = 0
-        while (j < DIMS) { s += g(i)(j) * u(j); j += 1 }
-        r6(s)
-      }
-      val nrm = r6(math.sqrt(r6(mv.map(x => x * x).sum)))
-      u = mv.map(x => r6(x / nrm))
-    }
-    val w = Array.tabulate(DIMS) { i =>
+    def matvec(u: Array[Double]): Array[Double] = Array.tabulate(DIMS) { i =>
       var s = 0.0; var j = 0
       while (j < DIMS) { s += g(i)(j) * u(j); j += 1 }
       r6(s)
     }
+    var u = Array.tabulate(DIMS)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to PcIters) {
+      val mv = matvec(u)
+      val nrm = r6(math.sqrt(r6(mv.map(x => x * x).sum)))
+      u = mv.map(x => r6(x / nrm))
+    }
+    val w = matvec(u)
     val lam = r6(u.zip(w).map { case (a, b) => a * b }.sum)
+    (mu, g, u, lam)
+  }
+
+  /** q227 — (dim, loading, lam): top-PC loadings + Rayleigh eigenvalue. */
+  def q227TopPc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, u, lam) = topPcState(spark, dir)
     (0 until DIMS).map(i => (i.toLong, u(i), lam))
       .toDF("dim", "loading", "lam")
       .orderBy(col("dim"))
   }
 
-  val topPcOracle: String = {
+  /** The μ → Gram → 8-step-iteration CTE prefix, shared by the q227 and
+    * q228 oracles (ends at `u$PcIters`, the final loadings list). */
+  private val pcCtes: String = {
     val steps = (1 to PcIters).map { k =>
       s"""u$k AS (
          |  SELECT list_transform(mv, x -> round(x / nrm, 6)) AS u FROM (
@@ -2102,7 +2107,7 @@ object Similarity {
          |              j -> gm.g[i][j] * u${k - 1}.u[j])), 6)) AS mv
          |          FROM gm, u${k - 1})))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |mu AS (
        |  SELECT list(m ORDER BY i) AS m FROM (
@@ -2117,7 +2122,11 @@ object Similarity {
        |    SELECT i, list(g ORDER BY j) AS row FROM cells GROUP BY i)),
        |u0 AS (SELECT list_transform(range(1, ${DIMS + 1}),
        |         i -> CASE WHEN i = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS u),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  val topPcOracle: String =
+    s"""WITH $pcCtes,
        |w AS (
        |  SELECT u$PcIters.u AS u, list_transform(range(1, ${DIMS + 1}), i ->
        |    round(list_sum(list_transform(range(1, ${DIMS + 1}),
@@ -2129,7 +2138,56 @@ object Similarity {
        |SELECT CAST(i - 1 AS BIGINT) AS dim, u[i] AS loading, lam
        |FROM lam, generate_series(1, $DIMS) gs(i)
        |ORDER BY dim""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q228 — common-direction PROJECTION audit: per IVF cell (label), the
+  // signed and absolute mass of projections onto q227's top PC. The
+  // "all-but-the-top" decision needs to know WHO carries the common
+  // direction: a cell whose vectors all project the same way is
+  // frequency-polarized (its cosines are inflated against everything);
+  // a cell straddling zero is clean. Projections are lifted to exact
+  // 0.1-milli integers (the q179 norm convention) so per-label sums are
+  // associative — no double ever aggregates.
+  //
+  // Scale: one additional corpus scan with μ and u as broadcast literals
+  // (bounded dimension state from [[topPcState]]); the projection is the
+  // codegen'd graft_dot kernel; the rollup is a |labels|-row partial
+  // aggregate.
+  // -------------------------------------------------------------------------
+
+  /** q228 — per label: n, signed/absolute/max projection mass (0.1-milli
+    * integer units) onto the dominant principal component. */
+  def q228PcProjection(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, _, u, _) = topPcState(spark, dir)
+    val centered = zip_with(col("embedding"), typedLit(mu.toSeq),
+      (x, m) => x.cast("double") - m)
+    val p = round(call_function("graft_dot", centered, typedLit(u.toSeq)), 4)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), p.as("p4"))
+      .select(col("label"),
+        expr("CAST(round(p4 * 10000.0) AS BIGINT)").as("pu"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pu")).as("sum_proj_u"),
+        sum(abs(col("pu"))).as("sum_abs_proj_u"),
+        max(abs(col("pu"))).as("max_abs_proj_u"))
+      .orderBy(col("label"))
   }
+
+  val pcProjectionOracle: String =
+    s"""WITH $pcCtes,
+       |proj AS (
+       |  SELECT emb.label,
+       |    CAST(round(round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |      i -> u$PcIters.u[i] * (emb.v[i] - mu.m[i]))), 4) * 10000.0) AS BIGINT)
+       |      AS pu
+       |  FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings) emb, mu, u$PcIters)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(pu) AS BIGINT) AS sum_proj_u,
+       |  CAST(sum(abs(pu)) AS BIGINT) AS sum_abs_proj_u,
+       |  CAST(max(abs(pu)) AS BIGINT) AS max_abs_proj_u
+       |FROM proj GROUP BY label ORDER BY label""".stripMargin
 
   val hubnessAuditOracle: String =
     s"""WITH e AS (

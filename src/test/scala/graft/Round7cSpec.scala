@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 third batch pins: the `graft_gram` TypedImperativeAggregate
+  * (kernel ≡ exploded spelling, no Generate in the plan) and the q228
+  * projection audit's centering/consistency invariants. */
+class Round7cSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  test("graft_gram folds the same Gram matrix as the exploded outer-product " +
+       "spelling, cell for cell at the 6dp contract") {
+    functions.VectorFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val mu = Array.fill(64)(0.25) // arbitrary non-zero center exercises μ
+    val flat = e
+      .agg(call_function("graft_gram", col("embedding"), typedLit(mu.toSeq)))
+      .collect().head.getSeq[Double](0)
+    assert(flat.length === 64 * 64)
+    val exploded = e
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")),
+              col("embedding").as("v"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+              posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") - lit(0.25)) *
+               (col("xj").cast("double") - lit(0.25))).as("g"))
+      .collect()
+    assert(exploded.length === 64 * 64)
+    exploded.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      assert(r6(flat(i * 64 + j)) === r6(r.getAs[Double]("g")),
+        s"cell ($i,$j) diverges between kernel and explode")
+    }
+  }
+
+  test("the Gram job is one custom aggregate over the scan — no Generate " +
+       "explode, partial + final graft_gram in the plan") {
+    functions.VectorFunctions.ensureRegistered(spark)
+    val df = Tables.embeddings(spark, dir)
+      .agg(call_function("graft_gram", col("embedding"),
+        typedLit(Array.fill(64)(0.0).toSeq)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_gram"), "custom aggregate must be planned")
+    assert(!plan.contains("Generate"),
+      "the d²-fold explode must never materialize")
+    assert(plan.toLowerCase.contains("partial_"),
+      "map-side partial aggregation must be planned")
+  }
+
+  test("q228 pc projection: complete label grid, near-zero signed mass " +
+       "(centering), and per-label bound consistency") {
+    val rows = operators.Similarity.q228PcProjection(spark, dir).collect()
+    val labels = Tables.embeddings(spark, dir)
+      .select(countDistinct(col("label"))).collect().head.getLong(0)
+    assert(rows.length.toLong === labels)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val signed = rows.map(_.getAs[Long]("sum_proj_u")).sum
+    // Σ(v−μ) ≈ 0 by construction; rounding (μ at 6dp, p at 4dp) leaves at
+    // most ~1 projection unit of bias per vector
+    assert(math.abs(signed) <= 2L * n,
+      s"signed projection mass $signed exceeds the centering budget for $n rows")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("sum_proj_u")) <= r.getAs[Long]("sum_abs_proj_u"))
+      assert(r.getAs[Long]("max_abs_proj_u") <= r.getAs[Long]("sum_abs_proj_u"))
+    }
+  }
+}

@@ -32,6 +32,10 @@ QUERIES = [
     "q191_stratified_split", "q200_ensemble_rank", "q203_length_bias",
     # bounded-sample ANN audits
     "q32_ann_brute", "q196_hubness_audit",
+    # round-7 batch: per-source two-phase rank, CDC chunking, cell-join
+    # mining, source sketch matrix, Gram-matrix PC
+    "q219_zipf_decay", "q222_cdc_chunks", "q223_bitext_margin",
+    "q226_source_minhash_sim", "q227_top_pc",
 ]
 
 SCALES = [
