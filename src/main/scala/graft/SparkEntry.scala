@@ -246,6 +246,7 @@ object SparkEntry {
     "q226_source_minhash_sim" -> (Dedup.q226SourceMinhashSim _),
     "q227_top_pc"           -> (Similarity.q227TopPc _),
     "q228_pc_projection"    -> (Similarity.q228PcProjection _),
+    "q229_image_near_dup"   -> (Multimodal.q229ImageNearDup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -699,5 +700,6 @@ object SparkEntry {
     "q226_source_minhash_sim" -> Dedup.sourceMinhashSimOracle,
     "q227_top_pc"            -> Similarity.topPcOracle,
     "q228_pc_projection"     -> Similarity.pcProjectionOracle,
+    "q229_image_near_dup"    -> Multimodal.imageNearDupOracle,
   )
 }

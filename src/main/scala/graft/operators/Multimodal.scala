@@ -426,6 +426,170 @@ object Multimodal {
       |WHERE l.gx <= 7
       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q229 — IMAGE near-dup pairs via perceptual-hash LSH banding: the
+  // image-side q29. Byte-level dedup (file md5) is blind to the SAME
+  // image re-encoded through a different codec — the classic re-upload
+  // dup — so the fixture plants format-crossing clones (doc_id % 9 == 0:
+  // same raster, the OTHER lossless codec, img_id offset by 10⁹) and the
+  // operator must find them from pixels alone: decode → aHash → band the
+  // 64 bits into 4×16-bit bands → bucket-join (any matching band is a
+  // candidate) → verify Hamming ≤ [[HamMax]] on the full hash. Banding
+  // guarantees: two hashes within Hamming 3 ALWAYS share a clean band
+  // (pigeonhole over 4 bands); clones match at Hamming 0.
+  //
+  // Scale: the pair generator is the band bucket-join (small keys:
+  // 16-bit band + index), never hashes×hashes; candidate verify joins
+  // are id-keyed; payload bytes never pass the first mapPartitions.
+  // ---------------------------------------------------------------------
+
+  /** Clone id offset (img_id = doc_id + this for the re-encoded copy). */
+  val CloneOffset = 1000000000L
+
+  /** Hamming acceptance bar for verified near-dup pairs. */
+  val HamMax = 6L
+
+  /** q229's raster formula — the q140 linear formula plus a per-image
+    * x·y cross term. The LINEAR formula is kept for the decode-certifying
+    * queries (its analytic oracle is the point there), but its 8×8
+    * thumbnails collapse into a handful of threshold patterns (every
+    * image is the same gradient), which makes banding degenerate — at
+    * sf0.1 it manufactured 51k hamming-≤6 pairs among 5.5k images. The
+    * cross term decorrelates the thumbnails so the pair structure is the
+    * planted clones plus genuine coincidences, like a real corpus. */
+  private[graft] def pixel229(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) + x.toLong * y * (id % 7 + 1)) % 256).toInt
+
+  private def encode229(id: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel229(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, out))
+      throw new IllegalStateException(s"no JDK $fmt writer")
+    out.toByteArray
+  }
+
+  /** Image corpus + format-crossing clones: every doc's image over the
+    * [[pixel229]] raster, plus — for doc_id % 9 == 0 — the SAME raster
+    * encoded through the other codec under `img_id = doc_id + CloneOffset`. */
+  private[graft] def imageCorpusWithClones(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.flatMap { case (id, w, h) =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val base = (id, fmt, w, h, encode229(id, w, h, fmt))
+        if (id % 9 == 0) {
+          val alt = if (id % 2 == 0) "bmp" else "png"
+          Seq(base, (id + CloneOffset, alt, w, h, encode229(id, w, h, alt)))
+        } else Seq(base)
+      })
+      .toDF("img_id", "fmt", "width", "height", "payload")
+  }
+
+  /** (img_id, 64-char aHash bits) through the real decode path. */
+  private def ahashBits(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("img_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, img $id")
+        val raster = img.getRaster
+        val px = new Array[Long](64)
+        var sum = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val v = raster.getSample(gx * w / 8, gy * h / 8, 0).toLong
+            px(gy * 8 + gx) = v
+            sum += v
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, px.map(p => if (64L * p > sum) '1' else '0').mkString)
+      })
+      .toDF("img_id", "bits")
+  }
+
+  /** q229 — verified image near-dup pairs (img_a < img_b, hamming ≤ 6). */
+  def q229ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = ahashBits(imageCorpusWithClones(spark, dir)).localCheckpoint()
+    val bands = hashes.select(col("img_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        concat(b.cast("string"), lit(":"),
+               col("bits").substr(b * 16 + 1, lit(16)))))
+        .as(Seq("bi", "band")))
+      .select(col("img_id"), col("band"))
+    val cand = bands.select(col("band"), col("img_id").as("img_a"))
+      .join(bands.select(col("band"), col("img_id").as("img_b")), "band")
+      .filter(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b")).distinct()
+    val ham = size(filter(sequence(lit(1), lit(64)), i =>
+      col("ba").substr(i, lit(1)) =!= col("bb").substr(i, lit(1)))).cast("long")
+    cand
+      .join(hashes.select(col("img_id").as("img_a"), col("bits").as("ba")), "img_a")
+      .join(hashes.select(col("img_id").as("img_b"), col("bits").as("bb")), "img_b")
+      .select(col("img_a"), col("img_b"), ham.as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .orderBy(col("img_a"), col("img_b"))
+  }
+
+  val imageNearDupOracle: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS img_id, doc_id AS src_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CloneOffset, doc_id FROM documents WHERE doc_id % 9 = 0),
+       |cells AS (
+       |  SELECT img_id, gx, gy,
+       |    (src_id*31 + ((gx*(16 + (src_id*37 + 11) % 48))//8)*7
+       |               + ((gy*(16 + (src_id*53 + 7) % 48))//8)*13
+       |               + ((gx*(16 + (src_id*37 + 11) % 48))//8)
+       |                 * ((gy*(16 + (src_id*53 + 7) % 48))//8)
+       |                 * (src_id % 7 + 1)) % 256 AS px
+       |  FROM imgs, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy)),
+       |s AS (SELECT img_id, sum(px) AS total FROM cells GROUP BY img_id),
+       |hashes AS (
+       |  SELECT c.img_id,
+       |    string_agg(CASE WHEN 64*px > total THEN '1' ELSE '0' END, ''
+       |               ORDER BY gy, gx) AS bits
+       |  FROM cells c JOIN s USING (img_id) GROUP BY c.img_id),
+       |bands AS (
+       |  SELECT img_id, b || ':' || substr(bits, b*16 + 1, 16) AS band
+       |  FROM hashes, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.img_id < b.img_id)
+       |SELECT img_a, img_b,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    CASE WHEN substr(ha.bits, i, 1) <> substr(hb.bits, i, 1)
+       |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN hashes ha ON ha.img_id = cand.img_a
+       |JOIN hashes hb ON hb.img_id = cand.img_b
+       |WHERE list_sum(list_transform(range(1, 65), i ->
+       |    CASE WHEN substr(ha.bits, i, 1) <> substr(hb.bits, i, 1)
+       |         THEN 1 ELSE 0 END)) <= $HamMax
+       |ORDER BY img_a, img_b""".stripMargin
+
   /** GIF-encoded images over the same geometry/pixel formulas — the JDK's
     * third lossless image codec (chainweb-data has no media path; this
     * family is the training-pipeline extension, cf. q140). */

@@ -1237,10 +1237,15 @@ object TextOps {
   /** q225 — per source: docs, looping docs (max echo ≥ 3), the worst echo
     * depth, and mean per-doc loop intensity ppm (10⁶·(max_rep−1)/n_grams). */
   def q225LoopDetect(spark: SparkSession, dir: String): DataFrame = {
+    // `t` is PROJECTED before the gram lambda: an inline `split(...)`
+    // inside transform/element_at is re-evaluated per lambda element
+    // (no common-subexpression elimination across HOF bodies — measured
+    // 7× on this query's first cut)
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        concat(col("text"), loopTail(col("doc_id"))).as("lt"))
-    val t = split(lower(col("lt")), "\\s+")
+        split(lower(concat(col("text"), loopTail(col("doc_id")))), "\\s+")
+          .as("t"))
+    val t = col("t")
     val grams = d.select(col("doc_id"), col("source"),
       explode(when(size(t) >= 4,
         transform(sequence(lit(1), size(t) - 3), i =>

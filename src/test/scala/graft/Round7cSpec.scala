@@ -80,4 +80,23 @@ class Round7cSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_abs_proj_u") <= r.getAs[Long]("sum_abs_proj_u"))
     }
   }
+
+  test("q229 image near-dup: every format-crossing clone is found at " +
+       "Hamming 0 — pixel dedup sees what byte dedup cannot — and every " +
+       "reported pair clears the verify bar") {
+    val pairs = operators.Multimodal.q229ImageNearDup(spark, dir).collect()
+    val cloneBases = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val found = pairs
+      .filter(r => r.getAs[Long]("img_b") ==
+                   r.getAs[Long]("img_a") + operators.Multimodal.CloneOffset)
+    assert(found.map(_.getAs[Long]("img_a")).toSet === cloneBases,
+      "each clone must pair with its original, and nothing else fabricates " +
+      "a clone-offset pair")
+    found.foreach(r => assert(r.getAs[Long]("hamming") === 0L,
+      "a lossless re-encode must hash identically"))
+    pairs.foreach(r =>
+      assert(r.getAs[Long]("hamming") <= operators.Multimodal.HamMax))
+  }
 }
