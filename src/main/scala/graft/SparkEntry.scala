@@ -247,6 +247,8 @@ object SparkEntry {
     "q227_top_pc"           -> (Similarity.q227TopPc _),
     "q228_pc_projection"    -> (Similarity.q228PcProjection _),
     "q229_image_near_dup"   -> (Multimodal.q229ImageNearDup _),
+    "q230_matryoshka_recall" -> (Similarity.q230MatryoshkaRecall _),
+    "q231_split_leak_neardup" -> (Dedup.q231SplitLeakNearDup _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -701,5 +703,7 @@ object SparkEntry {
     "q227_top_pc"            -> Similarity.topPcOracle,
     "q228_pc_projection"     -> Similarity.pcProjectionOracle,
     "q229_image_near_dup"    -> Multimodal.imageNearDupOracle,
+    "q230_matryoshka_recall" -> Similarity.matryoshkaRecallOracle,
+    "q231_split_leak_neardup" -> Dedup.splitLeakNearDupOracle,
   )
 }

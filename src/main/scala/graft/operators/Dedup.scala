@@ -1532,6 +1532,66 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // -------------------------------------------------------------------------
+  // q231 — NEAR-DUP LEAKAGE across the train/holdout split: q138 audits
+  // EXACT-hash leakage, but the pair a benchmark actually bleeds through
+  // is the near-duplicate — same document, different boilerplate — which
+  // deterministic hash splitting cannot see (the two copies hash to
+  // independent sides with P = 2·p·(1−p)). This operator classifies every
+  // VERIFIED near-dup pair (q29's banded + exact-Jaccard-verified set)
+  // by the split side of its endpoints: a fat `cross` row is eval
+  // contamination that survives exact dedup.
+  //
+  // Split gate: the q44 convention — md5(doc_id) prefix < 'cc' (≈ 80%)
+  // is train, else holdout; reproducible across engines/runs/cluster
+  // sizes.
+  //
+  // Scale: inherits q29's whole discipline (band bucket-join, arrays
+  // only re-attached for candidates); classification is a row-map on the
+  // |pairs| relation; the share window runs on ≤ 3 rows.
+  // -------------------------------------------------------------------------
+
+  /** q231 — (pair_class ∈ {train_train, cross, heldout_heldout}, n_pairs,
+    * share_ppm of all verified near-dup pairs). */
+  def q231SplitLeakNearDup(spark: SparkSession, dir: String): DataFrame = {
+    def gate(c: Column): Column =
+      when(substring(md5(c.cast("string")), 1, 2) < "cc", "train")
+        .otherwise("heldout")
+    val agg = q29LshNearDup(spark, dir)
+      .select(gate(col("doc_a")).as("ga"), gate(col("doc_b")).as("gb"))
+      .select(when(col("ga") === col("gb"),
+                   concat(col("ga"), lit("_"), col("gb")))
+              .otherwise("cross").as("pair_class"))
+      .groupBy(col("pair_class")).agg(count(lit(1)).as("n_pairs"))
+    // ≤3-row dimension window — the q123/q21 bounded pattern
+    agg
+      .withColumn("total", sum(col("n_pairs"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("pair_class"), col("n_pairs"),
+        expr("(1000000 * n_pairs) DIV total").as("share_ppm"))
+      .orderBy(col("pair_class"))
+  }
+
+  val splitLeakNearDupOracle: String =
+    s"""WITH pairs AS ($lshNearDupOracle),
+       |cls AS (
+       |  SELECT CASE WHEN ga = gb THEN ga || '_' || gb ELSE 'cross' END
+       |    AS pair_class
+       |  FROM (SELECT
+       |    CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cc'
+       |         THEN 'train' ELSE 'heldout' END AS ga,
+       |    CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cc'
+       |         THEN 'train' ELSE 'heldout' END AS gb
+       |    FROM pairs)),
+       |agg AS (
+       |  SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM cls GROUP BY pair_class)
+       |SELECT pair_class, n_pairs,
+       |  (1000000 * n_pairs)
+       |    // CAST((SELECT sum(n_pairs) FROM agg) AS BIGINT) AS share_ppm
+       |FROM agg ORDER BY pair_class""".stripMargin
+
   val sourceMinhashSimOracle: String =
     s"""WITH $duckSignatures,
        |slots AS (

@@ -2189,6 +2189,85 @@ object Similarity {
        |  CAST(max(abs(pu)) AS BIGINT) AS max_abs_proj_u
        |FROM proj GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // q230 — MATRYOSHKA truncation recall (Kusupati et al. NeurIPS'22): MRL
+  // training packs coarse-to-fine meaning into embedding PREFIXES, so a
+  // serving tier can run ANN on the first 16 or 32 dims (4×/2× cheaper
+  // memory traffic) and re-rank a shortlist at full width. The audit that
+  // gates the decision: top-K recall of the prefix metric against the
+  // full-dim truth, per prefix width. On non-MRL embeddings the same
+  // curve answers "do these vectors truncate?" before anyone ships a
+  // prefix index. Truth and every leg follow the q32 contract
+  // (4dp-rounded cosine, id tiebreaks).
+  //
+  // Scale: each leg is the q32 shape — the bounded query set broadcasts
+  // against one corpus scan per width (a production run fuses the three
+  // widths into one scan; three passes keep the legs independently
+  // readable here); the recall join is id-keyed on ≤ N_QUERIES·K rows.
+  // -------------------------------------------------------------------------
+
+  /** Prefix widths audited (full width last = sanity row at recall 10⁶). */
+  val MrlDims = Seq(16, 32, 64)
+
+  /** q230 — (dims, n_hits, recall_ppm) vs the full-dim top-K truth. */
+  def q230MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val truth = q32AnnBrute(spark, dir)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val legs = MrlDims.map { d =>
+      val ed = e.select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
+        .withColumn("nd", dot(col("vd"), col("vd")))
+      val q = ed.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nd").as("qn"))
+      val sim = round(dot(col("qv"), col("vd")) / sqrt(col("qn") * col("nd")), 4)
+      val top = topK(ed.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim")))
+        .select(col("q_id"), col("n_id"))
+      truth.join(top, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("n_hits"),
+          expr(s"(1000000 * n_hits) DIV ${N_QUERIES * TOP_K}").as("recall_ppm"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("dims"))
+  }
+
+  val matryoshkaRecallOracle: String = {
+    def topkFrom(rel: String): String =
+      s"""SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |        round(list_dot_product(q.vd, n.vd) / sqrt(q.nd * n.nd), 4) AS cos_sim
+         |      FROM $rel q JOIN $rel n
+         |        ON q.vec_id < $N_QUERIES AND n.vec_id != q.vec_id))
+         |  WHERE rank <= $TOP_K""".stripMargin
+    val legCtes = MrlDims.map { d =>
+      s"""ed$d AS (
+         |  SELECT vec_id, v[1:$d] AS vd,
+         |    list_dot_product(v[1:$d], v[1:$d]) AS nd FROM e),
+         |top$d AS (
+         |  ${topkFrom(s"ed$d")}),
+         |leg$d AS (
+         |  SELECT CAST($d AS BIGINT) AS dims, CAST(count(*) AS BIGINT) AS n_hits,
+         |    (1000000 * CAST(count(*) AS BIGINT)) // ${N_QUERIES * TOP_K}
+         |      AS recall_ppm
+         |  FROM truth t JOIN top$d a ON a.q_id = t.q_id AND a.n_id = t.n_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = MrlDims.map(d => s"SELECT * FROM leg$d").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |efull AS (SELECT vec_id, v AS vd, nrm AS nd FROM e),
+       |truth AS (
+       |  ${topkFrom("efull")}),
+       |$legCtes
+       |$union ORDER BY dims""".stripMargin
+  }
+
   val hubnessAuditOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, v, list_dot_product(v, v) AS nrm

@@ -99,4 +99,31 @@ class Round7cSpec extends AnyFunSuite {
     pairs.foreach(r =>
       assert(r.getAs[Long]("hamming") <= operators.Multimodal.HamMax))
   }
+
+  test("q230 matryoshka recall: full-width leg reproduces the truth " +
+       "exactly; every leg stays within [0, 1e6]") {
+    val rows = operators.Similarity.q230MatryoshkaRecall(spark, dir)
+      .orderBy(col("dims")).collect()
+    assert(rows.map(_.getAs[Long]("dims")).toSeq === Seq(16L, 32L, 64L))
+    val full = rows.last
+    assert(full.getAs[Long]("recall_ppm") === 1000000L,
+      "the 64-dim leg IS the truth metric — recall must be exactly 1")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("recall_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("q231 near-dup split leakage: classes partition q29's verified " +
+       "pairs, shares sum to ~1e6") {
+    val rows = operators.Dedup.q231SplitLeakNearDup(spark, dir).collect()
+    val classes = rows.map(_.getAs[String]("pair_class")).toSet
+    assert(classes.subsetOf(Set("train_train", "cross", "heldout_heldout")))
+    val totalPairs = operators.Dedup.q29LshNearDup(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === totalPairs,
+      "every verified pair must land in exactly one class")
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"shares must sum to 1e6 up to truncating division, got $shareSum")
+  }
 }
