@@ -86,7 +86,10 @@ object Cdc {
         sum(col("is_dup") * col("n_w")).as("dup_words"))
       .select(col("source"), col("n_chunks"), col("n_words"),
         col("n_distinct_fp"), col("dup_chunks"), col("dup_words"),
-        expr("(1000000 * dup_words) DIV n_words").as("dup_word_ppm"))
+        // DECIMAL(38,0)-routed (the q203 rule): dup_words is a per-source
+        // token count — 10⁶·mass wraps int64 silently past ~9e12 tokens
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * dup_words)
+                DIV n_words AS BIGINT)""").as("dup_word_ppm"))
       .orderBy(col("source"))
   }
 
@@ -124,9 +127,10 @@ object Cdc {
        |       THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
        |  CAST(sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
        |       THEN c.n_w ELSE 0 END) AS BIGINT) AS dup_words,
-       |  (1000000 * CAST(sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
-       |       THEN c.n_w ELSE 0 END) AS BIGINT))
-       |    // CAST(sum(c.n_w) AS BIGINT) AS dup_word_ppm
+       |  CAST((CAST(1000000 AS HUGEINT)
+       |        * sum(CASE WHEN c.doc_id * 1048576 + c.chunk <> f.first_key
+       |              THEN c.n_w ELSE 0 END))
+       |    // sum(c.n_w) AS BIGINT) AS dup_word_ppm
        |FROM chunks c JOIN fs f USING (fp)
        |GROUP BY c.source ORDER BY c.source""".stripMargin
 }

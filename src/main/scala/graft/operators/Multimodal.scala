@@ -511,6 +511,8 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         if (img == null)
           throw new IllegalStateException(s"undecodable $fmt payload, img $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
         val raster = img.getRaster
         val px = new Array[Long](64)
         var sum = 0L

@@ -1183,7 +1183,11 @@ object TextOps {
               col("c").as("f_2r"))
     a.join(b, col("source_b") === col("source") && col("rb") === col("r") * 2L)
       .select(col("source"), col("r"), col("f_r"), col("f_2r"),
-        expr("(1000000 * f_2r) DIV f_r").as("decay_ppm"))
+        // DECIMAL(38,0)-routed (the q203 rule): f_2r is a per-source token
+        // count — 10⁶·f wraps int64 silently in Spark past ~9e12 tokens
+        // while DuckDB errors, exactly the 100 TB regime
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * f_2r)
+                DIV f_r AS BIGINT)""").as("decay_ppm"))
       .orderBy(col("source"), col("r"))
   }
 
@@ -1199,7 +1203,7 @@ object TextOps {
        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
        |  FROM v)
        |SELECT a.source, a.rank AS r, a.c AS f_r, b.c AS f_2r,
-       |  (1000000 * b.c) // a.c AS decay_ppm
+       |  CAST((CAST(1000000 AS HUGEINT) * b.c) // a.c AS BIGINT) AS decay_ppm
        |FROM r a JOIN r b ON b.source = a.source AND b.rank = 2 * a.rank
        |WHERE a.rank IN ($ranks)
        |ORDER BY a.source, a.rank""".stripMargin
