@@ -249,6 +249,8 @@ object SparkEntry {
     "q229_image_near_dup"   -> (Multimodal.q229ImageNearDup _),
     "q230_matryoshka_recall" -> (Similarity.q230MatryoshkaRecall _),
     "q231_split_leak_neardup" -> (Dedup.q231SplitLeakNearDup _),
+    "q232_skipgram_decay"   -> (TextOps.q232SkipgramDecay _),
+    "q233_audio_dup_groups" -> (Multimodal.q233AudioDupGroups _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -705,5 +707,7 @@ object SparkEntry {
     "q229_image_near_dup"    -> Multimodal.imageNearDupOracle,
     "q230_matryoshka_recall" -> Similarity.matryoshkaRecallOracle,
     "q231_split_leak_neardup" -> Dedup.splitLeakNearDupOracle,
+    "q232_skipgram_decay"    -> TextOps.skipgramDecayOracle,
+    "q233_audio_dup_groups"  -> Multimodal.audioDupGroupsOracle,
   )
 }

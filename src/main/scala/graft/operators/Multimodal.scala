@@ -832,6 +832,120 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q233 — AUDIO duplicate groups via the envelope fingerprint: the
+  // audio-side q229. The planted dup is the POLARITY-INVERTED copy
+  // (every 16-bit sample two's-complement negated — real-world phase
+  // inversion): byte-level dedup is blind (every payload byte differs),
+  // while the |amplitude| envelope is EXACTLY invariant — |−s| = |s| for
+  // every 16-bit value including −32768, the fixed point of 16-bit
+  // negation, which the fingerprint reads through toLong before abs.
+  // Clips are grouped by (n_samples, envelope); groups of ≥ 2 are the
+  // dedup verdicts.
+  //
+  // Scale: encode/decode/fingerprint are partition-local row maps; the
+  // group-by key is 8+16 bytes — id-only shuffle; payloads never leave
+  // the map stage.
+  // -------------------------------------------------------------------------
+
+  /** WAV payload bytes for `n` samples of `sample(i)`. */
+  private def mkWavBytes(n: Int, sample: Int => Short): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(WavRate); bb.putInt(WavRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(sample(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Audio corpus + polarity-inverted clones (doc_id % 11 == 0 →
+    * clip_id + [[CloneOffset]], every sample negated in 16-bit space). */
+  private[graft] def audioCorpusWithClones(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = wavSamples(id)
+        val base = (id, mkWavBytes(n, i => sampleAt(id, i).toShort))
+        if (id % 11 == 0)
+          Seq(base, (id + CloneOffset,
+            mkWavBytes(n, i => (-sampleAt(id, i).toShort).toShort)))
+        else Seq(base)
+      })
+      .toDF("clip_id", "wav")
+  }
+
+  /** (clip_id, n_samples, envelope) over the clone-bearing corpus —
+    * exposed for the spec's exact polarity-invariance pin. */
+  private[graft] def cloneEnvelopes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioCorpusWithClones(spark, dir)
+      .select("clip_id", "wav").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val pcm = walkWavPcm(id, bytes)
+        val n = pcm.length
+        val winSum = new Array[Long](16)
+        val winCnt = new Array[Long](16)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val w = ((16L * i) / n).toInt
+          val a = math.abs(pcm(i).toLong)
+          winSum(w) += a; winCnt(w) += 1; total += a
+          i += 1
+        }
+        val bits = (0 until 16).map(w =>
+          if (winSum(w) * n > total * winCnt(w)) '1' else '0').mkString
+        (id, n.toLong, bits)
+      })
+      .toDF("clip_id", "n_samples", "envelope")
+  }
+
+  /** q233 — duplicate-envelope groups: (envelope, n_samples, n_clips ≥ 2,
+    * min_clip, max_clip). */
+  def q233AudioDupGroups(spark: SparkSession, dir: String): DataFrame =
+    cloneEnvelopes(spark, dir).groupBy(col("envelope"), col("n_samples"))
+      .agg(count(lit(1)).as("n_clips"),
+        min(col("clip_id")).as("min_clip"),
+        max(col("clip_id")).as("max_clip"))
+      .filter(col("n_clips") >= 2)
+      .orderBy(col("min_clip"))
+
+  val audioDupGroupsOracle: String =
+    s"""WITH clips AS (
+       |  SELECT doc_id AS clip_id, doc_id AS src_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CloneOffset, doc_id FROM documents
+       |  WHERE doc_id % 11 = 0),
+       |d AS (SELECT clip_id, src_id, 64 + (src_id * 31 + 17) % 192 AS n
+       |      FROM clips),
+       |s AS (
+       |  SELECT clip_id, n, i,
+       |    abs(((src_id * 7919 + i * 104729) % 65536) - 32768) AS a
+       |  FROM (SELECT clip_id, src_id, n, unnest(range(0, n)) AS i FROM d)),
+       |w AS (
+       |  SELECT clip_id, n, (16 * i) // n AS win, sum(a) AS win_sum,
+       |    count(*) AS win_cnt
+       |  FROM s GROUP BY clip_id, n, (16 * i) // n),
+       |t AS (SELECT clip_id, sum(win_sum) AS total FROM w GROUP BY clip_id),
+       |env AS (
+       |  SELECT w.clip_id, CAST(max(w.n) AS BIGINT) AS n_samples,
+       |    string_agg(CASE WHEN win_sum * n > total * win_cnt
+       |               THEN '1' ELSE '0' END, '' ORDER BY win) AS envelope
+       |  FROM w JOIN t USING (clip_id)
+       |  GROUP BY w.clip_id)
+       |SELECT envelope, n_samples, CAST(count(*) AS BIGINT) AS n_clips,
+       |  CAST(min(clip_id) AS BIGINT) AS min_clip,
+       |  CAST(max(clip_id) AS BIGINT) AS max_clip
+       |FROM env GROUP BY envelope, n_samples
+       |HAVING count(*) >= 2 ORDER BY min_clip""".stripMargin
+
   val audioFingerprintOracle: String =
     """WITH d AS (
       |  SELECT doc_id, 64 + (doc_id * 31 + 17) % 192 AS n FROM documents),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over `documents`
@@ -1294,6 +1295,101 @@ object TextOps {
        |  CAST(sum((1000000 * (max_rep - 1)) // n_grams) // count(*) AS BIGINT)
        |    AS avg_loop_ppm
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q232 — SKIP-GRAM collocation DECAY: q187 scores ADJACENT pairs; this
+  // scores (wᵢ, wᵢ₊g) at gaps g ∈ {1,2,3} with the same log-free exact
+  // lift, reading how association strength decays with distance — the
+  // corpus-linguistics separation between PHRASES (lift collapses past
+  // g=1: "new york") and TOPICAL pairs (lift survives across gaps) that
+  // decides phrase-merge vs co-occurrence features in tokenizer/embedding
+  // prep. Top-5 per gap; per-gap pair totals keep the lift a proper
+  // per-distance probability ratio.
+  //
+  // Scale: the q187 discipline per gap — pair counts collapse at the
+  // scan (partial agg), the MinColloc floor cuts BEFORE the unigram
+  // joins, the rank window partitions by the 3-value gap dimension over
+  // the floored (collocation-sized) relation, and every product routes
+  // through DECIMAL(38,0)/HUGEINT.
+  // -------------------------------------------------------------------------
+
+  /** q232's distances. */
+  val SkipGaps: Seq[Int] = Seq(1, 2, 3)
+
+  /** q232 — (gap, rank ≤ 5, term, c_ab, lift_ppm). */
+  def q232SkipgramDecay(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(split(lower(col("text")), "\\s+").as("t")) // projected: no CSE in HOFs
+    val t = col("t")
+    val legs = SkipGaps.map { g =>
+      d.select(lit(g.toLong).as("gap"),
+        explode(when(size(t) > g,
+          transform(sequence(lit(1), size(t) - g), i =>
+            concat_ws(" ", element_at(t, i), element_at(t, i + g))))
+          .otherwise(typedLit(Array.empty[String]))).as("term"))
+    }
+    val pairs = legs.reduce(_ unionByName _)
+      .groupBy(col("gap"), col("term")).agg(count(lit(1)).as("c_ab"))
+    val floored = pairs.filter(col("c_ab") >= MinColloc)
+    val totals = pairs.groupBy(col("gap")).agg(sum(col("c_ab")).as("n_big"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot1 = uni.agg(sum(col("c")).as("n_uni")) // 1-row control
+    val w = Window.partitionBy(col("gap"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    floored
+      .withColumn("w1", element_at(split(col("term"), " "), 1))
+      .withColumn("w2", element_at(split(col("term"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .join(broadcast(totals), "gap")
+      .crossJoin(broadcast(tot1))
+      .select(col("gap"), col("term"), col("c_ab"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * n_uni * n_uni)
+                DIV (CAST(n_big AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("gap"), col("rank"), col("term"), col("c_ab"), col("lift_ppm"))
+      .orderBy(col("gap"), col("rank"))
+  }
+
+  val skipgramDecayOracle: String = {
+    val gaps = SkipGaps.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+       |pairs AS (
+       |  SELECT gap, term, CAST(count(*) AS BIGINT) AS c_ab FROM (
+       |    SELECT g.gap,
+       |      unnest([t[i] || ' ' || t[i + g.gap] for i in range(1, len(t) - g.gap + 1)])
+       |        AS term
+       |    FROM toks, (SELECT unnest([$gaps]) AS gap) g
+       |    WHERE len(t) > g.gap)
+       |  GROUP BY gap, term),
+       |floored AS (SELECT * FROM pairs WHERE c_ab >= $MinColloc),
+       |totals AS (SELECT gap, CAST(sum(c_ab) AS BIGINT) AS n_big
+       |           FROM pairs GROUP BY gap),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents) GROUP BY w),
+       |tot1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+       |scored AS (
+       |  SELECT f.gap, f.term, f.c_ab,
+       |    CAST((CAST(1000000 AS HUGEINT) * f.c_ab * t1.n_uni * t1.n_uni)
+       |      // (CAST(tg.n_big AS HUGEINT) * a.c * b.c) AS BIGINT) AS lift_ppm
+       |  FROM floored f
+       |  JOIN uni a ON a.w = string_split(f.term, ' ')[1]
+       |  JOIN uni b ON b.w = string_split(f.term, ' ')[2]
+       |  JOIN totals tg ON tg.gap = f.gap
+       |  CROSS JOIN tot1 t1)
+       |SELECT CAST(gap AS BIGINT) AS gap, rank, term, c_ab, lift_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY gap
+       |    ORDER BY lift_ppm DESC, term) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY gap, rank""".stripMargin
+  }
 
   val simpsonConcentrationOracle: String =
     """WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),

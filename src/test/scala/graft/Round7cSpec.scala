@@ -126,4 +126,46 @@ class Round7cSpec extends AnyFunSuite {
     assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
       s"shares must sum to 1e6 up to truncating division, got $shareSum")
   }
+
+  test("q232 skip-gram decay: full gap×rank grid, floored counts, " +
+       "positive exact lifts") {
+    val rows = operators.TextOps.q232SkipgramDecay(spark, dir).collect()
+    assert(rows.length === operators.TextOps.SkipGaps.length * 5)
+    rows.foreach { r =>
+      assert(operators.TextOps.SkipGaps.map(_.toLong)
+        .contains(r.getAs[Long]("gap")))
+      val rk = r.getAs[Long]("rank")
+      assert(rk >= 1L && rk <= 5L)
+      assert(r.getAs[Long]("c_ab") >= operators.TextOps.MinColloc)
+      assert(r.getAs[Long]("lift_ppm") > 0L)
+    }
+  }
+
+  test("q233 audio dup groups: polarity inversion is EXACTLY envelope-" +
+       "invariant (every clone shares its base's fingerprint), and every " +
+       "reported group is a genuine collision") {
+    val env = operators.Multimodal.cloneEnvelopes(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("clip_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[String]("envelope"))).toMap
+    val cloneBases = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(cloneBases.nonEmpty)
+    cloneBases.foreach { b =>
+      assert(env(b) === env(b + operators.Multimodal.CloneOffset),
+        s"polarity-inverted clone of $b must fingerprint identically")
+    }
+    val groups = operators.Multimodal.q233AudioDupGroups(spark, dir).collect()
+    groups.foreach { g =>
+      assert(g.getAs[Long]("n_clips") >= 2L)
+      assert(g.getAs[Long]("min_clip") < g.getAs[Long]("max_clip"))
+    }
+    // every clone pair must land in SOME reported group: the base's
+    // fingerprint has ≥ 2 members by the invariance just proven
+    val byFp = env.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    cloneBases.foreach { b =>
+      assert(byFp(env(b)).size >= 2)
+    }
+  }
 }
