@@ -168,4 +168,23 @@ class Round7cSpec extends AnyFunSuite {
       assert(byFp(env(b)).size >= 2)
     }
   }
+
+  test("batch-4/5 plan pins: q226 broadcasts its dimension matrix, " +
+       "q229/q232 plan no cartesian product and no single-partition " +
+       "corpus exchange") {
+    val p226 = operators.Dedup.q226SourceMinhashSim(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p226.contains("Broadcast"),
+      "the |sources|² slot matrix must be a broadcast join")
+    assert(!p226.contains("CartesianProduct"))
+    val p229 = operators.Multimodal.q229ImageNearDup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p229.contains("CartesianProduct"),
+      "image pairs must come from the band bucket-join")
+    val p232 = operators.TextOps.q232SkipgramDecay(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p232.contains("CartesianProduct") ||
+           p232.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row token-total control may cross-join")
+  }
 }
