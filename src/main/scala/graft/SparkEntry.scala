@@ -251,6 +251,8 @@ object SparkEntry {
     "q231_split_leak_neardup" -> (Dedup.q231SplitLeakNearDup _),
     "q232_skipgram_decay"   -> (TextOps.q232SkipgramDecay _),
     "q233_audio_dup_groups" -> (Multimodal.q233AudioDupGroups _),
+    "q234_sketch_referee"   -> (Dedup.q234SketchReferee _),
+    "q235_release_chunk_novelty" -> (Cdc.q235ReleaseChunkNovelty _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -709,5 +711,7 @@ object SparkEntry {
     "q231_split_leak_neardup" -> Dedup.splitLeakNearDupOracle,
     "q232_skipgram_decay"    -> TextOps.skipgramDecayOracle,
     "q233_audio_dup_groups"  -> Multimodal.audioDupGroupsOracle,
+    "q234_sketch_referee"    -> Dedup.sketchRefereeOracle,
+    "q235_release_chunk_novelty" -> Cdc.releaseChunkNoveltyOracle,
   )
 }

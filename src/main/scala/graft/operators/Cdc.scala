@@ -93,8 +93,10 @@ object Cdc {
       .orderBy(col("source"))
   }
 
-  val cdcChunksOracle: String =
-    s"""WITH toks AS (
+  /** toks → … → chunks CTE block, shared by [[cdcChunksOracle]] and the
+    * q235 release-novelty oracle. */
+  private val chunkCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
        |  FROM documents
        |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1),
@@ -116,7 +118,10 @@ object Cdc {
        |chunks AS (
        |  SELECT doc_id, source, chunk, CAST(count(*) AS BIGINT) AS n_w,
        |    md5(string_agg(w, ' ' ORDER BY pos)) AS fp
-       |  FROM chunked GROUP BY doc_id, source, chunk),
+       |  FROM chunked GROUP BY doc_id, source, chunk)""".stripMargin
+
+  val cdcChunksOracle: String =
+    s"""WITH $chunkCtes,
        |fs AS (
        |  SELECT fp, min(doc_id * 1048576 + chunk) AS first_key
        |  FROM chunks GROUP BY fp)
@@ -133,4 +138,60 @@ object Cdc {
        |    // sum(c.n_w) AS BIGINT) AS dup_word_ppm
        |FROM chunks c JOIN fs f USING (fp)
        |GROUP BY c.source ORDER BY c.source""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q235 — RELEASE chunk NOVELTY: q185 diffs releases at DOC granularity;
+  // at chunk granularity the question becomes "how much of the new
+  // release's CONTENT is genuinely new" — a re-crawl that re-ships 90% of
+  // its token mass in carried-over chunks is mostly storage, not signal.
+  // Release carve = the q170 convention (doc_id % 3 == 0 is the new
+  // release); a new-release chunk is CARRIED iff its fingerprint exists
+  // anywhere in the old release, else NOVEL. CDC (not fixed-stride)
+  // chunking is what makes this meaningful: shifted boilerplate still
+  // matches (the shift-resilience Round7bSpec proves).
+  //
+  // Scale: the chunk relation is built once ([[chunks]]' discipline); the
+  // old-release fingerprint set is a distinct over 32-byte keys; the
+  // classification join is fingerprint-keyed (left semi shape). The ppm
+  // routes through DECIMAL(38,0)/HUGEINT (token-count products).
+  // -------------------------------------------------------------------------
+
+  /** q235 — per source: new-release chunk/word mass, carried vs novel
+    * split, and novelty_ppm of the word mass. */
+  def q235ReleaseChunkNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir).localCheckpoint() // old + new legs below
+    val oldFps = ch.filter(col("doc_id") % 3 =!= 0)
+      .select(col("fp")).distinct()
+    val marked = ch.filter(col("doc_id") % 3 === 0)
+      .join(oldFps.withColumn("carried", lit(1L)), Seq("fp"), "left")
+      .withColumn("carried", coalesce(col("carried"), lit(0L)))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("new_chunks"),
+        sum(col("n_w")).as("new_words"),
+        sum(col("carried")).as("carried_chunks"),
+        sum(col("carried") * col("n_w")).as("carried_words"))
+      .select(col("source"), col("new_chunks"), col("new_words"),
+        col("carried_chunks"), col("carried_words"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+                * (new_words - carried_words))
+                DIV new_words AS BIGINT)""").as("novelty_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val releaseChunkNoveltyOracle: String =
+    s"""WITH $chunkCtes,
+       |old_fps AS (
+       |  SELECT DISTINCT fp FROM chunks WHERE doc_id % 3 <> 0),
+       |marked AS (
+       |  SELECT c.source, c.n_w,
+       |    CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS carried
+       |  FROM chunks c LEFT JOIN old_fps o ON o.fp = c.fp
+       |  WHERE c.doc_id % 3 = 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS new_chunks,
+       |  CAST(sum(n_w) AS BIGINT) AS new_words,
+       |  CAST(sum(carried) AS BIGINT) AS carried_chunks,
+       |  CAST(sum(carried * n_w) AS BIGINT) AS carried_words,
+       |  CAST((CAST(1000000 AS HUGEINT) * (sum(n_w) - sum(carried * n_w)))
+       |    // sum(n_w) AS BIGINT) AS novelty_ppm
+       |FROM marked GROUP BY source ORDER BY source""".stripMargin
 }

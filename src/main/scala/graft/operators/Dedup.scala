@@ -336,7 +336,9 @@ object Dedup {
     * near-dup. Same plan shape as q87: equi-join on (block, value),
     * integer xor+popcount verify, nothing but fixed-width integers in
     * any exchange. */
-  def q91Simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
+  /** q91's detected pairs (block-bucketed candidates at Hamming ≤ 3),
+    * unordered — shared with the q234 referee. */
+  private[graft] def simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -356,13 +358,16 @@ object Dedup {
       .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("dist") <= 3)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Naive spec over the 64-bit fingerprint; the bit-b term adds
+  def q91Simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
+    simhash64Pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The naive 64-bit-fingerprint relation SQL (`SELECT doc_id, simhash`)
+    * — shared by the q91 and q234 oracles; the bit-b term adds
     * `1 << (63-b)` — for b = 0 that is Long.MinValue, the same
     * two's-complement pattern the kernel ORs in. */
-  def simhash64PairsOracle: String = {
+  private def simhash64Sql: String = {
     def bitSql(b: Int): String = {
       val nib = s"(strpos('0123456789abcdef', substr(x, ${b / 4 + 1}, 1)) - 1)"
       b % 4 match {
@@ -379,17 +384,20 @@ object Dedup {
          |    x -> CASE WHEN ${bitSql(b)} THEN 1 ELSE -1 END)) > 0
          |  THEN $w ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, ($terms) AS simhash
+    s"""SELECT doc_id, ($terms) AS simhash
        |  FROM (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\\s+'),
        |               tok -> md5(tok)) AS hs
-       |        FROM documents))
+       |        FROM documents)""".stripMargin
+  }
+
+  def simhash64PairsOracle: String =
+    s"""WITH sh AS (
+       |$simhash64Sql)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** q30 — 16-bit SimHash over token md5s (bit-vote with multiplicity),
     * via the codegen'd [[graft.functions.SimHash16]] kernel: one compiled
@@ -1605,4 +1613,90 @@ object Dedup {
        |    // $K_HASHES AS sim_ppm
        |FROM slots a JOIN slots b ON b.slot = a.slot AND a.source < b.source
        |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q234 — SKETCH-FAMILY REFEREE: MinHash-LSH (q29's band candidates) and
+  // 64-bit SimHash (q91's block candidates) are the two standard cheap
+  // near-dup detectors, and they disagree — LSH draws from Jaccard, the
+  // bit-vote fingerprint from a cosine-like token-vector angle. This
+  // operator puts both detectors' DETECTED pairs under one exact referee
+  // (the q82/q184 integer criterion, 2·∩ ≥ |A|+|B|−∩ ⇔ Jaccard ≥ ½) and
+  // reports, per detection class (both / minhash_only / simhash_only),
+  // the pair count and referee precision — the corpus-specific evidence
+  // for WHICH sketch family (or the union) a pipeline should run. This is
+  // how q29's banding parameters earned their place over the SimHash pass
+  // on this corpus — measured, not assumed.
+  //
+  // Scale: both candidate generators keep their own banded disciplines;
+  // the full-outer alignment and referee joins are id/32-byte-keyed over
+  // candidate-sized relations; shingle arrays attach only to candidates.
+  // -------------------------------------------------------------------------
+
+  /** q234 — (detector ∈ {both, minhash_only, simhash_only}, n_pairs,
+    * n_true, precision_ppm) under the exact-Jaccard-≥½ referee. */
+  def q234SketchReferee(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val mh = lshCandidates(lshBands(sig))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("mh"))
+    val sh64 = simhash64Pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("sh64"))
+    val pairs = mh.join(sh64, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(0L, Seq("mh", "sh64"))
+    val shv = sig.select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    pairs
+      .join(shv.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shv.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        when(col("mh") === 1L && col("sh64") === 1L, "both")
+          .when(col("mh") === 1L, "minhash_only")
+          .otherwise("simhash_only").as("detector"),
+        when(lit(2L) * inter >=
+               size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+                 - inter, 1L)
+          .otherwise(0L).as("is_true"))
+      .groupBy(col("detector"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+      .select(col("detector"), col("n_pairs"), col("n_true"),
+        expr("(1000000 * n_true) DIV n_pairs").as("precision_ppm"))
+      .orderBy(col("detector"))
+  }
+
+  val sketchRefereeOracle: String =
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |mcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sh64 AS (
+       |$simhash64Sql),
+       |scand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |pairs AS (
+       |  SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+       |         coalesce(m.doc_b, s.doc_b) AS doc_b,
+       |         CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS mh,
+       |         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sh
+       |  FROM mcand m FULL OUTER JOIN scand s
+       |    ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b),
+       |ver AS (
+       |  SELECT CASE WHEN mh = 1 AND sh = 1 THEN 'both'
+       |              WHEN mh = 1 THEN 'minhash_only'
+       |              ELSE 'simhash_only' END AS detector,
+       |    CASE WHEN 2 * len(list_intersect(x.s, y.s))
+       |              >= len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+       |         THEN 1 ELSE 0 END AS is_true
+       |  FROM pairs p
+       |  JOIN sig x ON x.doc_id = p.doc_a
+       |  JOIN sig y ON y.doc_id = p.doc_b)
+       |SELECT detector, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(is_true) AS BIGINT) AS n_true,
+       |  (1000000 * CAST(sum(is_true) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS precision_ppm
+       |FROM ver GROUP BY detector ORDER BY detector""".stripMargin
 }

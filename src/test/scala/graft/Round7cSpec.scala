@@ -169,6 +169,47 @@ class Round7cSpec extends AnyFunSuite {
     }
   }
 
+  test("q234 sketch referee: classes partition the detected-pair union, " +
+       "the simhash side is exactly q91's detected set, precisions bounded") {
+    val rows = operators.Dedup.q234SketchReferee(spark, dir).collect()
+    val classes = rows.map(_.getAs[String]("detector")).toSet
+    assert(classes.subsetOf(Set("both", "minhash_only", "simhash_only")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("precision_ppm") <= 1000000L)
+    }
+    val byClass = rows.map(r =>
+      r.getAs[String]("detector") -> r.getAs[Long]("n_pairs")).toMap
+    val mhTotal = byClass.getOrElse("both", 0L) +
+      byClass.getOrElse("minhash_only", 0L)
+    assert(mhTotal > 0L, "the LSH candidate side must be non-empty")
+    val shTotal = byClass.getOrElse("both", 0L) +
+      byClass.getOrElse("simhash_only", 0L)
+    val q91 = operators.Dedup.q91Simhash64Pairs(spark, dir).count()
+    assert(shTotal === q91,
+      "the simhash side of the referee must be exactly q91's detected set")
+  }
+
+  test("q235 release chunk novelty: mass conservation against the raw " +
+       "chunk relation, carried ≤ new, exact ppm arithmetic") {
+    val rows = operators.Cdc.q235ReleaseChunkNovelty(spark, dir).collect()
+    val newMass = operators.Cdc.chunks(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("n_w")).as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert((r.getAs[Long]("new_chunks"), r.getAs[Long]("new_words"))
+               === newMass(s))
+      assert(r.getAs[Long]("carried_chunks") <= r.getAs[Long]("new_chunks"))
+      assert(r.getAs[Long]("carried_words") <= r.getAs[Long]("new_words"))
+      assert(r.getAs[Long]("novelty_ppm") ===
+        1000000L * (r.getAs[Long]("new_words") - r.getAs[Long]("carried_words")) /
+          r.getAs[Long]("new_words"))
+    }
+  }
+
   test("batch-4/5 plan pins: q226 broadcasts its dimension matrix, " +
        "q229/q232 plan no cartesian product and no single-partition " +
        "corpus exchange") {
