@@ -253,6 +253,7 @@ object SparkEntry {
     "q233_audio_dup_groups" -> (Multimodal.q233AudioDupGroups _),
     "q234_sketch_referee"   -> (Dedup.q234SketchReferee _),
     "q235_release_chunk_novelty" -> (Cdc.q235ReleaseChunkNovelty _),
+    "q236_chunk_size_audit" -> (Cdc.q236ChunkSizeAudit _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -713,5 +714,6 @@ object SparkEntry {
     "q233_audio_dup_groups"  -> Multimodal.audioDupGroupsOracle,
     "q234_sketch_referee"    -> Dedup.sketchRefereeOracle,
     "q235_release_chunk_novelty" -> Cdc.releaseChunkNoveltyOracle,
+    "q236_chunk_size_audit"  -> Cdc.chunkSizeAuditOracle,
   )
 }

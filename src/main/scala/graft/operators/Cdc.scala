@@ -178,6 +178,42 @@ object Cdc {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------------------------------------
+  // q236 — CDC chunk-SIZE distribution audit: content-defined chunking
+  // only delivers its dedup guarantee if cut points actually behave like
+  // independent p = 1/BoundaryMod trials (geometric length distribution,
+  // mean ≈ BoundaryMod) — correlated hashes or degenerate token streams
+  // skew the distribution toward giant chunks (shift resilience dies) or
+  // dust (index bloat). This is the monitoring readout the FastCDC
+  // literature normalizes chunkers against: per source, the doubling-
+  // bucket length histogram (≤4, ≤8, ≤16, ≤32, >32) with chunk and word
+  // mass per bucket.
+  //
+  // Scale: one pass over the [[chunks]] relation (already narrow), one
+  // partial-aggregated groupBy of a 5-value bucket × |sources| grid.
+  // -------------------------------------------------------------------------
+
+  /** q236 — (source, len_bucket ∈ 0..4, n_chunks, n_words). */
+  def q236ChunkSizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("n_w") <= 4, 0L).when(col("n_w") <= 8, 1L)
+      .when(col("n_w") <= 16, 2L).when(col("n_w") <= 32, 3L).otherwise(4L)
+    chunks(spark, dir)
+      .groupBy(col("source"), bucket.as("len_bucket"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_w")).as("n_words"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  val chunkSizeAuditOracle: String =
+    s"""WITH $chunkCtes
+       |SELECT source,
+       |  CAST(CASE WHEN n_w <= 4 THEN 0 WHEN n_w <= 8 THEN 1
+       |            WHEN n_w <= 16 THEN 2 WHEN n_w <= 32 THEN 3
+       |            ELSE 4 END AS BIGINT) AS len_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(n_w) AS BIGINT) AS n_words
+       |FROM chunks
+       |GROUP BY source, len_bucket ORDER BY source, len_bucket""".stripMargin
+
   val releaseChunkNoveltyOracle: String =
     s"""WITH $chunkCtes,
        |old_fps AS (

@@ -210,6 +210,24 @@ class Round7cSpec extends AnyFunSuite {
     }
   }
 
+  test("q236 chunk-size audit: buckets partition q222's chunk and word " +
+       "mass exactly") {
+    val rows = operators.Cdc.q236ChunkSizeAudit(spark, dir).collect()
+    val totals = operators.Cdc.q222CdcChunks(spark, dir)
+      .select(col("source"), col("n_chunks"), col("n_words"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    totals.foreach { case (s, (nc, nw)) =>
+      assert(bySource(s).map(_.getAs[Long]("n_chunks")).sum === nc)
+      assert(bySource(s).map(_.getAs[Long]("n_words")).sum === nw)
+    }
+    rows.foreach { r =>
+      val b = r.getAs[Long]("len_bucket")
+      assert(b >= 0L && b <= 4L)
+    }
+  }
+
   test("batch-4/5 plan pins: q226 broadcasts its dimension matrix, " +
        "q229/q232 plan no cartesian product and no single-partition " +
        "corpus exchange") {
