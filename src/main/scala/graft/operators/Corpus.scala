@@ -1153,14 +1153,18 @@ object Corpus {
     * a fat new_shingles tail in deciles 8-9 means aggressive quality
     * cutoffs destroy lexical coverage; a thin one means they're free.
     *
-    * Scale: the rank is two-phase ([[PrefixSum.globalRankBy]]); deciles
-    * are integer-exact from a driver-collected count (the q212 pattern —
-    * no 1-row control relation); the |docs|-row decile relation BROADCAST-
-    * joins the documents BEFORE the explode, so the ~20M-shingle relation
-    * streams straight into the min partial aggregate instead of shuffling
-    * through a doc_id join (the first cut did the join after the explode —
-    * 10.4 s at sf0.1; this shape cuts it to the q123 cost); the cumulative
-    * window runs on the 10-row decile rollup only. */
+    * Scale: JOIN-FREE on the corpus side. The rank is two-phase
+    * ([[PrefixSum.globalRankBy]]) over the NARROW (doc_id, s_q) relation
+    * only; from it we collect just the 9 decile-boundary ORDER STATISTICS
+    * (the (s_q, doc_id) tuple at each rank ⌈k·n/10⌉+1 — 9 rows at ANY
+    * corpus size), and each document's decile is recomputed inline on the
+    * scan as "how many boundaries precede me" — 9 literal tuple
+    * comparisons against the same [[TextOps.sQColumn]] score expression.
+    * Nothing per-doc is ever broadcast (the round-7 shape broadcast the
+    * |docs|-row decile relation — an 8 GB-ceiling cliff at 100× corpus);
+    * documents' text never shuffles; the explode streams straight into
+    * the min partial aggregate; the cumulative window runs on the 10-row
+    * decile rollup only. */
   def q214NoveltyByQuality(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.q35QualityScore(spark, dir)
       .select(col("doc_id"),
@@ -1168,16 +1172,42 @@ object Corpus {
       .localCheckpoint() // rank control jobs re-read this, not the scoring
     val stats = scored.agg(count(lit(1))).collect().head
     val nAll = stats.getLong(0)
-    val deciled = PrefixSum.globalRankBy(scored, "s_q", asc = false, "rq")
-      .select(col("doc_id"), expr(s"(10 * (rq - 1)) DIV ${nAll}L").as("decile"))
-    val ex = Tables.documents(spark, dir)
-      .join(broadcast(deciled), Seq("doc_id"))
-      .select(col("decile"),
-        explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("sh"))
+    val ranked = PrefixSum.globalRankBy(scored, "s_q", asc = false, "rq")
+    // decile(rq) = (10·(rq−1)) div n; boundary rank for decile k is
+    // b_k = ⌈k·n/10⌉+1 (the first rank whose decile reaches k)
+    val boundRanks = (1 to 9).map(k => (k * nAll + 9) / 10 + 1).filter(_ <= nAll)
+    val boundRows = ranked.filter(col("rq").isin(boundRanks.map(Long.box): _*))
+      .select(col("rq"), col("s_q"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val t = TextOps.tokens(col("text"))
+    // Materialize the score ONCE per doc in its own projection: the 9
+    // boundary predicates below each reference it, and CaseWhen branch
+    // conditions are outside codegen subexpression elimination — inlining
+    // the score expression 9× tripled the query (27.7 s vs 10 s measured).
+    // CollapseProject won't re-inline a non-trivial alias used 9 times.
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.sQColumn(col("text"), t).as("__sq"),
+        TextOps.shingles3(t).as("__shs"))
+    // rank(rq) ≥ b_k  ⟺  the doc sorts at-or-after the boundary tuple in
+    // (s_q DESC, doc_id ASC) order — rank is a bijection over that order
+    val decileCol = boundRanks.map(boundRows).map { case (bSq, bId) =>
+      when(col("__sq") < bSq ||
+           (col("__sq") === bSq && col("doc_id") >= bId), 1L).otherwise(0L)
+    }.foldLeft(lit(0L))(_ + _)
+    // explode_OUTER: plain explode triggers InferFiltersFromGenerate, which
+    // clones the whole shingle expression into a scan-level `size(..)>0 AND
+    // isnotnull(..)` filter — 3× the heavy HOF per doc (measured 24.6 s vs
+    // 8.2 s at sf0.1). Outer explode admits one null row per empty doc,
+    // dropped by a cheap per-row filter the optimizer can't push through
+    // the Generate.
+    val ex = pre.select(decileCol.as("decile"), explode_outer(col("__shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     val firstDec = ex.groupBy(col("sh")).agg(min(col("decile")).as("decile"))
     val novel = firstDec.groupBy(col("decile"))
       .agg(count(lit(1)).as("new_shingles"))
-    deciled.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    ranked.select(expr(s"(10 * (rq - 1)) DIV ${nAll}L").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
       .join(novel, Seq("decile"), "left")
       .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
       // 10-row dimension window — the q123/q21 bounded pattern

@@ -530,13 +530,22 @@ object Dedup {
   /** Edge-count threshold below which connected components solve on the
     * driver (union-find over a collected pair list — microseconds) instead
     * of the distributed fixpoint. Both paths produce identical labels
-    * (min doc_id per component); the loop below is the ≥threshold path. */
+    * (min doc_id per component); the loop below is the ≥threshold path.
+    * Overridable (`spark.graft.cc.driverEdgeLimit` conf, then the
+    * `SPARK_GRAFT_CC_DRIVER_LIMIT` env) so specs and the scale curve can
+    * force the distributed branch on graphs that would otherwise take the
+    * driver shortcut. */
   private val DriverCCEdgeLimit = 2000000L
+
+  private[graft] def ccDriverEdgeLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.driverEdgeLimit")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_DRIVER_LIMIT"))
+      .map(_.toLong).getOrElse(DriverCCEdgeLimit)
 
   def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    if (pairs.count() <= DriverCCEdgeLimit) driverCC(spark, pairs)
+    if (pairs.count() <= ccDriverEdgeLimit(spark)) driverCC(spark, pairs)
     else distributedCC(pairs)
   }
 

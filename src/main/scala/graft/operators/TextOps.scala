@@ -93,6 +93,27 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
 
+  /** q35's integer score `round(quality · 1e6)` as a raw column over
+    * (text, token-array) — lets q214 recompute the score INLINE on the
+    * documents scan instead of joining the per-doc q35 relation (the
+    * join-free shape that killed the corpus-sized broadcast). Must stay
+    * expression-identical to [[q35QualityScore]]'s `quality` column. */
+  def sQColumn(text: Column, t: Column): Column = {
+    val nTok = size(t)
+    val tokChars = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val meanLen = tokChars.cast("double") / nTok.cast("double")
+    val punct = length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(text).cast("double")
+    val stopCnt = size(filter(t, x => x.isInCollection(stopwords)))
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val quality =
+      round((lit(2.0) * stopRatio - lit(3.0) * punctRatio + lit(0.05) * meanLen)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6).cast("double")
+    // functions.round(c) ≡ SQL round(c) — HALF_UP at scale 0 on DOUBLE,
+    // matching q214's original `CAST(round(quality * 1000000.0) AS BIGINT)`
+    round(quality * lit(1000000.0)).cast("long")
+  }
+
   /** q35 — quality scoring: token stats + punctuation/stopword ratios and a
     * linear quality score (no transcendentals — libm differences would break
     * cross-engine determinism). */

@@ -52,10 +52,13 @@ object TrainPrep {
     val dd = docs.withColumn("k", key)
       .withColumn("keep", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keep")).drop("k", "keep")
-    val contaminated = Corpus.q67Decontaminate(spark, dir)
-      .select(col("train_doc").as("doc_id")).distinct()
+    // Count-gated broadcast (the q196 cap discipline): the contaminated
+    // set scales with corpus–eval OVERLAP, not with the eval suite — a
+    // heavily eval-duplicating crawl could make it O(corpus).
+    val contamProbe = idProbe(Corpus.q67Decontaminate(spark, dir)
+      .select(col("train_doc").as("doc_id")).distinct())
     val dc = dd.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(contamProbe, Seq("doc_id"), "left_anti")
     val quality = dc.filter(col("n_chars") >= 100)
     val sampled = quality.filter(
       substring(md5(col("doc_id").cast("string")), 1, 2) <
@@ -254,6 +257,23 @@ object TrainPrep {
 
   /** Per-lang sample size for q116's fixed-size selection stage. */
   val FunnelV2SampleK = 30
+
+  /** Broadcast ceiling for id-set probes (count-gated): 5M longs is a
+    * ~200 MB HashedRelation — comfortably inside executor memory, two
+    * orders under the 8 GB broadcast hard limit. Above it the same join
+    * runs as a shuffle anti-join. */
+  val MaxBroadcastIds = 5000000L
+
+  /** Count-gated id-set probe: broadcast only while the set provably fits
+    * under `cap`; above it, return the plain relation so the consuming
+    * join shuffles instead of blowing the broadcast/driver ceiling. One
+    * eager localCheckpoint feeds both the count and the join — the
+    * upstream derivation runs once either way. */
+  private[graft] def idProbe(ids: DataFrame,
+                             cap: Long = MaxBroadcastIds): DataFrame = {
+    val ck = ids.localCheckpoint()
+    if (ck.count() <= cap) broadcast(ck) else ck
+  }
 
   /** q116 — curation funnel v2, composing THIS round's additions the way
     * q104 composed the original stages (the "user of the library" story,

@@ -530,13 +530,30 @@ class ScaleSpec extends AnyFunSuite {
       s"q212 rank window not bucket-partitioned:\n$qn")
     // q214: the rank window is bucketed; the only global-order window is
     // the 10-row decile rollup (the q123 bounded-dimension pattern); the
-    // explode joins the decile relation on doc_id — no cartesian
-    val nq = finalPlan(graft.operators.Corpus.q214NoveltyByQuality(spark, dir))
+    // corpus side is JOIN-FREE — deciles come from 9 collected boundary
+    // order-statistics recomputed inline on the documents scan, so NO
+    // BroadcastExchange may sit over anything that reads documents (the
+    // round-7 shape broadcast a |docs|-row relation — an 8 GB cliff)
+    val nqDf = graft.operators.Corpus.q214NoveltyByQuality(spark, dir)
+    val nq = finalPlan(nqDf)
     assert(!nq.contains("CartesianProduct"), s"cartesian in q214:\n$nq")
     val nqWins = nq.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(nqWins.forall(w => w.contains("__b") || w.contains("decile")),
       s"q214 window neither bucketed rank nor decile rollup:\n$nq")
+    // PlanWalk sees through AQE wrappers — a plain executedPlan.collect
+    // stops at AdaptiveSparkPlanExec and would make this pin vacuous.
+    // Granularity proxy: a broadcast side whose OUTPUT still carries
+    // doc_id is per-document (the round-7 |docs|-row cliff); the benign
+    // broadcasts here (the ≤10-row decile rollup) have aggregated doc_id
+    // away even though their subtree reads the documents scan.
+    val nqBadBcast = PlanWalk.allNodes(nqDf).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.output.exists(_.name == "doc_id") => b
+    }
+    assert(nqBadBcast.isEmpty,
+      s"q214 broadcasts a per-doc relation (doc_id-granular broadcast " +
+        s"side):\n${nqBadBcast.map(_.treeString).mkString}")
     // q215: one codegen'd regex map + one partial agg — no window, no join
     val pc = finalPlan(graft.operators.Pii.q215PiiCooccurrence(spark, dir))
     assert(!pc.contains("CartesianProduct"), s"cartesian in q215:\n$pc")

@@ -36,6 +36,12 @@ QUERIES = [
     # mining, source sketch matrix, Gram-matrix PC
     "q219_zipf_decay", "q222_cdc_chunks", "q223_bitext_margin",
     "q226_source_minhash_sim", "q227_top_pc",
+    # round-8 batch: the join-free novelty-by-quality shape, the three
+    # heaviest real-codec decode queries (image corpus is synthesized per
+    # doc_id, so the documents replica scales it for free), and the
+    # distributed-CC branch (driver shortcut disabled via env below)
+    "q214_novelty_quality", "q182_gif_decode", "q210_image_ahash",
+    "q229_image_near_dup", "q42_dedup_clusters",
 ]
 
 SCALES = [
@@ -47,7 +53,10 @@ SCALES = [
 
 def run_bench(sf_dir: str) -> dict:
     env = {"SPARK_GRAFT_SF_DIR": sf_dir,
-           "SPARK_GRAFT_ONLY": ",".join(QUERIES)}
+           "SPARK_GRAFT_ONLY": ",".join(QUERIES),
+           # force q42 onto the distributed pointer-jumping branch at every
+           # scale so the curve measures THAT path, not the driver shortcut
+           "SPARK_GRAFT_CC_DRIVER_LIMIT": "0"}
     import os
     full_env = dict(os.environ, **env)
     out = subprocess.run(
@@ -62,7 +71,7 @@ def run_bench(sf_dir: str) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r07.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r08.json"
     runs = []
     for sf_dir, factor in SCALES:
         r = run_bench(sf_dir)
