@@ -23,7 +23,26 @@ object Tables {
     * predicates at whole-micro boundaries, and `event_id` tiebreaks
     * wherever `ts` orders rows.
     */
+  /** Table-handle memo, keyed by (appId, dir, name): `spark.read.parquet`
+    * re-reads a footer to infer the schema on EVERY call, a ~30-60 ms
+    * constant that lands on each of 200+ queries (the sub-second ones
+    * most of all). A long-running job holds its table handles; so do we.
+    * The cached object is an immutable lazy plan — reuse can't leak state
+    * across queries — and the appId prefix keeps a stopped session's
+    * relations from ever being served to a new one (the Leaves rule). */
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, sfDir, name)
+    handles.getOrElseUpdate(key, {
+      handles.filterInPlace { case ((app, _, _), _) =>
+        app == spark.sparkContext.applicationId }
+      loadUncached(spark, sfDir, name)
+    })
+  }
+
+  private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")

@@ -179,6 +179,40 @@ object BoundedScan {
     (matches.toSeq, next)
   }
 
+  /** Unbounded strategy (BoundedScan.hs:232-245 `runUnbounded`, selected by
+    * the reference's `Chainweb-Execution-Strategy: Unbounded` request header,
+    * Server.hs:253-261): no scan budget — the keyset-resumed (or plain
+    * OFFSET) relation is match-filtered, ordered, and truncated to
+    * `resultLimit` in ONE query. A continuation (cursor of the page's last
+    * row, offset consumed) is returned iff the page came back full, exactly
+    * the reference's `length rows < resultLimit` test — so paging to
+    * completion under either strategy enumerates the same rows (ApiSpec
+    * proves the pages line up).
+    *
+    * Spark shape: filter → TakeOrderedAndProject with offset+limit folded
+    * into the single ordered take — still no full-table single-partition
+    * window; "unbounded" refers to the scan BUDGET (no 50k cap, a deep
+    * low-selectivity page may read the whole residue), not the plan shape. */
+  def performUnbounded(src: DataFrame, spec: CursorSpec, matchCol: Column,
+                       resultLimit: Int, cont: Option[Continuation] = None)
+      : (Seq[Row], Option[Continuation]) = {
+    val after = cont.flatMap(_.cursor).map(litCursor(src, spec, _))
+    val offset = cont.map(_.remainingOffset).getOrElse(0L)
+    val resumed = after match {
+      case Some(cur) => src.filter(resumePredicate(spec, cur))
+      case None      => src
+    }
+    val page = resumed.filter(matchCol)
+      .orderBy(spec.orderCols: _*)
+      .offset(offset.toInt)
+      .limit(resultLimit)
+      .collect()
+    val next =
+      if (page.length < resultLimit) None
+      else Some(Continuation(Some(stringify(spec, page.last)), 0))
+    (page.toSeq, next)
+  }
+
   private def stringify(spec: CursorSpec, r: Row): Seq[String] =
     spec.names.map(n => String.valueOf(r.getAs[Any](n)))
 

@@ -64,8 +64,10 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   // Concurrent executor so overlapping requests actually overlap (the JDK
   // default is a single-threaded dispatch, which would hide throttling).
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
-  server.createContext("/txs/search", (ex: HttpExchange) => handle(ex)(searchTxs))
-  server.createContext("/txs/events", (ex: HttpExchange) => handle(ex)(searchEvents))
+  server.createContext("/txs/search", (ex: HttpExchange) =>
+    handle(ex)(p => searchTxs(p, boundedOf(ex))))
+  server.createContext("/txs/events", (ex: HttpExchange) =>
+    handle(ex)(p => searchEvents(p, boundedOf(ex))))
   server.createContext("/txs/recent", (ex: HttpExchange) => handle(ex)(recent))
   server.createContext("/stats", (ex: HttpExchange) => handle(ex)(stats))
   server.createContext("/coins", (ex: HttpExchange) => handle(ex)(coins))
@@ -94,6 +96,10 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
           k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
         }.toMap
       if (debugHoldMs > 0) Thread.sleep(debugHoldMs) // test-only overlap window
+      if (params.contains("next") && params.contains("offset"))
+        // mkContinuation parity (Server.hs:271-279): a continuation token
+        // already encodes any unconsumed offset; both at once is a client bug
+        throw Api.ApiError(400, "next token query parameter not allowed with offset")
       val (body, headers) = f(params)
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
@@ -103,13 +109,34 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
       ex.close()
     } catch {
       case e: Throwable =>
+        val status = e match {
+          case Api.ApiError(s, _) => s
+          case _                  => 500
+        }
         val msg = s"""{"error":${Api.jstr(String.valueOf(e.getMessage))}}"""
           .getBytes(StandardCharsets.UTF_8)
-        ex.sendResponseHeaders(500, msg.length)
+        ex.sendResponseHeaders(status, msg.length)
         ex.getResponseBody.write(msg)
         ex.close()
     } finally inFlight.decrementAndGet()
   }
+
+  /** `Chainweb-Execution-Strategy` request-header switch (Server.hs:253-265,
+    * applied at the three search handlers Server.hs:313/512/592): `Bounded`
+    * runs the scan-budgeted two-phase engine, `Unbounded` the naive
+    * keyset+OFFSET/LIMIT path ([[BoundedScan.performUnbounded]]), anything
+    * else is a 400 — the reference's exact value contract. One deliberate
+    * deviation: the reference defaults to Unbounded and relies on its
+    * application gateway to inject `Bounded` for tuning (Server.hs:249-252);
+    * this server fronts clients directly, so the safe budgeted engine is
+    * the default and `Unbounded` is the opt-in. */
+  private def boundedOf(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Chainweb-Execution-Strategy")) match {
+      case None | Some("Bounded") => true
+      case Some("Unbounded")      => false
+      case Some(other) =>
+        throw Api.ApiError(400, s"Unknown Chainweb-Execution-Strategy: $other")
+    }
 
   /** Scaled per-request budgets: (scanLimit, maxResultLimit). */
   private def budgets(): (Int, Int) = {
@@ -124,17 +151,24 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   /** `/txs/search` — the reference's flagship search (Server.hs:295-332):
     * LIKE over `coalesce(tx.code, contHistory.code)`, bounded-scan paging,
     * `Graft-Next` continuation. */
-  private def searchTxs(p: Map[String, String]): (String, Map[String, String]) = {
+  private def searchTxs(p: Map[String, String], bounded: Boolean)
+      : (String, Map[String, String]) = {
     val search = p.getOrElse("search",
       throw new IllegalArgumentException("You must specify a search string"))
     val (scanLimit, maxLimit) = budgets()
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
     val src = TxSearch.heightRange(txSearchSrc,
       p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
-    val (rows, next) = BoundedScan.performBoundedScan(
-      src, txSpec, TxSearch.matchCol(search), scanLimit, limit, continuation(p))
+    val (rows, next) =
+      if (bounded)
+        BoundedScan.performBoundedScan(
+          src, txSpec, TxSearch.matchCol(search), scanLimit, limit, continuation(p))
+      else
+        BoundedScan.performUnbounded(
+          src, txSpec, TxSearch.matchCol(search), limit, continuation(p))
     val body = rows.map(Dto.txSummary).mkString("[", ",", "]")
-    (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
+    (body, (if (bounded) Map("Graft-Scan-Limit" -> scanLimit.toString)
+            else Map.empty[String, String]) ++
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
 
@@ -147,17 +181,21 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   private val evSpec = CursorSpec(
     Seq("height" -> true, "requestkey" -> true, "idx" -> false))
 
-  private def searchEvents(p: Map[String, String]): (String, Map[String, String]) = {
+  private def searchEvents(p: Map[String, String], bounded: Boolean)
+      : (String, Map[String, String]) = {
     val (scanLimit, maxLimit) = budgets()
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    def scan(src: DataFrame, spec: CursorSpec, pred: org.apache.spark.sql.Column) =
+      if (bounded) BoundedScan.performBoundedScan(src, spec, pred,
+        scanLimit, limit, continuation(p))
+      else BoundedScan.performUnbounded(src, spec, pred, limit, continuation(p))
     val (body, next) = tablesDir match {
       case Some(dir) =>
         val src = graft.operators.EventSearch.source(spark, dir,
           p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
         val pred = graft.operators.EventSearch.predicate(
           p.get("search"), p.get("qualname"), p.get("param"), p.get("modulename"))
-        val (rows, nxt) = BoundedScan.performBoundedScan(src, evSpec, pred,
-          scanLimit, limit, continuation(p))
+        val (rows, nxt) = scan(src, evSpec, pred)
         // block-time extras for the RESULT PAGE only, like the reference's
         // eventSearchExtras follow-up query (Server.hs:592-603)
         val hashes = rows.map(_.getAs[String]("block")).distinct
@@ -172,12 +210,12 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
            .mkString("[", ",", "]"),
          nxt)
       case None =>
-        val (rows, nxt) = BoundedScan.performBoundedScan(events, spec,
-          col("event_type").contains(p.getOrElse("search", "")),
-          scanLimit, limit, continuation(p))
+        val (rows, nxt) = scan(events, spec,
+          col("event_type").contains(p.getOrElse("search", "")))
         (rows.map(rowJson).mkString("[", ",", "]"), nxt)
     }
-    (body, Map("Graft-Scan-Limit" -> scanLimit.toString) ++
+    (body, (if (bounded) Map("Graft-Scan-Limit" -> scanLimit.toString)
+            else Map.empty[String, String]) ++
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
 
@@ -313,6 +351,10 @@ object Api {
   val BaseScanLimit = 50000 // Server.hs:317
   val BaseMaxLimit = 250    // Server.hs:318
   val DefaultLimit = 10     // Server.hs:319
+
+  /** Client errors carry their HTTP status (the reference's `throw400`). */
+  final case class ApiError(status: Int, msg: String)
+      extends RuntimeException(msg)
 
   /** Server.hs:128-132 `throttlingFactor`: capacity of 3 concurrent
     * requests before budgets degrade proportionally. */

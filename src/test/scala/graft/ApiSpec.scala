@@ -28,6 +28,11 @@ class ApiSpec extends AnyFunSuite {
     client.send(HttpRequest.newBuilder(URI.create(url)).build(),
                 HttpResponse.BodyHandlers.ofString())
 
+  private def getH(url: String, header: (String, String)): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+                  .header(header._1, header._2).build(),
+                HttpResponse.BodyHandlers.ofString())
+
   test("bounded event search pages to completion via Graft-Next") {
     val api = new Api(spark, sf, 0)
     api.start()
@@ -62,6 +67,59 @@ class ApiSpec extends AnyFunSuite {
 
       val stats = get(s"$base/stats")
       assert(stats.body().contains("\"transactionCount\":1000"))
+    } finally api.stop()
+  }
+
+  test("Chainweb-Execution-Strategy header selects the unbounded engine; " +
+       "both strategies enumerate identical pages") {
+    val api = new Api(spark, sf, 0)
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // page the same query under each strategy and compare page-by-page
+      def pagesOf(strategy: String): Seq[Seq[Long]] = {
+        val out = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+        var url = s"$base/txs/events?search=click&limit=37"
+        var done = false
+        while (!done) {
+          val resp = getH(url, "Chainweb-Execution-Strategy" -> strategy)
+          assert(resp.statusCode() === 200)
+          // the bounded engine reports its scan budget; unbounded has none
+          assert(resp.headers().firstValue("Graft-Scan-Limit").isPresent
+                   === (strategy == "Bounded"))
+          out += """"event_id":(\d+)""".r.findAllMatchIn(resp.body())
+            .map(_.group(1).toLong).toSeq
+          val next = resp.headers().firstValue("Graft-Next")
+          if (next.isPresent) {
+            url = s"$base/txs/events?search=click&limit=37&next=${next.get}"
+            assert(out.length < 50, "runaway pagination")
+          } else done = true
+        }
+        out.toSeq
+      }
+      val bounded = pagesOf("Bounded")
+      val unbounded = pagesOf("Unbounded")
+      // every unbounded page is full-size by construction; the bounded
+      // engine may emit short scan-budget pages — the CONTENT must agree
+      assert(unbounded.flatten === bounded.flatten)
+      assert(unbounded.init.forall(_.length == 37))
+      assert(unbounded.length >= 2) // the toggle actually paged
+
+      // offset-param compatibility on the unbounded path (runUnbounded's
+      // OFFSET arm) — page 2 via offset equals page 2 via continuation
+      val viaOffset = getH(s"$base/txs/events?search=click&limit=37&offset=37",
+                           "Chainweb-Execution-Strategy" -> "Unbounded")
+      assert(""""event_id":(\d+)""".r.findAllMatchIn(viaOffset.body())
+               .map(_.group(1).toLong).toSeq === unbounded(1))
+
+      // the reference 400s on unknown strategy values (Server.hs:258-260)
+      val bad = getH(s"$base/txs/events?search=click",
+                     "Chainweb-Execution-Strategy" -> "Sideways")
+      assert(bad.statusCode() === 400)
+      assert(bad.body().contains("Unknown Chainweb-Execution-Strategy"))
+      // and on next+offset together (Server.hs:276 mkContinuation)
+      val clash = get(s"$base/txs/events?search=click&offset=1&next=MDs")
+      assert(clash.statusCode() === 400)
     } finally api.stop()
   }
 
