@@ -254,6 +254,8 @@ object SparkEntry {
     "q234_sketch_referee"   -> (Dedup.q234SketchReferee _),
     "q235_release_chunk_novelty" -> (Cdc.q235ReleaseChunkNovelty _),
     "q236_chunk_size_audit" -> (Cdc.q236ChunkSizeAudit _),
+    "q237_image_phash"      -> (Multimodal.q237ImagePhash _),
+    "q238_mrr_eval"         -> (Retrieval.q238MrrEval _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -715,5 +717,7 @@ object SparkEntry {
     "q234_sketch_referee"    -> Dedup.sketchRefereeOracle,
     "q235_release_chunk_novelty" -> Cdc.releaseChunkNoveltyOracle,
     "q236_chunk_size_audit"  -> Cdc.chunkSizeAuditOracle,
+    "q237_image_phash"       -> Multimodal.imagePhashOracle,
+    "q238_mrr_eval"          -> Retrieval.mrrEvalOracle,
   )
 }

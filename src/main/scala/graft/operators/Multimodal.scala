@@ -426,6 +426,141 @@ object Multimodal {
       |WHERE l.gx <= 7
       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 
+  /** Fixed-point 32-point DCT-II basis, K(u,x) = round(10⁴·cos(π(2x+1)u/64))
+    * for the 8 lowest frequencies — computed ONCE here and embedded
+    * verbatim into BOTH the engine kernel and the oracle SQL (a generated
+    * 256-row VALUES table), so the two sides walk identical INTEGER
+    * arithmetic and no cross-engine cosine/rounding drift can exist. */
+  private[graft] val dctK: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * 10000.0))
+
+  private def dctKValues: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u,$x,${dctK(u)(x)})").mkString(", ")
+
+  /** q237 — perceptual DCT-HASH (pHash) over the real codec path: decode
+    * → 32×32 nearest-neighbor thumbnail → 2-D DCT-II (separable, the
+    * fixed-point [[dctK]] basis) → keep the 8×8 lowest-frequency block →
+    * one bit per AC coefficient, set iff it exceeds the MEDIAN of the 63
+    * AC values (the DC slot emits '0'). pHash completes the standard
+    * perceptual trio: q210's aHash reads absolute brightness, q224's
+    * dHash local gradients, pHash the global low-frequency STRUCTURE —
+    * it alone survives blur/re-scale/brightness-curve edits, which is why
+    * production image dedup buckets on it. All arithmetic is integer
+    * (pixels ≤ 255, basis ≤ 10⁴, |F| ≤ 2.7e13 « 2⁶³; the median of 63
+    * BIGINTs is the rank-32 order statistic), so the oracle replays the
+    * identical DCT from the q140 pixel formulas and certifies decode +
+    * resample + transform + binarize end to end.
+    *
+    * Scale: identical to q210 — partition-local decode + O(8·32·32)
+    * integer kernel per image, no shuffle until the final order;
+    * downstream dedup buckets on the hash (q27/q30/q229 shapes). */
+  def q237ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .select("doc_id", "fmt", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalStateException(s"undecodable $fmt payload, doc $id")
+        require(img.getWidth == w && img.getHeight == h,
+          s"decoded geometry ${img.getWidth}x${img.getHeight} != metadata ${w}x$h")
+        val raster = img.getRaster
+        val p = Array.ofDim[Long](32, 32) // p(y)(x)
+        var gy = 0
+        while (gy < 32) {
+          var gx = 0
+          while (gx < 32) {
+            p(gy)(gx) = raster.getSample(gx * w / 32, gy * h / 32, 0).toLong
+            gx += 1
+          }
+          gy += 1
+        }
+        // separable DCT: T(u,y) = Σ_x p(x,y)·K(u,x); F(u,v) = Σ_y T(u,y)·K(v,y)
+        val t = Array.ofDim[Long](8, 32)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < 32) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += p(y)(x) * dctK(u)(x); x += 1 }
+            t(u)(y) = s
+            y += 1
+          }
+          u += 1
+        }
+        val f = Array.ofDim[Long](8, 8)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var y = 0
+            while (y < 32) { s += t(u)(y) * dctK(v)(y); y += 1 }
+            f(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = (for (uu <- 0 until 8; vv <- 0 until 8 if uu != 0 || vv != 0)
+          yield f(uu)(vv)).sorted
+        val med = ac(31) // rank-32 order statistic of the 63 AC values
+        val sb = new StringBuilder(64)
+        var ones = 0L
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if ((u != 0 || v != 0) && f(u)(v) > med) { sb.append('1'); ones += 1 }
+            else sb.append('0')
+            v += 1
+          }
+          u += 1
+        }
+        (id, fmt, sb.toString, ones)
+      })
+      .toDF("doc_id", "fmt", "phash", "n_ones")
+      .orderBy(col("doc_id"))
+  }
+
+  val imagePhashOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    16 + (doc_id*37 + 11) % 48 AS w,
+       |    16 + (doc_id*53 + 7) % 48 AS h
+       |  FROM documents),
+       |k(u, x, kv) AS (VALUES ${dctKValues}),
+       |cells AS (
+       |  SELECT doc_id, gx, gy,
+       |    (doc_id*31 + ((gx*w)//32)*7 + ((gy*h)//32)*13) % 256 AS px
+       |  FROM m, generate_series(0, 31) g1(gx), generate_series(0, 31) g2(gy)),
+       |t AS (
+       |  SELECT doc_id, k.u AS u, gy, sum(px * kv) AS tv
+       |  FROM cells JOIN k ON k.x = gx
+       |  GROUP BY doc_id, k.u, gy),
+       |f AS (
+       |  SELECT doc_id, t.u AS u, k.u AS v, CAST(sum(tv * kv) AS BIGINT) AS fv
+       |  FROM t JOIN k ON k.x = gy
+       |  GROUP BY doc_id, t.u, k.u),
+       |med AS (
+       |  SELECT doc_id, fv AS med FROM (
+       |    SELECT doc_id, fv,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
+       |    FROM f WHERE NOT (u = 0 AND v = 0))
+       |  WHERE rn = 32)
+       |SELECT f.doc_id,
+       |  CASE WHEN f.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       |  string_agg(CASE WHEN NOT (u = 0 AND v = 0) AND fv > med
+       |                  THEN '1' ELSE '0' END, '' ORDER BY u, v) AS phash,
+       |  CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND fv > med
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+       |FROM f JOIN med USING (doc_id)
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // q229 — IMAGE near-dup pairs via perceptual-hash LSH banding: the
   // image-side q29. Byte-level dedup (file md5) is blind to the SAME

@@ -67,8 +67,19 @@ object Retrieval {
     * containing ≥ 1 query term — the BM25 score and the presence-weighted
     * IDF-overlap score side by side. q150 ranks the former; q175 fuses
     * both (two genuinely different ranking families over one TF build). */
-  private def scoredAll(spark: SparkSession, dir: String): DataFrame = {
+  private def scoredAll(spark: SparkSession, dir: String): DataFrame =
+    scoredFor(spark, dir,
+      querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+
+  /** The BM25-ppm scoring chain for an arbitrary (query_id, term) set —
+    * shared by the literal [[querySet]] probes (q150/q175) and the q238
+    * self-retrieval eval, whose term set is data-derived (bounded by the
+    * eval-query cap, so the IN literal and the terms broadcast stay
+    * control-plane sized at any corpus scale). */
+  private def scoredFor(spark: SparkSession, dir: String,
+                        termPairs: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
+    val vocab = termPairs.map(_._2).distinct
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
@@ -77,13 +88,12 @@ object Retrieval {
     val row = docs.agg(count(lit(1)), sum(col("dl"))).first()
     val n = row.getLong(0)
     val avgdlPpm = row.getLong(1) * 1000000L / n // trunc-div == SQL DIV (>0)
-    val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query_id", "term")
+    val terms = termPairs.toDF("query_id", "term")
     // Literal IN filter BEFORE the aggregate: only query-term occurrences
     // survive the explode — the corpus-wide TF relation never exists.
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(queryVocab: _*))
+      .filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -158,6 +168,131 @@ object Retrieval {
         col("rrf_score"), col("r_bm25"), col("r_overlap"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // -------------------------------------------------------------------------
+  // q238 — retrieval-index QUALITY EVAL via known-item self-retrieval:
+  // generate a pseudo-query from every stride-sampled document (its first
+  // QueryTerms distinct tokens — the "title query" convention of
+  // synthetic-eval pipelines), run it against the full BM25 index, and
+  // read off the GOLD document's rank. Per-query reciprocal rank (the MRR
+  // numerator), hit@5, and candidate-set size quantify how well the index
+  // surfaces a known document — the standing regression metric teams run
+  // after every index/scorer change (and the eval harness behind
+  // pseudo-query pretraining data selection).
+  // -------------------------------------------------------------------------
+
+  /** Eval-query sampling stride, cap, and query length. The cap bounds
+    * every control-plane structure below (term IN literal, terms
+    * broadcast, gold-score broadcast) at ANY corpus size. */
+  val EvalStride = 97L
+  val EvalResidue = 3L
+  val MaxEvalQueries = 100
+  val QueryTerms = 4
+
+  /** q238 — per-eval-query gold rank + reciprocal rank, integer-exact
+    * (rr_ppm = 10⁶ DIV rank; no float MRR division anywhere).
+    *
+    * Scale shape: eval queries are a bounded driver sample (stride filter
+    * → ordered LIMIT [[MaxEvalQueries]] → collect ≤ 100 rows — the q196
+    * count-derived-cap discipline); scoring reuses the q150 chain whose
+    * corpus side is cut to query-vocabulary rows AT THE SCAN. The gold
+    * rank is computed as 1 + count(strictly-better candidates) against a
+    * broadcast of the ≤ 100 gold scores — no corpus-sized window, no
+    * per-query sort; ties break toward the smaller doc_id, matching the
+    * q150 ordering. */
+  def q238MrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val gold = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalStride === EvalResidue)
+      .select(col("doc_id").as("query_id"),
+        slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
+      .orderBy(col("query_id"))
+      .limit(MaxEvalQueries)
+    val termPairs = gold.collect().toSeq.flatMap { r =>
+      r.getSeq[String](1).map(t => (r.getLong(0), t))
+    }
+    val scored = scoredFor(spark, dir, termPairs)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"))
+    val goldScores = scored.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("score_ppm").as("g_ppm"))
+    scored.join(broadcast(goldScores), "query_id")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        (sum(when(col("score_ppm") > col("g_ppm") ||
+                  (col("score_ppm") === col("g_ppm") &&
+                   col("doc_id") < col("query_id")), 1L)
+          .otherwise(0L)) + 1L).as("gold_rank"))
+      .withColumn("rr_ppm", expr("1000000 DIV gold_rank"))
+      .withColumn("hit5", (col("gold_rank") <= 5L).cast("long"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Oracle: the identical chain in DuckDB — pseudo-queries derived in
+    * SQL (first-occurrence order via a zipped unnest-with-position, the
+    * Spark `array_distinct` order), BM25 ppm chain verbatim, gold rank by
+    * count-better. */
+  val mrrEvalOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |gold AS (
+       |  SELECT doc_id AS query_id, t FROM d
+       |  WHERE doc_id % $EvalStride = $EvalResidue
+       |  ORDER BY doc_id LIMIT $MaxEvalQueries),
+       |occ AS (
+       |  SELECT query_id, unnest(t) AS term,
+       |         unnest(range(1, len(t) + 1)) AS o
+       |  FROM gold),
+       |q AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term, min(o) AS fo
+       |    FROM occ GROUP BY query_id, term)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fo)
+       |    <= $QueryTerms),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |           AS avgdl_ppm
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |parts AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(CAST(tf.tf AS HUGEINT) * 2200000 * 1000000 //
+       |      (tf.tf * 1000000 + 300000 +
+       |       900000 * (CAST(tf.dl AS HUGEINT) * 1000000000000 // s.avgdl_ppm)
+       |         // 1000000)
+       |      AS BIGINT) AS tfn_ppm,
+       |    CAST((2 * s.n - 2 * df.df + 1) * CAST(1000000 AS HUGEINT)
+       |         // (2 * df.df + 1) AS BIGINT) AS idf_ppm
+       |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000) AS BIGINT)
+       |      AS score_ppm
+       |  FROM parts GROUP BY query_id, doc_id),
+       |g AS (
+       |  SELECT query_id, score_ppm AS g_ppm FROM scored
+       |  WHERE doc_id = query_id)
+       |SELECT s.query_id,
+       |  CAST(count(*) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN s.score_ppm > g.g_ppm
+       |                  OR (s.score_ppm = g.g_ppm AND s.doc_id < s.query_id)
+       |                THEN 1 ELSE 0 END) + 1 AS BIGINT) AS gold_rank,
+       |  CAST(1000000 // (sum(CASE WHEN s.score_ppm > g.g_ppm
+       |                  OR (s.score_ppm = g.g_ppm AND s.doc_id < s.query_id)
+       |                THEN 1 ELSE 0 END) + 1) AS BIGINT) AS rr_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN s.score_ppm > g.g_ppm
+       |                  OR (s.score_ppm = g.g_ppm AND s.doc_id < s.query_id)
+       |                THEN 1 ELSE 0 END) + 1 <= 5
+       |       THEN 1 ELSE 0 END AS BIGINT) AS hit5
+       |FROM scored s JOIN g USING (query_id)
+       |GROUP BY s.query_id
+       |ORDER BY s.query_id""".stripMargin
 
   /** The shared oracle CTE chain through `scored` (now carrying both the
     * BM25 and the IDF-overlap score). */

@@ -581,6 +581,28 @@ class ScaleSpec extends AnyFunSuite {
       s"q216 running-sum window not bucket-partitioned:\n$sp")
   }
 
+  test("round-8 operators: q237 shuffle-free DCT hash, q238 windowless " +
+       "gold-rank aggregate over broadcast-bounded eval relations") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // q237: the q210 contract — partition-local decode + DCT kernel,
+    // nothing shuffles before the final presentation sort
+    val ph = finalPlan(graft.operators.Multimodal.q237ImagePhash(spark, dir))
+    assert(!ph.contains("CartesianProduct"), s"cartesian in q237:\n$ph")
+    assert(!ph.contains("windowspecdefinition"), s"unexpected window in q237:\n$ph")
+    // q238: the gold rank is 1 + count(better) — an aggregate, never a
+    // per-query window over corpus-sized candidate lists; the eval-side
+    // relations (terms, df, gold scores) are cap-bounded broadcasts
+    val mr = graft.operators.Retrieval.q238MrrEval(spark, dir)
+    val mrs = finalPlan(mr)
+    assert(!mrs.contains("CartesianProduct"), s"cartesian in q238:\n$mrs")
+    assert(!mrs.contains("windowspecdefinition"), s"unexpected window in q238:\n$mrs")
+    assert(PlanWalk.allNodes(mr).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      s"q238 eval relations should broadcast:\n$mrs")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
