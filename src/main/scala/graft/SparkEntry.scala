@@ -256,6 +256,7 @@ object SparkEntry {
     "q236_chunk_size_audit" -> (Cdc.q236ChunkSizeAudit _),
     "q237_image_phash"      -> (Multimodal.q237ImagePhash _),
     "q238_mrr_eval"         -> (Retrieval.q238MrrEval _),
+    "q239_hybrid_retrieval" -> (Retrieval.q239HybridRetrieval _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -719,5 +720,6 @@ object SparkEntry {
     "q236_chunk_size_audit"  -> Cdc.chunkSizeAuditOracle,
     "q237_image_phash"       -> Multimodal.imagePhashOracle,
     "q238_mrr_eval"          -> Retrieval.mrrEvalOracle,
+    "q239_hybrid_retrieval"  -> Retrieval.hybridRetrievalOracle,
   )
 }

@@ -294,6 +294,162 @@ object Retrieval {
        |GROUP BY s.query_id
        |ORDER BY s.query_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // q239 — HYBRID dense+sparse retrieval: the production RAG pattern
+  // (Elasticsearch/Vespa/Weaviate "hybrid search"): for each probe, run
+  // BM25 over the text (the q238 pseudo-query) AND brute cosine over the
+  // embedding (vec_id ≡ doc_id, the fixture's 1:1 document embedding),
+  // then RRF-fuse the two rankings — lexical recall where the embedding
+  // is weak (rare exact terms), semantic recall where BM25 is (paraphrase)
+  // — excluding the probe document itself from both candidate lists.
+  //
+  // Scale shape: both legs are bounded by the eval cap — the query side
+  // of the dense leg is a ≤ MaxEvalQueries broadcast against the vector
+  // corpus (q32's no-corpus-shuffle shape), the sparse leg cuts the
+  // corpus to query-vocab rows at the scan (q150's shape); each leg
+  // keeps only its top-RrfDepth per query before the fusion join, so the
+  // fused relation is ≤ queries × 2·depth rows at any corpus size.
+  // -------------------------------------------------------------------------
+
+  /** q239 — fused top-[[TopK]] per probe with both source ranks. */
+  def q239HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val gold = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalStride === EvalResidue)
+      .select(col("doc_id").as("query_id"),
+        slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
+      .orderBy(col("query_id"))
+      .limit(MaxEvalQueries)
+    val goldRows = gold.collect().toSeq
+    val qids = goldRows.map(_.getLong(0))
+    val termPairs = goldRows.flatMap { r =>
+      r.getSeq[String](1).map(t => (r.getLong(0), t))
+    }
+    // sparse leg: BM25 rank, probe doc excluded, depth-cut
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val sparse = scoredFor(spark, dir, termPairs)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("r_sparse", row_number().over(ws).cast("long"))
+      .filter(col("r_sparse") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("r_sparse"))
+    // dense leg: brute cosine (q32's broadcast-query shape), same contract
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", call_function("graft_dot", col("v"), col("v")))
+    val qv = vecs.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    val dense = vecs.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(call_function("graft_dot", col("qv"), col("v")) /
+          sqrt(col("qn") * col("nrm")), 4).as("cos_sim"))
+      .withColumn("r_dense", row_number().over(wd).cast("long"))
+      .filter(col("r_dense") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("r_dense"))
+    // RRF fusion over the union of the two depth-cut lists
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000 DIV ($RrfK + r_sparse)"), lit(0L)) +
+        coalesce(expr(s"1000000000 DIV ($RrfK + r_dense)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hybridRetrievalOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)),
+       |gold AS (
+       |  SELECT doc_id AS query_id, t FROM d
+       |  WHERE doc_id % $EvalStride = $EvalResidue
+       |  ORDER BY doc_id LIMIT $MaxEvalQueries),
+       |occ AS (
+       |  SELECT query_id, unnest(t) AS term,
+       |         unnest(range(1, len(t) + 1)) AS o
+       |  FROM gold),
+       |q AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term, min(o) AS fo
+       |    FROM occ GROUP BY query_id, term)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fo)
+       |    <= $QueryTerms),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |           AS avgdl_ppm
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |parts AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(CAST(tf.tf AS HUGEINT) * 2200000 * 1000000 //
+       |      (tf.tf * 1000000 + 300000 +
+       |       900000 * (CAST(tf.dl AS HUGEINT) * 1000000000000 // s.avgdl_ppm)
+       |         // 1000000)
+       |      AS BIGINT) AS tfn_ppm,
+       |    CAST((2 * s.n - 2 * df.df + 1) * CAST(1000000 AS HUGEINT)
+       |         // (2 * df.df + 1) AS BIGINT) AS idf_ppm
+       |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats s),
+       |sparse AS (
+       |  SELECT query_id, doc_id, r_sparse FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS r_sparse
+       |    FROM (
+       |      SELECT query_id, doc_id,
+       |        CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000)
+       |          AS BIGINT) AS score_ppm
+       |      FROM parts WHERE doc_id != query_id
+       |      GROUP BY query_id, doc_id))
+       |  WHERE r_sparse <= $RrfDepth),
+       |e AS (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |dense AS (
+       |  SELECT query_id, doc_id, r_dense FROM (
+       |    SELECT qe.vec_id AS query_id, n.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY qe.vec_id
+       |        ORDER BY round(list_dot_product(qe.v, n.v)
+       |                       / sqrt(qe.nrm * n.nrm), 4) DESC, n.vec_id)
+       |        AS BIGINT) AS r_dense
+       |    FROM e qe JOIN e n ON n.vec_id != qe.vec_id
+       |    WHERE qe.vec_id IN (SELECT query_id FROM gold))
+       |  WHERE r_dense <= $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(s.query_id, de.query_id) AS query_id,
+       |         coalesce(s.doc_id, de.doc_id) AS doc_id,
+       |         coalesce(1000000000 // ($RrfK + s.r_sparse), 0) +
+       |         coalesce(1000000000 // ($RrfK + de.r_dense), 0) AS rrf_score,
+       |         coalesce(s.r_sparse, 0) AS r_sparse,
+       |         coalesce(de.r_dense, 0) AS r_dense
+       |  FROM sparse s FULL OUTER JOIN dense de
+       |    ON de.query_id = s.query_id AND de.doc_id = s.doc_id)
+       |SELECT query_id, rank, doc_id,
+       |  CAST(rrf_score AS BIGINT) AS rrf_score,
+       |  CAST(r_sparse AS BIGINT) AS r_sparse,
+       |  CAST(r_dense AS BIGINT) AS r_dense
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The shared oracle CTE chain through `scored` (now carrying both the
     * BM25 and the IDF-overlap score). */
   private def bm25ChainSql: String = {

@@ -601,6 +601,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(PlanWalk.allNodes(mr).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
       s"q238 eval relations should broadcast:\n$mrs")
+    // q239: the dense leg's only corpus-width join is vs the broadcast
+    // ≤100-row query-vector relation (q32's shape — the "cross join" is
+    // corpus × bounded probes, a BroadcastNestedLoopJoin, never a
+    // shuffled cartesian of corpus × corpus); every window partitions by
+    // query_id; fusion joins two depth-cut relations
+    val hy = graft.operators.Retrieval.q239HybridRetrieval(spark, dir)
+    val hys = finalPlan(hy)
+    assert(!hys.contains("CartesianProduct"), s"shuffled cartesian in q239:\n$hys")
+    val hyWins = hys.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(hyWins.nonEmpty && hyWins.forall(_.contains("query_id")),
+      s"q239 window not query-partitioned:\n$hys")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
