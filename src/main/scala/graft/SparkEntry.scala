@@ -257,6 +257,7 @@ object SparkEntry {
     "q237_image_phash"      -> (Multimodal.q237ImagePhash _),
     "q238_mrr_eval"         -> (Retrieval.q238MrrEval _),
     "q239_hybrid_retrieval" -> (Retrieval.q239HybridRetrieval _),
+    "q240_cluster_purity"   -> (Dedup.q240ClusterPurity _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -721,5 +722,6 @@ object SparkEntry {
     "q237_image_phash"       -> Multimodal.imagePhashOracle,
     "q238_mrr_eval"          -> Retrieval.mrrEvalOracle,
     "q239_hybrid_retrieval"  -> Retrieval.hybridRetrievalOracle,
+    "q240_cluster_purity"    -> Dedup.clusterPurityOracle,
   )
 }

@@ -679,6 +679,60 @@ object Dedup {
        |SELECT node AS doc_id, min(m) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** q240 — near-dup cluster PURITY audit: for every q42 component, how
+    * homogeneous is its language/source composition? MinHash near-dup is
+    * supposed to group re-uploads of the same content; a cluster that
+    * spans languages is a red flag (boilerplate-dominated shingles, a
+    * too-loose threshold, or template spam) and a cluster spanning many
+    * sources is exactly the cross-site syndication dedup exists to catch
+    * — the audit teams run BEFORE applying q74's keeper pass, because a
+    * dirty cluster deletes genuinely distinct documents. Emits per
+    * cluster: member count, distinct langs/sources, and the majority-
+    * language share (integer ppm — no entropy, no floats).
+    *
+    * Scale: one id-keyed join of the (sparse) cluster relation against
+    * the doc dimension columns, then two keyed aggregates — text never
+    * moves, nothing broadcasts corpus-sized state, no window anywhere. */
+  def q240ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val m = q42DedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val byLang = m.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(col("cnt")).as("max_lang_cnt"))
+    val bySrc = m.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    byLang.join(bySrc, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+        col("n_sources"),
+        expr("(1000000 * max_lang_cnt) DIV n_docs").as("purity_ppm"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterPurityOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |j AS (SELECT cluster_id, lang, source
+       |      FROM cl JOIN documents USING (doc_id)),
+       |lc AS (SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM j GROUP BY cluster_id, lang),
+       |per AS (
+       |  SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_langs,
+       |    CAST(max(cnt) AS BIGINT) AS max_cnt
+       |  FROM lc GROUP BY cluster_id),
+       |src AS (
+       |  SELECT cluster_id, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM j GROUP BY cluster_id)
+       |SELECT p.cluster_id, p.n_docs, p.n_langs, s.n_sources,
+       |  (1000000 * p.max_cnt) // p.n_docs AS purity_ppm
+       |FROM per p JOIN src s USING (cluster_id)
+       |ORDER BY p.cluster_id""".stripMargin
+
   /** q74 — dedup APPLY: the pass a curation pipeline actually ships —
     * from the near-dup clusters (q42), keep the min-doc_id representative
     * of every cluster and emit the surviving corpus (per-language counts +

@@ -613,6 +613,15 @@ class ScaleSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(hyWins.nonEmpty && hyWins.forall(_.contains("query_id")),
       s"q239 window not query-partitioned:\n$hys")
+    // q240: the cluster relation joins the doc dimension id-keyed, then
+    // two keyed aggregates — no cartesian; the only windows are q29's
+    // doc-keyed pair dedup inside the cluster source
+    val cp = finalPlan(graft.operators.Dedup.q240ClusterPurity(spark, dir))
+    assert(!cp.contains("CartesianProduct"), s"cartesian in q240:\n$cp")
+    val cpWins = cp.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(cpWins.forall(w => w.contains("doc_a") || w.contains("doc_id")),
+      s"q240 window not doc-keyed:\n$cp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
