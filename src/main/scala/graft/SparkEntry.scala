@@ -258,6 +258,7 @@ object SparkEntry {
     "q238_mrr_eval"         -> (Retrieval.q238MrrEval _),
     "q239_hybrid_retrieval" -> (Retrieval.q239HybridRetrieval _),
     "q240_cluster_purity"   -> (Dedup.q240ClusterPurity _),
+    "q241_paraphrase_pairs" -> (Dedup.q241ParaphrasePairs _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -723,5 +724,6 @@ object SparkEntry {
     "q238_mrr_eval"          -> Retrieval.mrrEvalOracle,
     "q239_hybrid_retrieval"  -> Retrieval.hybridRetrievalOracle,
     "q240_cluster_purity"    -> Dedup.clusterPurityOracle,
+    "q241_paraphrase_pairs"  -> Dedup.paraphrasePairsOracle,
   )
 }

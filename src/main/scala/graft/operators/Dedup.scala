@@ -1024,6 +1024,60 @@ object Dedup {
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q241 — PARAPHRASE-PAIR mining, i.e. the lexical-dedup BLIND-SPOT
+    * audit: pairs that are embedding-near (q31's label-blocked cosine ≥
+    * 0.4) but lexically FAR (exact 3-shingle Jaccard < 0.5 — strictly
+    * below the q29 MinHash dedup bar, so the lexical pass can never
+    * catch them). Two uses, both standard: mined paraphrase/translation
+    * pairs are contrastive/seq2seq training data (the monolingual analog
+    * of q223's bitext mining), and the pair count is the honest measure
+    * of how much near-duplicate MASS survives a MinHash-only dedup —
+    * the SemDeDup paper's motivating gap, here as a per-pair relation
+    * instead of a summary.
+    *
+    * Scale: the semantic side is q31's label-blocked pair join (q183's
+    * cap hatch applies unchanged); shingle sets re-attach to the PAIR
+    * RELATION only, by doc id (the q29 verify discipline) — the corpus
+    * never self-joins on text, and the (already 4dp-rounded) cosine
+    * rides through untouched. */
+  def q241ParaphrasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sem = q31EmbeddingNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("cos_sim"))
+    val sh = signatures(spark, dir).select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = round((inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+      .cast("double")
+    sem
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"), jac.as("jaccard"))
+      .filter(col("jaccard") < 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val paraphrasePairsOracle: String =
+    s"""WITH $duckSignatures,
+       |e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |sem AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b, cos_sim FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      round(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 4) AS cos_sim
+       |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  WHERE cos_sim >= 0.4)
+       |SELECT doc_a, doc_b, cos_sim, jaccard FROM (
+       |  SELECT doc_a, doc_b, cos_sim,
+       |    CAST(round(CAST(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |          CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |          AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+       |  FROM sem JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+       |WHERE jaccard < 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
   /** q81 — INCREMENTAL dedup: a new batch (doc_id ≡ 4 mod 5, the arrivals)
     * screened against the existing corpus (everything else) — the shape a
     * continuously-ingesting pipeline runs per increment, instead of

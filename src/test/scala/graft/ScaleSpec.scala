@@ -622,6 +622,12 @@ class ScaleSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(cpWins.forall(w => w.contains("doc_a") || w.contains("doc_id")),
       s"q240 window not doc-keyed:\n$cp")
+    // q241: the semantic side is q31's label-blocked equi-join, shingles
+    // re-attach id-keyed to the pair relation only — no cartesian, no
+    // window, no text self-join
+    val pp = finalPlan(graft.operators.Dedup.q241ParaphrasePairs(spark, dir))
+    assert(!pp.contains("CartesianProduct"), s"cartesian in q241:\n$pp")
+    assert(!pp.contains("windowspecdefinition"), s"unexpected window in q241:\n$pp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
