@@ -259,6 +259,7 @@ object SparkEntry {
     "q239_hybrid_retrieval" -> (Retrieval.q239HybridRetrieval _),
     "q240_cluster_purity"   -> (Dedup.q240ClusterPurity _),
     "q241_paraphrase_pairs" -> (Dedup.q241ParaphrasePairs _),
+    "q242_lsh_band_planner" -> (Dedup.q242LshBandPlanner _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -725,5 +726,6 @@ object SparkEntry {
     "q239_hybrid_retrieval"  -> Retrieval.hybridRetrievalOracle,
     "q240_cluster_purity"    -> Dedup.clusterPurityOracle,
     "q241_paraphrase_pairs"  -> Dedup.paraphrasePairsOracle,
+    "q242_lsh_band_planner"  -> Dedup.lshBandPlannerOracle,
   )
 }

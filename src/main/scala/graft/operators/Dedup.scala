@@ -1078,6 +1078,99 @@ object Dedup {
        |  FROM sem JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard < 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** All (bands, rows) factorizations of the signature width — the q242
+    * planner's config grid. */
+  private val BandConfigs: Seq[(Int, Int)] =
+    (1 to K_HASHES).filter(K_HASHES % _ == 0).map(b => (b, K_HASHES / b))
+
+  /** Fixed-point ppm power with EXPLICIT truncation at every step —
+    * rendered once per (literal) exponent into both engines' SQL so the
+    * iterated `acc·x DIV 10⁶` walks identical integer ops. `div` is the
+    * dialect spelling (`DIV` Spark, `//` DuckDB). */
+  private def powPpmSql(base: String, k: Int, div: String): String =
+    (1 to k).foldLeft("1000000")((acc, _) => s"(($acc) * ($base)) $div 1000000")
+
+  private def collisionPpmSql(b: Int, r: Int, div: String): String = {
+    val srp = powPpmSql("s_ppm", r, div)
+    s"1000000 - ${powPpmSql(s"(1000000 - ($srp))", b, div)}"
+  }
+
+  /** q242 — LSH BANDING PLANNER: before re-running dedup at corpus scale,
+    * which (bands × rows) split of the K-wide MinHash signature should it
+    * use? For every factorization of K and every observed candidate-pair
+    * Jaccard bucket, emit the banding's collision probability
+    * 1−(1−s^r)^b and the expected collisions over the observed pair mass
+    * — the classic S-curve sharpness/recall tradeoff (narrow bands catch
+    * more low-similarity pairs = more verify work; tall bands miss
+    * borderline dups), priced against THIS corpus's pair distribution
+    * instead of a textbook curve. The distribution is conditioned on the
+    * current banding's candidate set — the only pair mass observable
+    * without an all-pairs join, and exactly the population a re-banding
+    * decision re-prices.
+    *
+    * Determinism: the probability is fixed-point integer — s in 5%
+    * buckets recomputed from shingle-intersection INTEGERS ((20·∩) DIV ∪,
+    * never the rounded float), and every power iterates `acc·x DIV 10⁶`
+    * with per-step truncation rendered identically into both engines
+    * ([[powPpmSql]]). Scale: one bucket rollup of the (bounded) verified
+    * candidate relation, then a |configs|·|buckets| dimension map —
+    * nothing beyond q29's candidate discipline touches the corpus. */
+  def q242LshBandPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val sh = sig.select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    val buckets = lshCandidates(lshBands(sig))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(inter.as("i"), uni.as("u"))
+      .select(expr("((20 * i) DIV u) * 5").as("bucket_pct"))
+      .groupBy(col("bucket_pct")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("s_ppm", col("bucket_pct") * 10000L)
+    val legs = BandConfigs.map { case (b, r) =>
+      val p = collisionPpmSql(b, r, "DIV")
+      buckets.select(
+        lit(b.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+        col("bucket_pct"), col("n_pairs"),
+        expr(p).as("p_ppm"),
+        expr(s"(n_pairs * ($p)) DIV 1000000").as("exp_collisions"))
+    }
+    legs.reduce(_.unionByName(_))
+      .orderBy(col("n_bands"), col("bucket_pct"))
+  }
+
+  val lshBandPlannerOracle: String = {
+    val legs = BandConfigs.map { case (b, r) =>
+      val p = collisionPpmSql(b, r, "//")
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS n_rows,
+         |  bucket_pct, n_pairs,
+         |  CAST($p AS BIGINT) AS p_ppm,
+         |  CAST((n_pairs * ($p)) // 1000000 AS BIGINT) AS exp_collisions
+         |FROM buckets""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $duckSignatures,
+       |bands AS (
+       |  SELECT doc_id, s, j, md5(m[2*j+1] || m[2*j+2]) AS bh
+       |  FROM sig, generate_series(0, ${N_BANDS - 1}) AS g(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |buckets AS (
+       |  SELECT bucket_pct, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         bucket_pct * 10000 AS s_ppm
+       |  FROM (
+       |    SELECT ((20 * len(list_intersect(x.s, y.s))) //
+       |            (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))) * 5
+       |      AS bucket_pct
+       |    FROM cand JOIN sig x ON x.doc_id = doc_a
+       |              JOIN sig y ON y.doc_id = doc_b)
+       |  GROUP BY bucket_pct)
+       |SELECT * FROM (
+       |$legs
+       |) ORDER BY n_bands, bucket_pct""".stripMargin
+  }
+
   /** q81 — INCREMENTAL dedup: a new batch (doc_id ≡ 4 mod 5, the arrivals)
     * screened against the existing corpus (everything else) — the shape a
     * continuously-ingesting pipeline runs per increment, instead of

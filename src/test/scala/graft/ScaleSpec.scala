@@ -628,6 +628,12 @@ class ScaleSpec extends AnyFunSuite {
     val pp = finalPlan(graft.operators.Dedup.q241ParaphrasePairs(spark, dir))
     assert(!pp.contains("CartesianProduct"), s"cartesian in q241:\n$pp")
     assert(!pp.contains("windowspecdefinition"), s"unexpected window in q241:\n$pp")
+    // q242: q29's candidate discipline (band bucket-join, id-keyed
+    // shingle re-attach) into a bucket rollup; the config grid legs are
+    // projections of that ≤21-row rollup — no cartesian, no window
+    val bp = finalPlan(graft.operators.Dedup.q242LshBandPlanner(spark, dir))
+    assert(!bp.contains("CartesianProduct"), s"cartesian in q242:\n$bp")
+    assert(!bp.contains("windowspecdefinition"), s"unexpected window in q242:\n$bp")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
