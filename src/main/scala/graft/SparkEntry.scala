@@ -260,6 +260,7 @@ object SparkEntry {
     "q240_cluster_purity"   -> (Dedup.q240ClusterPurity _),
     "q241_paraphrase_pairs" -> (Dedup.q241ParaphrasePairs _),
     "q242_lsh_band_planner" -> (Dedup.q242LshBandPlanner _),
+    "q243_cluster_cohesion" -> (Dedup.q243ClusterCohesion _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -727,5 +728,6 @@ object SparkEntry {
     "q240_cluster_purity"    -> Dedup.clusterPurityOracle,
     "q241_paraphrase_pairs"  -> Dedup.paraphrasePairsOracle,
     "q242_lsh_band_planner"  -> Dedup.lshBandPlannerOracle,
+    "q243_cluster_cohesion"  -> Dedup.clusterCohesionOracle,
   )
 }

@@ -1078,6 +1078,60 @@ object Dedup {
        |  FROM sem JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
        |WHERE jaccard < 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q243 — near-dup cluster COHESION audit: q240 checks a cluster's
+    * metadata purity; this checks its STRUCTURE. Connected components
+    * merge through single edges, so one borderline LSH pair can chain
+    * two genuine dup groups into one cluster — and the keeper pass then
+    * deletes documents that were never near-duplicates of the keeper.
+    * The telltale is edge density: a true re-upload family verifies as a
+    * near-clique (density → 10⁶ ppm), a false merge as a sparse chain
+    * (density → 2·10⁶/k per k members). Emits per cluster: members,
+    * verified edges, possible pairs k(k−1)/2, density ppm, and whether
+    * the cluster is edge-connected beyond a bare spanning tree
+    * (n_edges ≥ n_docs, i.e. contains a cycle).
+    *
+    * Scale: the verified pair relation re-keys to the cluster id via two
+    * id-keyed joins (doc_a side is enough — both endpoints share the
+    * component by construction), then one keyed aggregate joins the
+    * |clusters|-row member rollup. No window, no cartesian, text never
+    * moves. */
+  def q243ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val clusters = q42DedupClusters(spark, dir) // (doc_id, cluster_id)
+    val edges = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"),
+        col("cluster_id")), "doc_a")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      .join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("n_possible"),
+        expr("(1000000 * n_edges) DIV (n_docs * (n_docs - 1) DIV 2)")
+          .as("density_ppm"),
+        (col("n_edges") >= col("n_docs")).cast("long").as("has_cycle"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterCohesionOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |cedges AS (
+       |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM pairs p JOIN cl c ON c.doc_id = p.doc_a
+       |  GROUP BY c.cluster_id),
+       |members AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM cl GROUP BY cluster_id)
+       |SELECT m.cluster_id, m.n_docs, e.n_edges,
+       |  m.n_docs * (m.n_docs - 1) // 2 AS n_possible,
+       |  (1000000 * e.n_edges) // (m.n_docs * (m.n_docs - 1) // 2)
+       |    AS density_ppm,
+       |  CAST(CASE WHEN e.n_edges >= m.n_docs THEN 1 ELSE 0 END AS BIGINT)
+       |    AS has_cycle
+       |FROM members m JOIN cedges e USING (cluster_id)
+       |ORDER BY m.cluster_id""".stripMargin
+
   /** All (bands, rows) factorizations of the signature width — the q242
     * planner's config grid. */
   private val BandConfigs: Seq[(Int, Int)] =

@@ -634,6 +634,11 @@ class ScaleSpec extends AnyFunSuite {
     val bp = finalPlan(graft.operators.Dedup.q242LshBandPlanner(spark, dir))
     assert(!bp.contains("CartesianProduct"), s"cartesian in q242:\n$bp")
     assert(!bp.contains("windowspecdefinition"), s"unexpected window in q242:\n$bp")
+    // q243: verified pairs re-key to clusters via one id-keyed join, then
+    // two keyed aggregates join on cluster_id — no cartesian, no window
+    val ch = finalPlan(graft.operators.Dedup.q243ClusterCohesion(spark, dir))
+    assert(!ch.contains("CartesianProduct"), s"cartesian in q243:\n$ch")
+    assert(!ch.contains("windowspecdefinition"), s"unexpected window in q243:\n$ch")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
