@@ -261,6 +261,7 @@ object SparkEntry {
     "q241_paraphrase_pairs" -> (Dedup.q241ParaphrasePairs _),
     "q242_lsh_band_planner" -> (Dedup.q242LshBandPlanner _),
     "q243_cluster_cohesion" -> (Dedup.q243ClusterCohesion _),
+    "q244_soft_dedup"       -> (Dedup.q244SoftDedupWeights _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -729,5 +730,6 @@ object SparkEntry {
     "q241_paraphrase_pairs"  -> Dedup.paraphrasePairsOracle,
     "q242_lsh_band_planner"  -> Dedup.lshBandPlannerOracle,
     "q243_cluster_cohesion"  -> Dedup.clusterCohesionOracle,
+    "q244_soft_dedup"        -> Dedup.softDedupWeightsOracle,
   )
 }

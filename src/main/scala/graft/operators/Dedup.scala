@@ -1132,6 +1132,69 @@ object Dedup {
        |FROM members m JOIN cedges e USING (cluster_id)
        |ORDER BY m.cluster_id""".stripMargin
 
+  /** q244 — SOFT-dedup token accounting: instead of q74's hard keeper
+    * delete, weight every member of a near-dup family by 1/|family|
+    * (integer ppm) so the family contributes ONE document's worth of
+    * training mass spread over its variants — the duplicate-aware
+    * loss-weighting / sampling alternative pipelines reach for when hard
+    * dedup is too destructive (near-dups often carry small real edits).
+    * Per source: docs, raw token mass, effective (weighted) token mass,
+    * and the savings ratio — the readout that prices hard-vs-soft dedup
+    * per source before committing to either.
+    *
+    * Scale: the cluster-size dimension is a keyed aggregate of the
+    * (sparse) q42 relation joined back id-keyed; unclustered docs take
+    * weight 10⁶ via the left join's coalesce. Token counts ride the q36
+    * scan; the rollup is one partial-aggregated groupBy(source). The
+    * weighted mass routes through DECIMAL(38,0) — tokens·10⁶ clips int64
+    * at ~9·10¹² tokens, i.e. any real corpus. */
+  def q244SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val csize = q42DedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+    val member = q42DedupClusters(spark, dir).join(csize, "cluster_id")
+      .select(col("doc_id"), expr("1000000 DIV k").as("w_ppm"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(member, Seq("doc_id"), "left")
+      .withColumn("w_ppm", coalesce(col("w_ppm"), lit(1000000L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr(
+          "CAST(CAST(n_tokens AS DECIMAL(38,0)) * w_ppm DIV 1000000 AS BIGINT)"))
+          .as("eff_tokens"))
+      .withColumn("savings_ppm",
+        expr("1000000 - CAST(CAST(eff_tokens AS DECIMAL(38,0)) * 1000000" +
+             " DIV raw_tokens AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  val softDedupWeightsOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |ks AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+       |       FROM cl GROUP BY cluster_id),
+       |w AS (SELECT doc_id, 1000000 // k AS w_ppm
+       |      FROM cl JOIN ks USING (cluster_id)),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |rolled AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       |    CAST(sum(CAST(n_tokens AS HUGEINT) * coalesce(w.w_ppm, 1000000)
+       |             // 1000000) AS BIGINT) AS eff_tokens
+       |  FROM d LEFT JOIN w USING (doc_id)
+       |  GROUP BY source)
+       |SELECT source, n_docs, raw_tokens, eff_tokens,
+       |  1000000 - CAST(CAST(eff_tokens AS HUGEINT) * 1000000 // raw_tokens
+       |                 AS BIGINT) AS savings_ppm
+       |FROM rolled ORDER BY source""".stripMargin
+
   /** All (bands, rows) factorizations of the signature width — the q242
     * planner's config grid. */
   private val BandConfigs: Seq[(Int, Int)] =

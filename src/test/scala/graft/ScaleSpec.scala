@@ -639,6 +639,12 @@ class ScaleSpec extends AnyFunSuite {
     val ch = finalPlan(graft.operators.Dedup.q243ClusterCohesion(spark, dir))
     assert(!ch.contains("CartesianProduct"), s"cartesian in q243:\n$ch")
     assert(!ch.contains("windowspecdefinition"), s"unexpected window in q243:\n$ch")
+    // q244: cluster weights join back id-keyed; the corpus side is one
+    // scan into a partial-aggregated source rollup — no cartesian, no
+    // window
+    val sd = finalPlan(graft.operators.Dedup.q244SoftDedupWeights(spark, dir))
+    assert(!sd.contains("CartesianProduct"), s"cartesian in q244:\n$sd")
+    assert(!sd.contains("windowspecdefinition"), s"unexpected window in q244:\n$sd")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
