@@ -173,6 +173,25 @@ class ApiSpec extends AnyFunSuite {
 
       // missing search string → error (Server.hs:308 throw404)
       assert(get(s"$base/txs/search?limit=5").statusCode() === 500)
+
+      // unbounded strategy on the tx path: limit=1 paging enumerates the
+      // SAME keys in the same order as the bounded engine above
+      val ukeys = scala.collection.mutable.ArrayBuffer[String]()
+      var uurl = s"$base/txs/search?search=coin.transfer&limit=1"
+      var udone = false
+      while (!udone) {
+        val resp = getH(uurl, "Chainweb-Execution-Strategy" -> "Unbounded")
+        assert(resp.statusCode() === 200)
+        assert(!resp.headers().firstValue("Graft-Scan-Limit").isPresent)
+        """"requestKey":"(rk\d)"""".r.findAllMatchIn(resp.body())
+          .foreach(m => ukeys += m.group(1))
+        val next = resp.headers().firstValue("Graft-Next")
+        if (next.isPresent) {
+          uurl = s"$base/txs/search?search=coin.transfer&limit=1&next=${next.get}"
+          assert(ukeys.length < 20, "runaway pagination")
+        } else udone = true
+      }
+      assert(ukeys.toSeq === keys.toSeq)
     } finally api.stop()
   }
 
