@@ -262,6 +262,7 @@ object SparkEntry {
     "q242_lsh_band_planner" -> (Dedup.q242LshBandPlanner _),
     "q243_cluster_cohesion" -> (Dedup.q243ClusterCohesion _),
     "q244_soft_dedup"       -> (Dedup.q244SoftDedupWeights _),
+    "q245_ivf_rebalance"    -> (Similarity.q245IvfRebalance _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -731,5 +732,6 @@ object SparkEntry {
     "q242_lsh_band_planner"  -> Dedup.lshBandPlannerOracle,
     "q243_cluster_cohesion"  -> Dedup.clusterCohesionOracle,
     "q244_soft_dedup"        -> Dedup.softDedupWeightsOracle,
+    "q245_ivf_rebalance"     -> Similarity.ivfRebalanceOracle,
   )
 }

@@ -2298,4 +2298,111 @@ object Similarity {
        |      AS n_points
        |  UNION ALL SELECT k_occ, n_points FROM hist)
        |ORDER BY k_occ""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q245 — IVF LIST REBALANCING plan: overfull inverted lists are the
+  // tail-latency problem of a partitioned ANN index (a probe into a 10×
+  // list costs 10×, and at cluster scale the hot cell IS the straggler).
+  // The standard maintenance move is second-choice reassignment: from
+  // every list above a slack cap, move the members that are nearly
+  // equidistant to another centroid (smallest d_alt − d_own margin —
+  // they lose the least recall by moving) until the list fits the cap.
+  // This operator emits that plan: (vec_id, from_label, to_label,
+  // d_own, d_alt), exactly the work order an index-maintenance job
+  // applies. Cap = ⌊21n/20L⌋+1 (5% slack over the mean list size),
+  // derived from two control scalars.
+  //
+  // Scale: centroids are the |labels|·dims broadcast dimension (q53);
+  // per-vector distances are a corpus × broadcast map with a per-vector
+  // window bounded by |labels|; the eviction rank partitions by the
+  // overfull label — per-entity windows, never global. Only members of
+  // overfull lists (a broadcastable label filter) enter any of it.
+  // -------------------------------------------------------------------------
+
+  def q245IvfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val st = e.agg(count(lit(1)),
+      countDistinct(col("label"))).first()
+    val (n, nLabels) = (st.getLong(0), st.getLong(1))
+    val cap = (21L * n) / (20L * nLabels) + 1L
+    val over = e.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap)
+    def sqDist(cv: Column): Column = round(aggregate(
+      zip_with(col("v"), cv,
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p), 4)
+    val members = e.join(broadcast(over), Seq("label"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("d_own", sqDist(col("cv")))
+      .select(col("vec_id"), col("label"), col("sz"), col("v"), col("d_own"))
+    val wAlt = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d_alt"), col("alt_label"))
+    val alt = members.crossJoin(broadcast(
+        cent.select(col("label").as("alt_label"), col("cv").as("acv"))))
+      .filter(col("alt_label") =!= col("label"))
+      .withColumn("d_alt", sqDist(col("acv")))
+      .withColumn("ar", row_number().over(wAlt))
+      .filter(col("ar") === 1)
+    val wEvict = Window.partitionBy(col("label"))
+      .orderBy(col("d_alt") - col("d_own"), col("vec_id"))
+    alt.withColumn("mr", row_number().over(wEvict).cast("long"))
+      .filter(col("mr") <= col("sz") - cap)
+      .select(col("vec_id"), col("label").cast("long").as("from_label"),
+        col("alt_label").cast("long").as("to_label"),
+        col("d_own"), col("d_alt"))
+      .orderBy(col("from_label"), col("vec_id"))
+  }
+
+  val ivfRebalanceOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM e, generate_series(1, $DIMS) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(DISTINCT label) AS BIGINT) AS nl
+       |  FROM e),
+       |capv AS (SELECT (21 * n) // (20 * nl) + 1 AS cap FROM st),
+       |over AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS sz
+       |  FROM e GROUP BY label HAVING count(*) > (SELECT cap FROM capv)),
+       |members AS (
+       |  SELECT m.vec_id, m.label, o.sz, m.v,
+       |    round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |      i -> (m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]))), 4) AS d_own
+       |  FROM e m JOIN over o USING (label) JOIN cent c USING (label)),
+       |alt AS (
+       |  SELECT vec_id, label, sz, d_own, alt_label, d_alt FROM (
+       |    SELECT m.vec_id, m.label, m.sz, m.d_own, c.label AS alt_label,
+       |      round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |        i -> (m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]))), 4) AS d_alt,
+       |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]))), 4),
+       |        c.label) AS ar
+       |    FROM members m JOIN cent c ON c.label != m.label)
+       |  WHERE ar = 1)
+       |SELECT vec_id, CAST(from_label AS BIGINT) AS from_label,
+       |  CAST(to_label AS BIGINT) AS to_label, d_own, d_alt FROM (
+       |  SELECT vec_id, label AS from_label, alt_label AS to_label,
+       |    d_own, d_alt, sz,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY d_alt - d_own, vec_id) AS mr
+       |  FROM alt)
+       |WHERE mr <= sz - (SELECT cap FROM capv)
+       |ORDER BY from_label, vec_id""".stripMargin
 }

@@ -645,6 +645,17 @@ class ScaleSpec extends AnyFunSuite {
     val sd = finalPlan(graft.operators.Dedup.q244SoftDedupWeights(spark, dir))
     assert(!sd.contains("CartesianProduct"), s"cartesian in q244:\n$sd")
     assert(!sd.contains("windowspecdefinition"), s"unexpected window in q244:\n$sd")
+    // q245: centroids/overfull-list filters are broadcast dimensions; the
+    // "cross join" is members × broadcast centroids (BroadcastNestedLoop,
+    // |labels| rows per member), windows partition by vec_id / label —
+    // never a shuffled cartesian or a global window
+    val rb = finalPlan(graft.operators.Similarity.q245IvfRebalance(spark, dir))
+    assert(!rb.contains("CartesianProduct"), s"shuffled cartesian in q245:\n$rb")
+    val rbWins = rb.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(rbWins.nonEmpty &&
+      rbWins.forall(w => w.contains("vec_id") || w.contains("label")),
+      s"q245 window not vec/label-partitioned:\n$rb")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
