@@ -263,6 +263,7 @@ object SparkEntry {
     "q243_cluster_cohesion" -> (Dedup.q243ClusterCohesion _),
     "q244_soft_dedup"       -> (Dedup.q244SoftDedupWeights _),
     "q245_ivf_rebalance"    -> (Similarity.q245IvfRebalance _),
+    "q246_ivf_persist"      -> (Similarity.q246IvfPersist _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -733,5 +734,6 @@ object SparkEntry {
     "q243_cluster_cohesion"  -> Dedup.clusterCohesionOracle,
     "q244_soft_dedup"        -> Dedup.softDedupWeightsOracle,
     "q245_ivf_rebalance"     -> Similarity.ivfRebalanceOracle,
+    "q246_ivf_persist"       -> Similarity.ivfPersistOracle,
   )
 }

@@ -2300,6 +2300,100 @@ object Similarity {
        |ORDER BY k_occ""".stripMargin
 
   // -------------------------------------------------------------------------
+  // q246 — PERSISTED IVF index: build-once / query-many through storage,
+  // the production ANN serving pattern. The BUILD phase writes the index
+  // as two parquet tables — the computed coarse quantizer (q53's 6dp
+  // centroids) and the postings (vec_id, v, precomputed norm)
+  // PARTITIONED BY CELL, the layout under which a probe is directory
+  // pruning, not a filter over the full scan. The QUERY phase reads ONLY
+  // the persisted tables: each probe vector is assigned to its nearest
+  // stored centroid (1-probe, rounded squared-L2 like q53) and exact
+  // cosine top-k runs inside that one cell — proving the index survives
+  // the storage round-trip (types, norms, partition layout) end to end.
+  //
+  // Scale: index build is one corpus write (the shuffle is the
+  // partitionBy); a query touches |centroids| rows of quantizer + ONE
+  // cell's postings. Differs from q33 (assumes the stored label IS the
+  // probe) exactly when a vector's nearest centroid isn't its own cell —
+  // which the oracle must and does reproduce.
+  // -------------------------------------------------------------------------
+
+  def q246IvfPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+    val store = graft.Stores.path(spark, "graft_ivf_store")
+    // BUILD: postings partitioned by cell, norms precomputed at index time
+    e.select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$store/postings")
+    cent.write.mode("overwrite").parquet(s"$store/centroids")
+    // QUERY: persisted tables only
+    val postings = spark.read.parquet(s"$store/postings")
+    val centroids = spark.read.parquet(s"$store/centroids")
+    val q = postings.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = round(aggregate(
+      zip_with(col("qv"), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p), 4)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("rdist", sqDist)
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("label"), col("qv"), col("qn"))
+    val sim = round(call_function("graft_dot", col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm")), 4)
+    val pairs = postings.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q246's oracle: the identical quantize-then-probe math straight from
+    * `embeddings` — agreement proves the persisted index changed nothing. */
+  val ivfPersistOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM e, generate_series(1, $DIMS) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT q_id, label, qv, qn FROM (
+       |    SELECT q.vec_id AS q_id, c.label, q.v AS qv, q.nrm AS qn,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS pr
+       |    FROM e q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr = 1),
+       |sims AS (
+       |  SELECT p.q_id, n.vec_id AS n_id,
+       |    round(list_dot_product(p.qv, n.v) / sqrt(p.qn * n.nrm), 4) AS cos_sim
+       |  FROM probes p JOIN e n ON n.label = p.label AND n.vec_id != p.q_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
   // q245 — IVF LIST REBALANCING plan: overfull inverted lists are the
   // tail-latency problem of a partitioned ANN index (a probe into a 10×
   // list costs 10×, and at cluster scale the hot cell IS the straggler).

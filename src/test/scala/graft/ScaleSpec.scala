@@ -656,6 +656,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(rbWins.nonEmpty &&
       rbWins.forall(w => w.contains("vec_id") || w.contains("label")),
       s"q245 window not vec/label-partitioned:\n$rb")
+    // q246: the query phase reads the PERSISTED index — quantizer and
+    // probes broadcast, postings join keyed on the partition column,
+    // every window q_id-partitioned; no shuffled cartesian
+    val ip = finalPlan(graft.operators.Similarity.q246IvfPersist(spark, dir))
+    assert(!ip.contains("CartesianProduct"), s"shuffled cartesian in q246:\n$ip")
+    val ipWins = ip.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(ipWins.nonEmpty && ipWins.forall(_.contains("q_id")),
+      s"q246 window not q_id-partitioned:\n$ip")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
