@@ -264,6 +264,8 @@ object SparkEntry {
     "q244_soft_dedup"       -> (Dedup.q244SoftDedupWeights _),
     "q245_ivf_rebalance"    -> (Similarity.q245IvfRebalance _),
     "q246_ivf_persist"      -> (Similarity.q246IvfPersist _),
+    "q247_passage_retrieval" -> (Retrieval.q247PassageRetrieval _),
+    "q248_context_pack"     -> (Retrieval.q248ContextPack _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -735,5 +737,7 @@ object SparkEntry {
     "q244_soft_dedup"        -> Dedup.softDedupWeightsOracle,
     "q245_ivf_rebalance"     -> Similarity.ivfRebalanceOracle,
     "q246_ivf_persist"       -> Similarity.ivfPersistOracle,
+    "q247_passage_retrieval" -> Retrieval.passageRetrievalOracle,
+    "q248_context_pack"      -> Retrieval.contextPackOracle,
   )
 }

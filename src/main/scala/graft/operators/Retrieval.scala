@@ -450,6 +450,191 @@ object Retrieval {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // q247/q248 — PASSAGE-level retrieval + context assembly: the actual
+  // RAG serving unit. Documents are too coarse to stuff into a prompt;
+  // production retrieval chunks them into overlapping token windows,
+  // scores PASSAGES (tf within the window, df/avgdl over the passage
+  // corpus), and then assembles a context under a token budget. q247 is
+  // the passage ranker; q248 the budgeted packer over its rankings.
+  // -------------------------------------------------------------------------
+
+  /** Passage window geometry (tokens) and serving depths. */
+  val PassageLen = 32
+  val PassageStride = 16
+  val PassageTopK = 3
+  val PackDepth = 20
+  val ContextBudget = 96
+
+  /** The scored passage relation shared by q247/q248: overlapping token
+    * windows → query-vocab-cut tf → the q150 BM25-ppm chain with passage
+    * df/avgdl. Same scale shape as [[scoredFor]] — the explode is cut to
+    * query-term rows at the scan; passage stats are two control scalars. */
+  private def passageScores(spark: SparkSession, dir: String,
+                            termPairs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    val vocab = termPairs.map(_._2).distinct
+    val t = TextOps.tokens(col("text"))
+    val pass = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(PassageStride)))
+          .as("chunk_start"))
+      .select(col("doc_id"),
+        expr(s"CAST(chunk_start DIV $PassageStride AS BIGINT)").as("chunk_idx"),
+        slice(col("t"), col("chunk_start") + 1, lit(PassageLen)).as("pt"))
+      .select(col("doc_id"), col("chunk_idx"), col("pt"),
+        size(col("pt")).cast("long").as("dl"))
+    val row = pass.agg(count(lit(1)), sum(col("dl"))).first()
+    val n = row.getLong(0)
+    val avgdlPpm = row.getLong(1) * 1000000L / n
+    val terms = termPairs.toDF("query_id", "term")
+    val tf = pass
+      .select(col("doc_id"), col("chunk_idx"), col("dl"),
+        explode(col("pt")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfRel), "term")
+      .join(broadcast(terms), "term")
+      .withColumn("ratio_ppm", expr(
+        s"CAST(CAST(dl AS DECIMAL(38,0)) * 1000000000000 DIV ${avgdlPpm}L AS BIGINT)"))
+      .withColumn("denom_ppm",
+        expr("tf * 1000000L + 300000L + 900000L * ratio_ppm DIV 1000000L"))
+      .withColumn("tfn_ppm", expr(
+        "CAST(CAST(tf AS DECIMAL(38,0)) * 2200000 * 1000000 DIV denom_ppm AS BIGINT)"))
+      .withColumn("idf_ppm", expr(
+        s"CAST((2 * ${n}L - 2 * df + 1) * CAST(1000000 AS DECIMAL(38,0)) DIV (2 * df + 1) AS BIGINT)"))
+      .withColumn("term_ppm", expr(
+        "CAST(CAST(tfn_ppm AS DECIMAL(38,0)) * idf_ppm DIV 1000000 AS BIGINT)"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_idx"), col("dl"))
+      .agg(sum(col("term_ppm")).as("score_ppm"))
+  }
+
+  private def evalTermPairs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalStride === EvalResidue)
+      .select(col("doc_id").as("query_id"),
+        slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
+      .orderBy(col("query_id"))
+      .limit(MaxEvalQueries)
+      .collect().toSeq
+      .flatMap(r => r.getSeq[String](1).map(t => (r.getLong(0), t)))
+  }
+
+  /** q247 — top passages per probe query. */
+  def q247PassageRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_idx"))
+    passageScores(spark, dir, evalTermPairs(spark, dir))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PassageTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_idx"),
+        col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q248 — CONTEXT ASSEMBLY under a token budget: prefix packing of the
+    * rank-ordered passage list — a passage is included while the running
+    * token total (in rank order) stays within [[ContextBudget]]. Prefix
+    * (rather than skip-and-continue) packing keeps the context in rank
+    * order and makes the selection a pure window cumsum over the ≤
+    * [[PackDepth]]-row per-query list — no sequential state anywhere. */
+  def q248ContextPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_idx"))
+    val ranked = passageScores(spark, dir, evalTermPairs(spark, dir))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PackDepth)
+    val cum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("cum_tok", sum(col("dl")).over(cum))
+      .filter(col("cum_tok") <= ContextBudget)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_idx"),
+        col("dl").as("n_tok"), col("cum_tok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def passageChainSql: String =
+    s"""d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |gold AS (
+       |  SELECT doc_id AS query_id, t FROM d
+       |  WHERE doc_id % $EvalStride = $EvalResidue
+       |  ORDER BY doc_id LIMIT $MaxEvalQueries),
+       |occ AS (
+       |  SELECT query_id, unnest(t) AS term,
+       |         unnest(range(1, len(t) + 1)) AS o
+       |  FROM gold),
+       |q AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term, min(o) AS fo
+       |    FROM occ GROUP BY query_id, term)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fo)
+       |    <= $QueryTerms),
+       |pass AS (
+       |  SELECT doc_id,
+       |    CAST(chunk_start // $PassageStride AS BIGINT) AS chunk_idx,
+       |    list_slice(t, chunk_start + 1, chunk_start + $PassageLen) AS pt,
+       |    CAST(len(list_slice(t, chunk_start + 1, chunk_start + $PassageLen))
+       |      AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t), $PassageStride))
+       |          AS chunk_start FROM d)),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |           AS avgdl_ppm
+       |  FROM pass),
+       |tf AS (
+       |  SELECT doc_id, chunk_idx, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, chunk_idx, dl, unnest(pt) AS term FROM pass)
+       |  WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, chunk_idx, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |parts AS (
+       |  SELECT q.query_id, tf.doc_id, tf.chunk_idx, tf.dl,
+       |    CAST(CAST(tf.tf AS HUGEINT) * 2200000 * 1000000 //
+       |      (tf.tf * 1000000 + 300000 +
+       |       900000 * (CAST(tf.dl AS HUGEINT) * 1000000000000 // s.avgdl_ppm)
+       |         // 1000000)
+       |      AS BIGINT) AS tfn_ppm,
+       |    CAST((2 * s.n - 2 * df.df + 1) * CAST(1000000 AS HUGEINT)
+       |         // (2 * df.df + 1) AS BIGINT) AS idf_ppm
+       |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT query_id, doc_id, chunk_idx, dl,
+       |    CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000) AS BIGINT)
+       |      AS score_ppm
+       |  FROM parts GROUP BY query_id, doc_id, chunk_idx, dl)""".stripMargin
+
+  val passageRetrievalOracle: String =
+    s"""WITH $passageChainSql
+       |SELECT query_id, rank, doc_id, chunk_idx, score_ppm FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $PassageTopK ORDER BY query_id, rank""".stripMargin
+
+  val contextPackOracle: String =
+    s"""WITH $passageChainSql,
+       |ranked AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $PackDepth)
+       |SELECT query_id, rank, doc_id, chunk_idx, n_tok, cum_tok FROM (
+       |  SELECT query_id, rank, doc_id, chunk_idx, dl AS n_tok,
+       |    CAST(sum(dl) OVER (PARTITION BY query_id ORDER BY rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM ranked)
+       |WHERE cum_tok <= $ContextBudget
+       |ORDER BY query_id, rank""".stripMargin
+
   /** The shared oracle CTE chain through `scored` (now carrying both the
     * BM25 and the IDF-overlap score). */
   private def bm25ChainSql: String = {

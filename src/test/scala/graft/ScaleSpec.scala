@@ -665,6 +665,18 @@ class ScaleSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(ipWins.nonEmpty && ipWins.forall(_.contains("q_id")),
       s"q246 window not q_id-partitioned:\n$ip")
+    // q247/q248: passage explode cut to query-vocab rows at the scan;
+    // every window (rank, pack cumsum) partitions by query_id
+    for ((name, df) <- Seq(
+        "q247" -> graft.operators.Retrieval.q247PassageRetrieval(spark, dir),
+        "q248" -> graft.operators.Retrieval.q248ContextPack(spark, dir))) {
+      val pl = finalPlan(df)
+      assert(!pl.contains("CartesianProduct"), s"cartesian in $name:\n$pl")
+      val wins = pl.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty && wins.forall(_.contains("query_id")),
+        s"$name window not query-partitioned:\n$pl")
+    }
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
