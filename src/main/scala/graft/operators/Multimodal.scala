@@ -456,9 +456,16 @@ object Multimodal {
     * Scale: identical to q210 — partition-local decode + O(8·32·32)
     * integer kernel per image, no shuffle until the final order;
     * downstream dedup buckets on the hash (q27/q30/q229 shapes). */
-  def q237ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+  def q237ImagePhash(spark: SparkSession, dir: String): DataFrame =
+    phashOf(imageTable(spark, dir)).orderBy(col("doc_id"))
+
+  /** The pHash kernel over ANY (doc_id, fmt, width, height, payload)
+    * image relation — factored out so specs can drive codec-invariance
+    * probes through the identical decode + DCT path. */
+  private[graft] def phashOf(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
     import spark.implicits._
-    imageTable(spark, dir)
+    images
       .select("doc_id", "fmt", "width", "height", "payload")
       .as[(Long, String, Int, Int, Array[Byte])]
       .mapPartitions(_.map { case (id, fmt, w, h, payload) =>
@@ -524,7 +531,6 @@ object Multimodal {
         (id, fmt, sb.toString, ones)
       })
       .toDF("doc_id", "fmt", "phash", "n_ones")
-      .orderBy(col("doc_id"))
   }
 
   val imagePhashOracle: String =
