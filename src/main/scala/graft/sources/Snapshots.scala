@@ -112,8 +112,26 @@ object Snapshots {
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.files: _*)
 
+  /** Snapshot-handle memo, keyed by (appId, table path, version) — the
+    * [[graft.Tables]] memo's discipline applied to versioned reads. A
+    * committed version's file set is immutable by construction (writers
+    * only add files and manifests), so unlike a directory handle this
+    * cache can never go stale; it removes the per-request parquet-footer
+    * re-read from the serving path (the round-8 `Tables.load` lesson). */
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+
+  def readCached(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    handles.getOrElseUpdate((app, snap.table, snap.version), {
+      handles.filterInPlace { case ((a, _, _), _) => a == app }
+      read(spark, snap)
+    })
+  }
+
   /** Pin-and-read convenience: latest committed version, else (for tables
-    * written before snapshotting existed) commit the current state first. */
+    * written before snapshotting existed) commit the current state first.
+    * Served from the version-keyed handle memo. */
   def readPinned(spark: SparkSession, path: String): DataFrame =
-    read(spark, latest(spark, path).getOrElse(commit(spark, path)))
+    readCached(spark, latest(spark, path).getOrElse(commit(spark, path)))
 }

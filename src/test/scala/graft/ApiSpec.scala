@@ -366,4 +366,65 @@ class ApiSpec extends AnyFunSuite {
       assert(schemaKeys("ChainwebDataStats") == Dto.StatsFields.toSet)
     } finally api.stop()
   }
+
+  test("oversized or negative continuation offsets are a 400, not a 500") {
+    val api = new Api(spark, sf, 0)
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      // Dataset.offset is Int-bounded; 2^31 would wrap negative inside Spark
+      val big = getH(s"$base/txs/events?search=click&offset=${Int.MaxValue.toLong + 1}",
+                     "Chainweb-Execution-Strategy" -> "Unbounded")
+      assert(big.statusCode() === 400)
+      assert(big.body().contains("out of range"))
+      val neg = get(s"$base/txs/events?search=click&offset=-1")
+      assert(neg.statusCode() === 400)
+    } finally api.stop()
+  }
+
+  test("request-path reads are snapshot-pinned: uncommitted table files are " +
+       "invisible to every endpoint until a commit publishes them") {
+    import spark.implicits._
+    import graft.ingest.{Flatten, Upsert}
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_pin").toString
+    val hp = Flatten.joined(
+      Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    Upsert.mergeAll(spark, dir, Flatten.allTables(hp))
+    val api = new Api(spark, sf, 0, tablesDir = Some(dir))
+    api.start()
+    try {
+      val base = s"http://localhost:${api.boundPort}"
+      val ev0 = get(s"$base/txs/events?search=TRANSFER").body()
+      assert(ev0.contains("\"blockTime\":")) // extras decoration present
+      val st0 = get(s"$base/stats").body()
+      val count0 = """"transactionCount":(\d+)""".r
+        .findFirstMatchIn(st0).get.group(1).toLong
+      // Rogue UNCOMMITTED appends: duplicate a committed part file in place.
+      // A raw spark.read.parquet would list it (doubling the row set); the
+      // snapshot-pinned request path must not see it until a commit.
+      def dupPart(table: String): Unit = {
+        val td = java.nio.file.Paths.get(dir, table)
+        val part = java.nio.file.Files.list(td)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.copy(part, td.resolve("rogue-uncommitted.parquet"))
+        ()
+      }
+      dupPart("transactions")
+      dupPart("blocks")
+      assert(get(s"$base/stats").body() === st0,
+        "stats must count the pinned transactions snapshot")
+      assert(get(s"$base/txs/events?search=TRANSFER").body() === ev0,
+        "event-search extras must read the pinned blocks snapshot")
+      // a commit publishes the next version to subsequent requests
+      graft.sources.Snapshots.commit(spark, s"$dir/transactions")
+      val st1 = get(s"$base/stats").body()
+      val count1 = """"transactionCount":(\d+)""".r
+        .findFirstMatchIn(st1).get.group(1).toLong
+      // the duplicated part file holds ≥1 of the rows (the table may span
+      // several part files), so the committed count strictly grows
+      assert(count1 > count0)
+    } finally api.stop()
+  }
 }
