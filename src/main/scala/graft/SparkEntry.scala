@@ -266,6 +266,8 @@ object SparkEntry {
     "q246_ivf_persist"      -> (Similarity.q246IvfPersist _),
     "q247_passage_retrieval" -> (Retrieval.q247PassageRetrieval _),
     "q248_context_pack"     -> (Retrieval.q248ContextPack _),
+    "q249_ivf_upsert"       -> (Similarity.q249IvfUpsert _),
+    "q250_ivf_upsert_query" -> (Similarity.q250IvfUpsertQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -739,5 +741,7 @@ object SparkEntry {
     "q246_ivf_persist"       -> Similarity.ivfPersistOracle,
     "q247_passage_retrieval" -> Retrieval.passageRetrievalOracle,
     "q248_context_pack"      -> Retrieval.contextPackOracle,
+    "q249_ivf_upsert"        -> Similarity.ivfUpsertOracle,
+    "q250_ivf_upsert_query"  -> Similarity.ivfUpsertQueryOracle,
   )
 }

@@ -200,16 +200,14 @@ object Retrieval {
     * broadcast of the ≤ 100 gold scores — no corpus-sized window, no
     * per-query sort; ties break toward the smaller doc_id, matching the
     * q150 ordering. */
-  def q238MrrEval(spark: SparkSession, dir: String): DataFrame = {
-    val gold = Tables.documents(spark, dir)
-      .filter(col("doc_id") % EvalStride === EvalResidue)
-      .select(col("doc_id").as("query_id"),
-        slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
-      .orderBy(col("query_id"))
-      .limit(MaxEvalQueries)
-    val termPairs = gold.collect().toSeq.flatMap { r =>
-      r.getSeq[String](1).map(t => (r.getLong(0), t))
-    }
+  def q238MrrEval(spark: SparkSession, dir: String): DataFrame =
+    mrrEvalFor(spark, dir, evalTermPairs(spark, dir))
+
+  /** The q238 body over an arbitrary bounded (query_id, term) set —
+    * split out so the cap-discipline spec (Round9Spec) can drive it at a
+    * forced cap boundary and pin the plan shape. */
+  private[graft] def mrrEvalFor(spark: SparkSession, dir: String,
+                                termPairs: Seq[(Long, String)]): DataFrame = {
     val scored = scoredFor(spark, dir, termPairs)
       .select(col("query_id"), col("doc_id"), col("score_ppm"))
     val goldScores = scored.filter(col("doc_id") === col("query_id"))
@@ -314,17 +312,9 @@ object Retrieval {
   /** q239 — fused top-[[TopK]] per probe with both source ranks. */
   def q239HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val gold = Tables.documents(spark, dir)
-      .filter(col("doc_id") % EvalStride === EvalResidue)
-      .select(col("doc_id").as("query_id"),
-        slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
-      .orderBy(col("query_id"))
-      .limit(MaxEvalQueries)
-    val goldRows = gold.collect().toSeq
-    val qids = goldRows.map(_.getLong(0))
-    val termPairs = goldRows.flatMap { r =>
-      r.getSeq[String](1).map(t => (r.getLong(0), t))
-    }
+    val goldRows = evalGold(spark, dir)
+    val qids = goldRows.map(_._1)
+    val termPairs = goldRows.flatMap { case (q, ts) => ts.map(t => (q, t)) }
     // sparse leg: BM25 rank, probe doc excluded, depth-cut
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
@@ -512,16 +502,27 @@ object Retrieval {
       .agg(sum(col("term_ppm")).as("score_ppm"))
   }
 
-  private def evalTermPairs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+  /** The ONE bounded eval-query sampler behind q238/q239/q247/q248:
+    * stride-filter → ordered LIMIT `cap` → collect. Every control-plane
+    * structure downstream (term IN literal, terms broadcast, gold-score
+    * broadcast) inherits the cap. Parameterized so Round9Spec can force
+    * the cap boundary (stride 1 over the whole corpus) and prove the
+    * discipline holds there. */
+  private[graft] def evalGold(spark: SparkSession, dir: String,
+                              stride: Long = EvalStride,
+                              residue: Long = EvalResidue,
+                              cap: Int = MaxEvalQueries): Seq[(Long, Seq[String])] =
     Tables.documents(spark, dir)
-      .filter(col("doc_id") % EvalStride === EvalResidue)
+      .filter(col("doc_id") % stride === residue)
       .select(col("doc_id").as("query_id"),
         slice(array_distinct(TextOps.tokens(col("text"))), 1, QueryTerms).as("qt"))
       .orderBy(col("query_id"))
-      .limit(MaxEvalQueries)
+      .limit(cap)
       .collect().toSeq
-      .flatMap(r => r.getSeq[String](1).map(t => (r.getLong(0), t)))
-  }
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+
+  private def evalTermPairs(spark: SparkSession, dir: String): Seq[(Long, String)] =
+    evalGold(spark, dir).flatMap { case (q, ts) => ts.map(t => (q, t)) }
 
   /** q247 — top passages per probe query. */
   def q247PassageRetrieval(spark: SparkSession, dir: String): DataFrame = {

@@ -2499,4 +2499,212 @@ object Similarity {
        |  FROM alt)
        |WHERE mr <= sz - (SELECT cap FROM capv)
        |ORDER BY from_label, vec_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q249/q250 — INCREMENTAL MAINTENANCE of the persisted IVF index
+  // (VERDICT r8 item 2): q246 rebuilds from scratch, but a serving index
+  // ingests new vectors continuously. The upsert path: quantize the
+  // new-vector batch against the STORED centroids (the coarse quantizer is
+  // frozen between retrains — the FAISS/ScaNN operational contract), then
+  // MERGE into the cell-partitioned postings under the ingest PK
+  // discipline (anti-join on vec_id, the `ingest/Upsert` idempotence rule;
+  // reference analog: the fill/gap repair loop
+  // haskell-src/exec/Chainweb/Gaps.hs — re-running a repair must be a
+  // no-op). Because EVERY vector's cell is quantize-assigned (base at
+  // build, batch at upsert) against the same frozen centroids, build+upsert
+  // is associative: the merged index is bit-identical to a one-shot build
+  // over base ∪ batch — Round9Spec proves it, and the double-merge inside
+  // [[buildUpsertStore]] makes replay-idempotence part of the CORRECTNESS
+  // gate itself (a duplicated merge would inflate q249's cell accounting
+  // and q250's candidate sets against the oracle replay).
+  //
+  // Scale: the batch is quantized against a broadcast centroid table and
+  // shuffles once on cell for the partitioned append; the anti-join reads
+  // only the postings' vec_id column (column pruning at the scan). Nothing
+  // corpus-sized crosses the driver; list sizes (q249's output) feed
+  // q245's rebalance plan directly.
+  // -------------------------------------------------------------------------
+
+  private val UpsertStride = 7L
+  private val UpsertResidue = 2L
+
+  /** Per-label mean centroids (6dp via the DECIMAL route — q246's math)
+    * over the given slice. */
+  private def centroidsOf(xs: DataFrame): DataFrame =
+    xs.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+                     _.getField("c")).as("cv"))
+
+  /** Quantize-assign every vector to its nearest stored centroid (rounded
+    * squared-L2, centroid-id tiebreak — the q53/q246 probe math). */
+  private def assignCells(xs: DataFrame, cent: DataFrame): DataFrame = {
+    val sqd = round(aggregate(
+      zip_with(col("v"), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p), 4)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("clabel"))
+    xs.crossJoin(broadcast(
+        cent.select(col("label").as("clabel"), col("cv"))))
+      .withColumn("cdist", sqd)
+      .withColumn("cr", row_number().over(w))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"), col("v"), col("nrm"))
+  }
+
+  /** Build the base index (vec_id % [[UpsertStride]] ≠ [[UpsertResidue]]),
+    * then merge the remaining batch `merges` times (default twice — the
+    * replay). Returns the store path. */
+  private[graft] def buildUpsertStore(spark: SparkSession, dir: String,
+                                      merges: Int = 2): String = {
+    val e = vecs(spark, dir)
+    val base = e.filter(col("vec_id") % UpsertStride =!= UpsertResidue)
+    val batch = e.filter(col("vec_id") % UpsertStride === UpsertResidue)
+    val cent = centroidsOf(base) // the frozen coarse quantizer
+    val store = graft.Stores.path(spark, "graft_ivf_upsert_store")
+    assignCells(base, cent)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$store/postings")
+    cent.write.mode("overwrite").parquet(s"$store/centroids")
+    (1 to merges).foreach { _ =>
+      // localCheckpoint materializes the novel rows before the append
+      // touches the same directory it was computed from.
+      upsertNovel(spark, store, batch).localCheckpoint()
+        .write.mode("append").partitionBy("cell").parquet(s"$store/postings")
+    }
+    store
+  }
+
+  /** The MERGE arm of the upsert: quantize `batch` against the STORED
+    * centroids, then PK anti-join against the stored postings — whose
+    * scan reads ONLY the vec_id column (pruned). Exposed un-checkpointed
+    * so Round9Spec can pin the plan shape. */
+  private[graft] def upsertNovel(spark: SparkSession, store: String,
+                                 batch: DataFrame): DataFrame = {
+    val existing = spark.read.parquet(s"$store/postings").select(col("vec_id"))
+    val storedCent = spark.read.parquet(s"$store/centroids")
+    assignCells(batch, storedCent).join(existing, Seq("vec_id"), "left_anti")
+  }
+
+  /** The upsert batch slice (vec_id ≡ [[UpsertResidue]] mod
+    * [[UpsertStride]]) — the spec's handle on the merge input. */
+  private[graft] def upsertBatch(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") % UpsertStride === UpsertResidue)
+
+  /** One-shot reference index for Round9Spec: every vector (base ∪ batch)
+    * quantize-assigned against the base-derived centroids in a single
+    * pass, never touching storage — the merged store must equal this. */
+  private[graft] def upsertAssignedAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val base = e.filter(col("vec_id") % UpsertStride =!= UpsertResidue)
+    assignCells(e, centroidsOf(base))
+  }
+
+  /** q249 — post-upsert cell accounting (read back from the store): list
+    * sizes before/after + members added, the exact feed of q245's
+    * rebalance planner. Batch membership is recovered from the PK stride,
+    * so a non-idempotent merge inflates `n_added` against the oracle. */
+  def q249IvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val store = buildUpsertStore(spark, dir)
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("sz_after"),
+           sum(when(col("vec_id") % UpsertStride === UpsertResidue, 1L)
+                 .otherwise(0L)).as("n_added"))
+      .select(col("cell"), (col("sz_after") - col("n_added")).as("sz_base"),
+              col("n_added"), col("sz_after"))
+      .orderBy(col("cell"))
+  }
+
+  /** q250 — query-after-upsert: the q246 probe (re-quantize each query
+    * against the stored centroids, exact cosine top-k inside the one
+    * probed cell) served entirely from the MERGED postings — upserted
+    * vectors appear as first-class candidates. */
+  def q250IvfUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val store = buildUpsertStore(spark, dir)
+    val postings = spark.read.parquet(s"$store/postings")
+    val centroids = spark.read.parquet(s"$store/centroids")
+    val q = postings.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = round(aggregate(
+      zip_with(col("qv"), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p), 4)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("rdist", sqDist)
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("label").cast("long").as("cell"),
+              col("qv"), col("qn"))
+    val sim = round(call_function("graft_dot", col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm")), 4)
+    val pairs = postings.withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Shared oracle CTE chain: base/batch split, base-derived centroids,
+    * quantize-assignment of EVERY vector — the replay of build+upsert
+    * straight from `embeddings`. */
+  private def upsertChainSql: String =
+    s"""e AS (
+       |  SELECT vec_id, label, v, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |base AS (SELECT * FROM e WHERE vec_id % $UpsertStride != $UpsertResidue),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+       |    FROM base, generate_series(1, $DIMS) AS g(i) GROUP BY label, i)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, label, cell, v, nrm FROM (
+       |    SELECT x.vec_id, x.label, c.label AS cell, x.v, x.nrm,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))), 4), c.label) AS cr
+       |    FROM e x, cent c)
+       |  WHERE cr = 1)""".stripMargin
+
+  val ivfUpsertOracle: String =
+    s"""WITH $upsertChainSql
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(sum(CASE WHEN vec_id % $UpsertStride != $UpsertResidue
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS sz_base,
+       |  CAST(sum(CASE WHEN vec_id % $UpsertStride = $UpsertResidue
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(count(*) AS BIGINT) AS sz_after
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+
+  val ivfUpsertQueryOracle: String =
+    s"""WITH $upsertChainSql,
+       |probes AS (
+       |  SELECT q_id, cell, qv, qn FROM (
+       |    SELECT q.vec_id AS q_id, c.label AS cell, q.v AS qv, q.nrm AS qn,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS pr
+       |    FROM assigned q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr = 1),
+       |sims AS (
+       |  SELECT p.q_id, n.vec_id AS n_id,
+       |    round(list_dot_product(p.qv, n.v) / sqrt(p.qn * n.nrm), 4) AS cos_sim
+       |  FROM probes p JOIN assigned n ON n.cell = p.cell AND n.vec_id != p.q_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
 }

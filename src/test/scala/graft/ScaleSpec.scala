@@ -679,6 +679,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 operators: IVF upsert accounting and query-after-upsert " +
+       "keep the q246 discipline — broadcast quantizer/probes, keyed " +
+       "postings join, per-query windows only") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // q249: store read-back → one keyed aggregate; no cartesian, no window
+    val up = finalPlan(graft.operators.Similarity.q249IvfUpsert(spark, dir))
+    assert(!up.contains("CartesianProduct"), s"cartesian in q249:\n$up")
+    assert(!up.contains("windowspecdefinition"), s"unexpected window in q249:\n$up")
+    // q250: quantizer + probes broadcast (the corpus-width joins are
+    // corpus × bounded broadcast relations), every window partitions by
+    // the bounded q_id/vec_id side — never a shuffled cartesian
+    val qa = graft.operators.Similarity.q250IvfUpsertQuery(spark, dir)
+    val qs = finalPlan(qa)
+    assert(!qs.contains("CartesianProduct"), s"shuffled cartesian in q250:\n$qs")
+    val qWins = qs.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(qWins.nonEmpty &&
+      qWins.forall(w => w.contains("q_id") || w.contains("vec_id")),
+      s"q250 window not query-partitioned:\n$qs")
+    assert(PlanWalk.allNodes(qa)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      s"q250 probes should broadcast:\n$qs")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
