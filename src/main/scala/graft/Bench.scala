@@ -2,12 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query steady-state seconds.
-  * Each query runs three times — the first pass pays codegen/JIT/file-listing
-  * warmup, then the better of two measured passes is reported (what a
-  * long-running cluster job sees). Min-of-2 keeps the number a property of
-  * the QUERY, not of the host: single-run timings on this VM occasionally
-  * absorb a multi-second scheduler stall that moves to a different query on
-  * every invocation. */
+  * Each query runs a warmup pass (codegen/JIT/file-listing) then two
+  * measured passes, reporting the better (what a long-running cluster job
+  * sees); queries still above 5 s get a third measured pass (min-of-3).
+  * Min-of-k keeps the number a property of the QUERY, not of the host:
+  * single-run timings on this VM occasionally absorb a multi-second
+  * scheduler stall that moves to a different query on every invocation,
+  * and the >5 s cohort needs the extra sample to sit within ±15% across
+  * identical-code rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,11 +83,24 @@ object Bench {
       }
     }
     val prewarmSec = (System.nanoTime() - pw0) / 1e9
+    // Heavy-cohort stabilization: queries whose best-of-two still exceeds
+    // HeavyCutoff get a third measured pass (min-of-3). The >5 s
+    // similarity/novelty family swings ±50% between identical-code rounds
+    // under min-of-2 on this VM (q139 6.7→10.0 s round-over-round with an
+    // unchanged plan); one extra sample costs ~1 min total and brings
+    // unchanged-code deltas inside ±15%.
+    val HeavyCutoffNs = 5L * 1000 * 1000 * 1000
     val results = selected.map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
       val (ns1, ok1) = run(fn)      // steady-state, best of two
       val (ns2, ok2) = run(fn)
-      (name, math.min(ns1, ns2) / 1e9, ok1 && ok2)
+      val best2 = math.min(ns1, ns2)
+      val (best, ok) =
+        if (best2 > HeavyCutoffNs) {
+          val (ns3, ok3) = run(fn)  // min-of-3 for the heavy cohort
+          (math.min(best2, ns3), ok1 && ok2 && ok3)
+        } else (best2, ok1 && ok2)
+      (name, best / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
 object BoundedScan {
 
   /** Per-endpoint composite cursor: column name + direction (O1 —
-    * Queries.hs:85-88,201-205; e.g. txs: height DESC, requestkey DESC). */
+    * Queries.hs:85-88,201-205; e.g. txs: height DESC, requestkey DESC).
+    *
+    * CONTRACT: the composite cursor must be UNIQUE per row (a total
+    * order). Keyset resumption is strictly-after; if two rows share the
+    * whole cursor tuple, any page or scan-budget boundary landing between
+    * them silently drops the second — and the Bounded vs Unbounded
+    * strategies stop agreeing, because their boundaries fall in different
+    * places. Serving specs therefore append a PK tiebreak (block hash)
+    * beyond the reference's cursor fields; BoundedScanSpec's
+    * orphan-duplicate property is the regression pin. */
   final case class CursorSpec(cols: Seq[(String, Boolean)]) {
     def orderCols: Seq[Column] =
       cols.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }

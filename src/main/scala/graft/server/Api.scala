@@ -54,7 +54,18 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
       throw new IllegalStateException("no ingested tables configured")))
       .localCheckpoint()
 
-  private val txSpec = CursorSpec(Seq("height" -> true, "requestkey" -> true))
+  /** Tx cursor: the reference's (height DESC, reqkey DESC) TxCursor
+    * (Queries.hs:78-81) PLUS a block-hash tiebreak. Orphan fork copies
+    * share (height, requestkey), and keyset resumption over a NON-unique
+    * cursor drops a duplicate whenever a page or scan-budget boundary
+    * splits the equal-cursor run (the strictly-after predicate skips the
+    * twin) — under a split the Bounded and Unbounded strategies would even
+    * disagree. The extra component makes the composite cursor a total
+    * order; the continuation token is opaque to clients, so the payload
+    * growing one field is invisible. BoundedScanSpec's orphan-duplicate
+    * property pins this. */
+  private val txSpec = CursorSpec(
+    Seq("height" -> true, "requestkey" -> true, "block" -> true))
 
   // --- Load-adaptive throttling (Server.hs:123-132): in-flight requests
   //     stand in for pool contention; budgets scale by the same factor.
@@ -186,7 +197,11 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     * requestkey DESC, idx ASC); without them it demos the same engine on
     * the synthetic events table. */
   private val evSpec = CursorSpec(
-    Seq("height" -> true, "requestkey" -> true, "idx" -> false))
+    Seq("height" -> true, "requestkey" -> true, "idx" -> false,
+        // block-hash tiebreak: orphan fork copies share the reference's
+        // whole (height, reqkey, idx) EventCursor (Queries.hs:190-194);
+        // uniqueness is what makes keyset resumption lossless — see txSpec
+        "block" -> true))
 
   private def searchEvents(p: Map[String, String], bounded: Boolean)
       : (String, Map[String, String]) = {

@@ -95,6 +95,76 @@ class BoundedScanSpec extends AnyFunSuite {
     assert(pageAll(1000, 13, Some(Continuation(None, 1000000))) === Seq.empty)
   }
 
+  test("orphan-duplicate paging completeness: Bounded and Unbounded " +
+       "enumerate the identical sequence to exhaustion for adversarial " +
+       "scan budgets (VERDICT r8 item 6 — the §5 contract)") {
+    import spark.implicits._
+    // a tx-shaped fixture with ORPHAN DUPLICATES: fork twins sharing the
+    // reference's whole (height, requestkey) TxCursor, distinguishable
+    // only by block hash — exactly the rows a non-unique cursor drops
+    // when a boundary splits the equal-cursor run
+    val rows = Seq(
+      (9L, "rk_i", "b_main9", true),
+      (8L, "rk_h", "b_main8", true),
+      (7L, "rk_g", "b_fork7a", true),  // fork twins, both match
+      (7L, "rk_g", "b_fork7b", true),
+      (7L, "rk_f", "b_main7", false),
+      (6L, "rk_e", "b_fork6a", true),  // fork twins, both match
+      (6L, "rk_e", "b_fork6b", true),
+      (6L, "rk_e", "b_fork6c", true),  // triple fork
+      (5L, "rk_d", "b_main5", false),
+      (5L, "rk_c", "b_fork5a", false), // non-matching twins (scan load)
+      (5L, "rk_c", "b_fork5b", false),
+      (4L, "rk_b", "b_main4", true),
+      (3L, "rk_a", "b_fork3a", true),
+      (3L, "rk_a", "b_fork3b", true))
+    val src = rows.toDF("height", "requestkey", "block", "is_match")
+      .repartition(4) // duplicates deliberately scattered across tasks
+    // the serving spec's shape: reference cursor + block-hash tiebreak
+    val spec2 = CursorSpec(Seq(
+      "height" -> true, "requestkey" -> true, "block" -> true))
+    val matchCol = col("is_match")
+    val expected = src.filter(matchCol)
+      .orderBy(col("height").desc, col("requestkey").desc, col("block").desc)
+      .select(col("height"), col("requestkey"), col("block"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(expected.length == 10) // 5 singles/twins + the triple, all kept
+
+    def drain(step: (Option[Continuation]) => (Seq[org.apache.spark.sql.Row],
+                                               Option[Continuation]))
+        : Seq[(Long, String, String)] = {
+      var cont: Option[Continuation] = None
+      var out = Vector.empty[(Long, String, String)]
+      var first = true
+      var pages = 0
+      while (first || cont.isDefined) {
+        first = false
+        val (rs, next) = step(cont)
+        out ++= rs.map(r => (r.getAs[Long]("height"),
+          r.getAs[String]("requestkey"), r.getAs[String]("block")))
+        cont = next
+        pages += 1
+        assert(pages < 64, "paging did not terminate")
+      }
+      out
+    }
+
+    for (resultLimit <- Seq(1, 2, 3, 9)) {
+      val unb = drain(c => BoundedScan.performUnbounded(
+        src, spec2, matchCol, resultLimit, c))
+      assert(unb === expected, s"unbounded resultLimit=$resultLimit")
+      // adversarial scan budgets: 1 (boundary after EVERY row), 2 and 3
+      // (boundaries inside both twin runs and the triple), up to ∞-like
+      for (scanLimit <- Seq(1, 2, 3, 4, 7, 1000)) {
+        val bnd = drain(c => BoundedScan.performBoundedScan(
+          src, spec2, matchCol, scanLimit, resultLimit, c))
+        assert(bnd === expected,
+          s"bounded scanLimit=$scanLimit resultLimit=$resultLimit")
+        assert(bnd === unb) // the two strategies agree, page-set-wise
+      }
+    }
+  }
+
   test("continuation token codec round-trips") {
     val cases = Seq(
       Continuation(None, 42),

@@ -42,6 +42,13 @@ QUERIES = [
     # distributed-CC branch (driver shortcut disabled via env below)
     "q214_novelty_quality", "q182_gif_decode", "q210_image_ahash",
     "q229_image_near_dup", "q42_dedup_clusters",
+    # round-9 batch (VERDICT r8 items 1/5): the >2.5s new families with
+    # static plan pins but no measured curve yet -- pHash DCT decode,
+    # known-item MRR eval, hybrid dense+sparse fusion, the persisted-IVF
+    # build+query round trip and its incremental-upsert variant, and
+    # passage retrieval (q248 shares its passageScores leaf)
+    "q237_image_phash", "q238_mrr_eval", "q239_hybrid_retrieval",
+    "q246_ivf_persist", "q247_passage_retrieval", "q250_ivf_upsert_query",
 ]
 
 SCALES = [
@@ -94,7 +101,8 @@ def main() -> None:
             "exponent": round(alpha, 3),
         }
     doc = {
-        "method": ("graft.Bench (warmup + min-of-2 toRdd.count) on sf0.1 and "
+        "method": ("graft.Bench (warmup + min-of-2 toRdd.count, min-of-3 "
+                   "above 5s) on sf0.1 and "
                    "its 3x/10x deterministic replicas (tools/gen_scale.py: "
                    "per-replica disjoint vocab, constant dimension "
                    "cardinality, constant per-label blocks); exponent = "
