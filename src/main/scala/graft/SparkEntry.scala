@@ -268,6 +268,12 @@ object SparkEntry {
     "q248_context_pack"     -> (Retrieval.q248ContextPack _),
     "q249_ivf_upsert"       -> (Similarity.q249IvfUpsert _),
     "q250_ivf_upsert_query" -> (Similarity.q250IvfUpsertQuery _),
+    "q251_binary_quant"     -> (Similarity.q251BinaryQuantRecall _),
+    "q252_ndcg_eval"        -> (Retrieval.q252NdcgEval _),
+    "q253_grounding_audit"  -> (Retrieval.q253GroundingAudit _),
+    "q254_clip_align_stub"  -> (Multimodal.q254ClipAlignStub _),
+    "q255_license_tag"      -> (License.q255LicenseTag _),
+    "q256_streaming_ivf_upsert" -> (Similarity.q256StreamingIvfUpsert _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -743,5 +749,11 @@ object SparkEntry {
     "q248_context_pack"      -> Retrieval.contextPackOracle,
     "q249_ivf_upsert"        -> Similarity.ivfUpsertOracle,
     "q250_ivf_upsert_query"  -> Similarity.ivfUpsertQueryOracle,
+    "q251_binary_quant"      -> Similarity.binaryQuantRecallOracle,
+    "q252_ndcg_eval"         -> Retrieval.ndcgEvalOracle,
+    "q253_grounding_audit"   -> Retrieval.groundingAuditOracle,
+    "q254_clip_align_stub"   -> Multimodal.clipAlignStubOracle,
+    "q255_license_tag"       -> License.licenseTagOracle,
+    "q256_streaming_ivf_upsert" -> Similarity.streamingIvfUpsertOracle,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (BASELINE.json north star): media as opaque
@@ -1404,4 +1405,86 @@ object Multimodal {
       |    AS p_last_77
       |FROM cells GROUP BY doc_id, nf, w, h
       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q254 — CROSS-MODAL ALIGNMENT audit (the CLIP-filtering stub): every
+  // LAION-style image+text pipeline scores how well each image matches
+  // its paired text and drops the bottom tail (mislabeled pairs poison
+  // multimodal training). The real scorer is a learned dual encoder; the
+  // container has no model, so the image tower is STUBBED with a
+  // deterministic pseudo-embedding — the 64 aHash bits through the REAL
+  // decode path, mapped to a ±1 vector — while the text tower is the real
+  // `embeddings` row (vec_id ≡ doc_id in the fixture). Everything around
+  // the stub is the production shape: decode → per-image embedding →
+  // id-keyed join against the text embedding → cosine → bottom-K audit
+  // list. Swapping the stub for a real encoder changes ONE mapPartitions.
+  //
+  // Scale: decode is partition-local (q210), the join is id-keyed, and
+  // the bottom-K is a TakeOrderedAndProject — no corpus-wide window, no
+  // shuffle beyond the one id join. The source decoration joins AFTER the
+  // ≤ K-row take.
+  // -------------------------------------------------------------------------
+
+  private val AlignBottomK = 20
+
+  def q254ClipAlignStub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val imgs = imageTable(spark, dir).withColumnRenamed("doc_id", "img_id")
+    val bits = ahashBits(imgs).select(col("img_id").as("doc_id"), col("bits"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+      .withColumn("nrm", call_function("graft_dot", col("v"), col("v")))
+    val scored = bits.join(e, "doc_id")
+      .withColumn("sv", expr("transform(sequence(1, 64), " +
+        "i -> CASE WHEN substr(bits, i, 1) = '1' THEN 1.0D ELSE -1.0D END)"))
+      .withColumn("dp", expr("aggregate(zip_with(sv, v, " +
+        "(s, x) -> s * CAST(x AS DOUBLE)), 0.0D, (acc, p) -> acc + p)"))
+      .withColumn("align_e4",
+        round(col("dp") / sqrt(lit(64.0) * col("nrm")) * 10000, 0).cast("long"))
+      .select(col("doc_id"), col("align_e4"))
+    val bottom = scored.orderBy(col("align_e4"), col("doc_id"))
+      .limit(AlignBottomK)
+    // rank window AFTER the take — bounded to K rows by construction
+    val w = Window.orderBy(col("align_e4"), col("doc_id"))
+    bottom.withColumn("rank", row_number().over(w).cast("long"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("source"), col("align_e4"))
+      .orderBy(col("rank"))
+  }
+
+  val clipAlignStubOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    16 + (doc_id*37 + 11) % 48 AS w,
+       |    16 + (doc_id*53 + 7) % 48 AS h
+       |  FROM documents),
+       |cells AS (
+       |  SELECT doc_id, gx, gy,
+       |    (doc_id*31 + ((gx*w)//8)*7 + ((gy*h)//8)*13) % 256 AS px
+       |  FROM m, generate_series(0, 7) g1(gx), generate_series(0, 7) g2(gy)),
+       |s AS (SELECT doc_id, sum(px) AS total FROM cells GROUP BY doc_id),
+       |sv AS (
+       |  SELECT c.doc_id,
+       |    list(CASE WHEN 64*px > total THEN 1.0 ELSE -1.0 END
+       |         ORDER BY gy, gx) AS sl
+       |  FROM cells c JOIN s USING (doc_id) GROUP BY c.doc_id),
+       |e AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+       |                     list_transform(embedding, x -> x::DOUBLE)) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT sv.doc_id,
+       |    CAST(round(list_dot_product(sl, v) / sqrt(64.0 * nrm) * 10000, 0)
+       |      AS BIGINT) AS align_e4
+       |  FROM sv JOIN e USING (doc_id)),
+       |bottom AS (
+       |  SELECT doc_id, align_e4,
+       |    CAST(row_number() OVER (ORDER BY align_e4, doc_id) AS BIGINT) AS rank
+       |  FROM scored ORDER BY align_e4, doc_id LIMIT $AlignBottomK)
+       |SELECT rank, b.doc_id, d.source, align_e4
+       |FROM bottom b JOIN documents d ON d.doc_id = b.doc_id
+       |ORDER BY rank""".stripMargin
 }

@@ -115,7 +115,10 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_ppm")).as("score_ppm"),
            sum(col("idf_ppm")).as("overlap_ppm"),
-           count(lit(1)).as("n_hit"))
+           count(lit(1)).as("n_hit"),
+           // raw query-term mass — q252's graded-relevance signal (a gold
+           // grade INDEPENDENT of the ranker's saturation/normalization)
+           sum(col("tf")).as("tf_mass"))
     scored
   }
 
@@ -460,12 +463,12 @@ object Retrieval {
     * windows → query-vocab-cut tf → the q150 BM25-ppm chain with passage
     * df/avgdl. Same scale shape as [[scoredFor]] — the explode is cut to
     * query-term rows at the scan; passage stats are two control scalars. */
-  private def passageScores(spark: SparkSession, dir: String,
-                            termPairs: Seq[(Long, String)]): DataFrame = {
-    import spark.implicits._
-    val vocab = termPairs.map(_._2).distinct
+  /** The passage relation: overlapping [[PassageLen]]-token windows every
+    * [[PassageStride]] tokens — the corpus side of q247/q248, and q253's
+    * context-token source. */
+  private[graft] def passages(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
-    val pass = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), t.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 1, lit(PassageStride)))
@@ -475,6 +478,13 @@ object Retrieval {
         slice(col("t"), col("chunk_start") + 1, lit(PassageLen)).as("pt"))
       .select(col("doc_id"), col("chunk_idx"), col("pt"),
         size(col("pt")).cast("long").as("dl"))
+  }
+
+  private def passageScores(spark: SparkSession, dir: String,
+                            termPairs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    val vocab = termPairs.map(_._2).distinct
+    val pass = passages(spark, dir)
     val row = pass.agg(count(lit(1)), sum(col("dl"))).first()
     val n = row.getLong(0)
     val avgdlPpm = row.getLong(1) * 1000000L / n
@@ -542,10 +552,17 @@ object Retrieval {
     * (rather than skip-and-continue) packing keeps the context in rank
     * order and makes the selection a pure window cumsum over the ≤
     * [[PackDepth]]-row per-query list — no sequential state anywhere. */
-  def q248ContextPack(spark: SparkSession, dir: String): DataFrame = {
+  def q248ContextPack(spark: SparkSession, dir: String): DataFrame =
+    contextPackFor(spark, dir, evalTermPairs(spark, dir))
+
+  /** The q248 body over an arbitrary bounded (query_id, term) set —
+    * shared with q253, whose grounding audit reads the SAME packed
+    * selection. */
+  private[graft] def contextPackFor(spark: SparkSession, dir: String,
+                                    termPairs: Seq[(Long, String)]): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk_idx"))
-    val ranked = passageScores(spark, dir, evalTermPairs(spark, dir))
+    val ranked = passageScores(spark, dir, termPairs)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= PackDepth)
     val cum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
@@ -661,7 +678,7 @@ object Retrieval {
        |  GROUP BY doc_id, dl, term),
        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |parts AS (
-       |  SELECT q.query_id, tf.doc_id,
+       |  SELECT q.query_id, tf.doc_id, tf.tf,
        |    CAST(CAST(tf.tf AS HUGEINT) * 2200000 * 1000000 //
        |      (tf.tf * 1000000 + 300000 +
        |       900000 * (CAST(tf.dl AS HUGEINT) * 1000000000000 // s.avgdl_ppm)
@@ -675,7 +692,8 @@ object Retrieval {
        |    CAST(sum(CAST(tfn_ppm AS HUGEINT) * idf_ppm // 1000000) AS BIGINT)
        |      AS score_ppm,
        |    CAST(sum(idf_ppm) AS BIGINT) AS overlap_ppm,
-       |    CAST(count(*) AS BIGINT) AS n_hit
+       |    CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(tf) AS BIGINT) AS tf_mass
        |  FROM parts GROUP BY query_id, doc_id)""".stripMargin
   }
 
@@ -708,4 +726,182 @@ object Retrieval {
        |              ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
        |  FROM fused)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q252 — NDCG@k retrieval-quality eval (Järvelin & Kekäläinen, TOIS'02):
+  // the standard graded-relevance ranking metric. The gold grade is the
+  // raw query-term mass per doc (sum of tfs — a signal INDEPENDENT of the
+  // ranker's tf-saturation and length normalization, so BM25's top-k and
+  // the grade-ideal ordering genuinely disagree and the metric
+  // discriminates). DCG uses linear gains and the 1/log2(1+r) discount as
+  // a FIXED-POINT table: the k integers are computed ONCE in Scala
+  // ([[InvLog2Ppm]]) and rendered into both engines (the q237 embedded-
+  // constant convention — no transcendental evaluated in either engine).
+  //
+  // Scale: the per-query candidate relation is already vocabulary-cut at
+  // the scan (scoredFor); both rankings window per-query; the discount
+  // table is a k-row broadcast. ndcg_ppm is exact integer arithmetic.
+  // -------------------------------------------------------------------------
+
+  val NdcgK = 10
+
+  /** round(1e6 / log2(r+1)) for r = 1..[[NdcgK]] — fixed-point discount
+    * table, embedded identically into the Spark plan and the oracle. */
+  val InvLog2Ppm: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  def q252NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val disc = broadcast(InvLog2Ppm.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("r", "invlog_ppm"))
+    val scored = scoredAll(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"),
+              col("tf_mass").as("rel"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val dcg = scored
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= NdcgK)
+      .join(disc, col("rank") === col("r"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("invlog_ppm")).as("dcg"))
+    val wI = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = scored
+      .withColumn("irank", row_number().over(wI).cast("long"))
+      .filter(col("irank") <= NdcgK)
+      .join(disc, col("irank") === col("r"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("invlog_ppm")).as("idcg"))
+    dcg.join(idcg, "query_id")
+      .withColumn("ndcg_ppm", expr("dcg * 1000000 DIV idcg"))
+      .orderBy(col("query_id"))
+  }
+
+  private def discValuesSql: String = InvLog2Ppm.zipWithIndex
+    .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+
+  val ndcgEvalOracle: String =
+    s"""WITH $bm25ChainSql,
+       |disc AS (SELECT * FROM (VALUES $discValuesSql) v(r, invlog_ppm)),
+       |ranked AS (
+       |  SELECT query_id, doc_id, tf_mass AS rel,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored),
+       |dcg AS (
+       |  SELECT query_id, CAST(sum(rel * invlog_ppm) AS BIGINT) AS dcg
+       |  FROM ranked JOIN disc ON disc.r = ranked.rank
+       |  WHERE rank <= $NdcgK GROUP BY query_id),
+       |ideal AS (
+       |  SELECT query_id, tf_mass AS rel,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY tf_mass DESC, doc_id) AS BIGINT) AS irank
+       |  FROM scored),
+       |idcg AS (
+       |  SELECT query_id, CAST(sum(rel * invlog_ppm) AS BIGINT) AS idcg
+       |  FROM ideal JOIN disc ON disc.r = ideal.irank
+       |  WHERE irank <= $NdcgK GROUP BY query_id)
+       |SELECT query_id, dcg, idcg, CAST(dcg * 1000000 // idcg AS BIGINT)
+       |  AS ndcg_ppm
+       |FROM dcg JOIN idcg USING (query_id) ORDER BY query_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q253 — ANSWER-GROUNDING AUDIT over the packed context (the RAG
+  // serving check downstream of q248): for each eval query, the "answer"
+  // is the gold document's continuation — its next [[AnswerLen]] distinct
+  // tokens after the [[QueryTerms]] query terms — and the audit measures
+  // what fraction of those answer tokens actually appear in the context
+  // q248 packs for that query. Low grounding = the budget-packed context
+  // cannot support the expected answer (citation/attribution failure),
+  // the metric RAG pipelines gate on before serving.
+  //
+  // Scale: the eval side is the one capped sampler (≤ MaxEvalQueries ×
+  // (QueryTerms+AnswerLen) driver rows, all broadcast); the packed
+  // selection is ≤ 100 queries × PackDepth rows broadcast against the
+  // passage relation (id-keyed join), and the coverage count is a keyed
+  // aggregate over ≤ |packed|·PassageLen exploded rows. The corpus never
+  // self-joins; text token lists move only for the packed passages.
+  // -------------------------------------------------------------------------
+
+  val AnswerLen = 8
+
+  def q253GroundingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // one bounded sampler: query terms (positions 1..QueryTerms of the
+    // distinct-token stream) AND answer tokens (the next AnswerLen)
+    val wide = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalStride === EvalResidue)
+      .select(col("doc_id").as("query_id"),
+        slice(array_distinct(TextOps.tokens(col("text"))), 1,
+              QueryTerms + AnswerLen).as("dt"))
+      .orderBy(col("query_id"))
+      .limit(MaxEvalQueries)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val termPairs = wide.flatMap { case (q, ts) =>
+      ts.take(QueryTerms).map(t => (q, t)) }
+    val ansPairs = wide.flatMap { case (q, ts) =>
+      ts.drop(QueryTerms).map(t => (q, t)) }
+    val na = wide
+      .map { case (q, ts) => (q, (ts.size - QueryTerms).toLong) }
+      .filter(_._2 > 0).toDF("query_id", "n_ans")
+    val packed = contextPackFor(spark, dir, termPairs)
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"))
+    val ctxTerms = passages(spark, dir)
+      .join(broadcast(packed), Seq("doc_id", "chunk_idx"))
+      .select(col("query_id"), explode(col("pt")).as("term"))
+      .distinct()
+    val hits = ctxTerms
+      .join(broadcast(ansPairs.toDF("query_id", "term")),
+            Seq("query_id", "term"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    broadcast(na).join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ans"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("grounding_ppm", expr("n_hit * 1000000 DIV n_ans"))
+      .orderBy(col("query_id"))
+  }
+
+  val groundingAuditOracle: String =
+    s"""WITH $passageChainSql,
+       |firsts2 AS (
+       |  SELECT query_id, term, min(o) AS fo FROM occ
+       |  GROUP BY query_id, term),
+       |ans AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY fo) AS pos
+       |    FROM firsts2)
+       |  WHERE pos > $QueryTerms AND pos <= ${QueryTerms + AnswerLen}),
+       |ranked2 AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $PackDepth),
+       |packed AS (
+       |  SELECT query_id, doc_id, chunk_idx FROM (
+       |    SELECT query_id, doc_id, chunk_idx,
+       |      CAST(sum(dl) OVER (PARTITION BY query_id ORDER BY rank
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS cum_tok
+       |    FROM ranked2)
+       |  WHERE cum_tok <= $ContextBudget),
+       |ctx AS (
+       |  SELECT DISTINCT p.query_id, u.term
+       |  FROM packed p JOIN pass USING (doc_id, chunk_idx),
+       |       unnest(pass.pt) AS u(term)),
+       |hit AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ans a JOIN ctx c ON c.query_id = a.query_id AND c.term = a.term
+       |  GROUP BY a.query_id),
+       |na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ans
+       |       FROM ans GROUP BY query_id)
+       |SELECT na.query_id, n_ans,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) * 1000000 // n_ans AS BIGINT)
+       |    AS grounding_ppm
+       |FROM na LEFT JOIN hit USING (query_id)
+       |WHERE n_ans > 0 ORDER BY na.query_id""".stripMargin
 }

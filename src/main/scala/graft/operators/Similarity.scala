@@ -2707,4 +2707,158 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
        |  FROM sims)
        |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q251 — BINARY (sign) QUANTIZATION + Hamming ANN with an embedded
+  // exact-recall audit. The 1-bit-per-dimension code is the most
+  // aggressive compression a vector store ships (64 dims → 8 bytes,
+  // 32× smaller than float32): bit i is set iff v[i] clears the
+  // per-dimension corpus mean, and candidate ranking is Hamming distance
+  // over the codes (XOR + popcount — pure integer, SIMD-friendly,
+  // index-free). The audit column marks which Hamming top-k survivors
+  // are in the EXACT cosine top-k (q32's contract), so the query is the
+  // compression decision itself: recall@k of 1-bit codes on this corpus.
+  //
+  // Scale: thresholds are a 64-row aggregate collected once and embedded
+  // as a literal (bounded control plane, the q214 decile pattern);
+  // quantization is a row-local codegen'd expression (no shuffle); both
+  // ranking legs join the corpus against the ≤ N_QUERIES broadcast probe
+  // relation and window per-query — q32's shape, twice.
+  // -------------------------------------------------------------------------
+
+  /** Per-dimension 6dp-rounded corpus means — the binarization thresholds
+    * (the centroidsOf DECIMAL route, globally). 64 doubles, driver-side. */
+  private def bqThresholds(spark: SparkSession, dir: String): Array[Double] =
+    vecs(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x").cast("double"))
+                   .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
+             .cast("double").as("t"))
+      .orderBy(col("dim"))
+      .collect().map(_.getDouble(1))
+
+  /** Corpus + codes: lo/hi pack bits 1–32 / 33–64 into two BIGINTs (a
+    * single 64-bit pack would need the sign bit; two halves keep every
+    * value non-negative in BOTH engines). */
+  private def bqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val thr = bqThresholds(spark, dir)
+    val thrCol = array(thr.map(lit): _*)
+    vecs(spark, dir)
+      .withColumn("bits", zip_with(col("v"), thrCol,
+        (x, t) => when(x.cast("double") > t, 1L).otherwise(0L)))
+      .withColumn("lo", expr("aggregate(sequence(1, 32), 0L, " +
+        "(acc, i) -> acc + element_at(bits, i) * shiftleft(1L, i - 1))"))
+      .withColumn("hi", expr("aggregate(sequence(33, 64), 0L, " +
+        "(acc, i) -> acc + element_at(bits, i) * shiftleft(1L, i - 33))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("lo"), col("hi"))
+  }
+
+  def q251BinaryQuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    val coded = bqCodes(spark, dir)
+    val probes = broadcast(coded.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+              col("hi").as("qhi"), col("v").as("qv"), col("nrm").as("qn")))
+    val ham = (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+               bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long")
+    val wh = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    val hamTop = coded.join(probes, col("vec_id") =!= col("q_id"))
+      .withColumn("ham", ham)
+      .withColumn("rank", row_number().over(wh).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("ham"))
+    val sim = round(dot(col("qv"), col("v")) / sqrt(col("qn") * col("nrm")), 4)
+    val we = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = coded.join(probes, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", sim)
+      .withColumn("er", row_number().over(we))
+      .filter(col("er") <= TOP_K)
+      .select(col("q_id"), col("vec_id").as("n_id"), lit(1L).as("in_exact"))
+    hamTop.join(exact, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("ham"),
+              coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val binaryQuantRecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |         list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+       |                          list_transform(embedding, x -> x::DOUBLE)) AS nrm
+       |  FROM embeddings),
+       |thr AS (
+       |  SELECT i, CAST(round(CAST(avg(v[i]) AS DECIMAL(28,12)), 6) AS DOUBLE) AS t
+       |  FROM e, generate_series(1, $DIMS) g(i) GROUP BY i),
+       |thrl AS (SELECT list(t ORDER BY i) AS tl FROM thr),
+       |codes AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN v[i] > tl[i] THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+       |    CAST(list_sum(list_transform(range(33, 65),
+       |      i -> CASE WHEN v[i] > tl[i] THEN (1::BIGINT << (i-33)) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+       |  FROM e, thrl),
+       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi, v AS qv, nrm AS qn
+       |      FROM codes WHERE vec_id < $N_QUERIES),
+       |hamtop AS (
+       |  SELECT q_id, n_id, ham,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT q_id, d.vec_id AS n_id,
+       |      CAST(bit_count(xor(qlo, d.lo)) + bit_count(xor(qhi, d.hi)) AS BIGINT) AS ham
+       |    FROM q JOIN codes d ON d.vec_id != q.q_id)
+       |  QUALIFY rank <= $TOP_K),
+       |exact AS (
+       |  SELECT q_id, d.vec_id AS n_id
+       |  FROM q JOIN codes d ON d.vec_id != q.q_id
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY
+       |    round(list_dot_product(qv, d.v) / sqrt(qn * d.nrm), 4) DESC,
+       |    d.vec_id) <= $TOP_K)
+       |SELECT h.q_id, h.rank, h.n_id, h.ham,
+       |  CAST(CASE WHEN x.n_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+       |FROM hamtop h LEFT JOIN exact x ON x.q_id = h.q_id AND x.n_id = h.n_id
+       |ORDER BY h.q_id, h.rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q256 — STREAMING-SHAPED IVF upsert: the q249 merge driven as a
+  // sequence of out-of-order micro-batches WITH a replay (batch residues
+  // arrive 2, 0, 1, then 0 again), exactly the delivery pattern a
+  // Structured Streaming `foreachBatch` sink sees (effectively-once =
+  // at-least-once delivery + the PK anti-join making re-delivery a
+  // no-op — the `ingest/Upsert` discipline; reference analog: the
+  // listen/fill loop re-processing a block is harmless,
+  // haskell-src/exec/Chainweb/{Listen,Gaps}.hs). The oracle replays
+  // build+upsert from raw embeddings with NO batching at all, so the
+  // CORRECTNESS row certifies order/batching/replay-invariance; the
+  // Round9bSpec twin drives the SAME merge from an actual MemoryStream.
+  // -------------------------------------------------------------------------
+
+  private val StreamResidues = Seq(2L, 0L, 1L, 0L) // out of order + replay
+
+  def q256StreamingIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val base = e.filter(col("vec_id") % UpsertStride =!= UpsertResidue)
+    val cent = centroidsOf(base)
+    val store = graft.Stores.path(spark, "graft_ivf_upsert_stream")
+    assignCells(base, cent)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$store/postings")
+    cent.write.mode("overwrite").parquet(s"$store/centroids")
+    StreamResidues.foreach { b =>
+      val mb = upsertBatch(spark, dir).filter(col("vec_id") % 3 === b)
+      upsertNovel(spark, store, mb).localCheckpoint()
+        .write.mode("append").partitionBy("cell").parquet(s"$store/postings")
+    }
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("sz_after"),
+           sum(when(col("vec_id") % UpsertStride === UpsertResidue, 1L)
+                 .otherwise(0L)).as("n_added"))
+      .select(col("cell"), (col("sz_after") - col("n_added")).as("sz_base"),
+              col("n_added"), col("sz_after"))
+      .orderBy(col("cell"))
+  }
+
+  /** Identical to [[ivfUpsertOracle]] — the unbatched replay IS the
+    * specification the micro-batched path must converge to. */
+  val streamingIvfUpsertOracle: String = ivfUpsertOracle
 }

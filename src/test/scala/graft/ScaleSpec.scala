@@ -705,6 +705,62 @@ class ScaleSpec extends AnyFunSuite {
       s"q250 probes should broadcast:\n$qs")
   }
 
+  test("round-9 batch 2: binary-quant/NDCG/grounding/alignment/license/" +
+       "streaming-upsert keep the broadcast-bounded discipline") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def broadcasts(df: org.apache.spark.sql.DataFrame): Boolean =
+      PlanWalk.allNodes(df).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+    // q251: both ranking legs are corpus × broadcast ≤16-probe relations
+    // (q32's shape); quantization is row-local; windows partition by q_id
+    val bq = graft.operators.Similarity.q251BinaryQuantRecall(spark, dir)
+    val bqs = finalPlan(bq)
+    assert(!bqs.contains("CartesianProduct"), s"shuffled cartesian in q251:\n$bqs")
+    val bqWins = bqs.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(bqWins.nonEmpty && bqWins.forall(_.contains("q_id")),
+      s"q251 window not probe-partitioned:\n$bqs")
+    assert(broadcasts(bq), s"q251 probes should broadcast:\n$bqs")
+    // q252: candidate relation is vocabulary-cut at the scan; both the
+    // ranked and ideal windows partition by query_id; the discount table
+    // is a 10-row broadcast
+    val nd = graft.operators.Retrieval.q252NdcgEval(spark, dir)
+    val nds = finalPlan(nd)
+    assert(!nds.contains("CartesianProduct"), s"cartesian in q252:\n$nds")
+    val ndWins = nds.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ndWins.nonEmpty && ndWins.forall(_.contains("query_id")),
+      s"q252 window not query-partitioned:\n$nds")
+    assert(broadcasts(nd), s"q252 discount table should broadcast:\n$nds")
+    // q253: eval/answer/packed relations all cap-bounded broadcasts; the
+    // only windows are the q248 packing's query-partitioned rank/cumsum
+    val ga = graft.operators.Retrieval.q253GroundingAudit(spark, dir)
+    val gas = finalPlan(ga)
+    assert(!gas.contains("CartesianProduct"), s"cartesian in q253:\n$gas")
+    val gaWins = gas.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(gaWins.forall(_.contains("query_id")),
+      s"q253 window not query-partitioned:\n$gas")
+    assert(broadcasts(ga), s"q253 eval relations should broadcast:\n$gas")
+    // q254: decode is partition-local, the text join id-keyed, and the
+    // bottom-K is a take — the one global window runs AFTER the ≤20-row
+    // take (bounded by construction, the W2/W3 precedent)
+    val ca = graft.operators.Multimodal.q254ClipAlignStub(spark, dir)
+    val cas = finalPlan(ca)
+    assert(!cas.contains("CartesianProduct"), s"cartesian in q254:\n$cas")
+    assert(cas.contains("TakeOrderedAndProject"),
+      s"q254 bottom-K should be a take, not a sort:\n$cas")
+    // q255: scan + one keyed aggregate — no window, no cartesian, no join
+    val lt = finalPlan(graft.operators.License.q255LicenseTag(spark, dir))
+    assert(!lt.contains("CartesianProduct"), s"cartesian in q255:\n$lt")
+    assert(!lt.contains("windowspecdefinition"), s"unexpected window in q255:\n$lt")
+    assert(!lt.contains("SortMergeJoin"), s"unexpected join in q255:\n$lt")
+    // q256: same accounting plan as q249 — keyed aggregate over the
+    // stored postings, no cartesian, no window
+    val su = finalPlan(graft.operators.Similarity.q256StreamingIvfUpsert(spark, dir))
+    assert(!su.contains("CartesianProduct"), s"cartesian in q256:\n$su")
+    assert(!su.contains("windowspecdefinition"), s"unexpected window in q256:\n$su")
+  }
+
   test("salted aggregation equals direct aggregation under a hot key") {
     import spark.implicits._
     // one whale key (90% of rows) + a long tail
