@@ -2,14 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query steady-state seconds.
-  * Each query runs a warmup pass (codegen/JIT/file-listing) then two
-  * measured passes, reporting the better (what a long-running cluster job
-  * sees); queries still above 5 s get a third measured pass (min-of-3).
-  * Min-of-k keeps the number a property of the QUERY, not of the host:
-  * single-run timings on this VM occasionally absorb a multi-second
-  * scheduler stall that moves to a different query on every invocation,
-  * and the >5 s cohort needs the extra sample to sit within ±15% across
-  * identical-code rounds. */
+  * Each query runs a warmup pass (codegen/JIT/file-listing) then three
+  * measured passes, reporting the best (what a long-running cluster job
+  * sees). Min-of-3 keeps the number a property of the QUERY, not of the
+  * host: single-run timings on this VM occasionally absorb a scheduler
+  * stall (multi-second on the heavy family, 100–200 ms on sub-second
+  * queries — either reads as a fake 1.5–2× delta under min-of-2) that
+  * moves to a different query on every invocation. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,24 +82,20 @@ object Bench {
       }
     }
     val prewarmSec = (System.nanoTime() - pw0) / 1e9
-    // Heavy-cohort stabilization: queries whose best-of-two still exceeds
-    // HeavyCutoff get a third measured pass (min-of-3). The >5 s
-    // similarity/novelty family swings ±50% between identical-code rounds
-    // under min-of-2 on this VM (q139 6.7→10.0 s round-over-round with an
-    // unchanged plan); one extra sample costs ~1 min total and brings
-    // unchanged-code deltas inside ±15%.
-    val HeavyCutoffNs = 5L * 1000 * 1000 * 1000
+    // Min-of-3 across the board (round-9, per the round-8 verdict's
+    // item 3): min-of-2 left both tails noisy — the >5 s similarity
+    // family swung ±50% between identical-code rounds (q139 6.7→10.0 s,
+    // unchanged plan), and sub-second queries occasionally absorb a
+    // 100–200 ms scheduler stall that reads as a 2× "regression" against
+    // a 0.15 s baseline entry. A third measured pass costs one extra
+    // pass of the measured total (~4 min at sf0.1) and brings
+    // unchanged-code deltas inside ±15% at both ends.
     val results = selected.map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
-      val (ns1, ok1) = run(fn)      // steady-state, best of two
+      val (ns1, ok1) = run(fn)      // steady state: best of three
       val (ns2, ok2) = run(fn)
-      val best2 = math.min(ns1, ns2)
-      val (best, ok) =
-        if (best2 > HeavyCutoffNs) {
-          val (ns3, ok3) = run(fn)  // min-of-3 for the heavy cohort
-          (math.min(best2, ns3), ok1 && ok2 && ok3)
-        } else (best2, ok1 && ok2)
-      (name, best / 1e9, ok)
+      val (ns3, ok3) = run(fn)
+      (name, math.min(ns1, math.min(ns2, ns3)) / 1e9, ok1 && ok2 && ok3)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
