@@ -274,6 +274,8 @@ object SparkEntry {
     "q254_clip_align_stub"  -> (Multimodal.q254ClipAlignStub _),
     "q255_license_tag"      -> (License.q255LicenseTag _),
     "q256_streaming_ivf_upsert" -> (Similarity.q256StreamingIvfUpsert _),
+    "q257_context_reuse"    -> (Retrieval.q257ContextReuse _),
+    "q258_ivf_delete_query" -> (Similarity.q258IvfDeleteQuery _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -755,5 +757,7 @@ object SparkEntry {
     "q254_clip_align_stub"   -> Multimodal.clipAlignStubOracle,
     "q255_license_tag"       -> License.licenseTagOracle,
     "q256_streaming_ivf_upsert" -> Similarity.streamingIvfUpsertOracle,
+    "q257_context_reuse"     -> Retrieval.contextReuseOracle,
+    "q258_ivf_delete_query"  -> Similarity.ivfDeleteQueryOracle,
   )
 }

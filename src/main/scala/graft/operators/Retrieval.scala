@@ -576,12 +576,15 @@ object Retrieval {
   }
 
   private def passageChainSql: String =
+    passageChainSqlFor(EvalStride, EvalResidue)
+
+  private def passageChainSqlFor(stride: Long, residue: Long): String =
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
        |  FROM documents),
        |gold AS (
        |  SELECT doc_id AS query_id, t FROM d
-       |  WHERE doc_id % $EvalStride = $EvalResidue
+       |  WHERE doc_id % $stride = $residue
        |  ORDER BY doc_id LIMIT $MaxEvalQueries),
        |occ AS (
        |  SELECT query_id, unnest(t) AS term,
@@ -904,4 +907,69 @@ object Retrieval {
        |    AS grounding_ppm
        |FROM na LEFT JOIN hit USING (query_id)
        |WHERE n_ans > 0 ORDER BY na.query_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q257 — CONTEXT-REUSE audit (the RAG serving-cache readout): across the
+  // eval queries' packed contexts (q248), how concentrated is passage
+  // reuse? A passage appearing in many contexts is a cache hit and a
+  // dedup opportunity (prefix-cache it once); a corpus whose contexts are
+  // all-distinct caches nothing. Output: the reuse histogram — for each
+  // reuse count (how many contexts contain a passage), the number of
+  // distinct passages and their one-copy token mass. Σ(n_contexts ×
+  // n_passages-weighted) = total packed rows; n_contexts=1 mass is the
+  // uncacheable tail.
+  //
+  // Scale: everything downstream of the packed selection (≤ MaxEvalQueries
+  // × PackDepth rows) — two keyed aggregates over a broadcast-sized
+  // relation; the corpus is touched only by the q248 chain itself.
+  // -------------------------------------------------------------------------
+
+  /** q257's workload sampler: DENSER than the self-retrieval eval's
+    * (stride 7 vs 97) — a serving cache is interesting under a workload
+    * whose contexts can actually collide; the stride-97 eval set is 6
+    * queries at the gate fixture and its contexts are disjoint by
+    * construction (a one-row histogram pins nothing). The cap still
+    * binds at any corpus scale. */
+  private val ReuseStride = 7L
+  private val ReuseResidue = 0L
+
+  def q257ContextReuse(spark: SparkSession, dir: String): DataFrame = {
+    val termPairs = evalGold(spark, dir, stride = ReuseStride,
+        residue = ReuseResidue)
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    val packed = contextPackFor(spark, dir, termPairs)
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+              col("n_tok"))
+    packed
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_contexts"), min(col("n_tok")).as("n_tok"))
+      .groupBy(col("n_contexts"))
+      .agg(count(lit(1)).as("n_passages"),
+           sum(col("n_tok")).as("token_mass"))
+      .orderBy(col("n_contexts"))
+  }
+
+  val contextReuseOracle: String =
+    s"""WITH ${passageChainSqlFor(ReuseStride, ReuseResidue)},
+       |ranked3 AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $PackDepth),
+       |packed AS (
+       |  SELECT query_id, doc_id, chunk_idx, dl FROM (
+       |    SELECT query_id, doc_id, chunk_idx, dl,
+       |      CAST(sum(dl) OVER (PARTITION BY query_id ORDER BY rank
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS cum_tok
+       |    FROM ranked3)
+       |  WHERE cum_tok <= $ContextBudget),
+       |per_passage AS (
+       |  SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_contexts,
+       |         CAST(min(dl) AS BIGINT) AS n_tok
+       |  FROM packed GROUP BY doc_id, chunk_idx)
+       |SELECT n_contexts, CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(n_tok) AS BIGINT) AS token_mass
+       |FROM per_passage GROUP BY n_contexts ORDER BY n_contexts""".stripMargin
 }

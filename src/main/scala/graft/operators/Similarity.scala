@@ -2861,4 +2861,84 @@ object Similarity {
   /** Identical to [[ivfUpsertOracle]] — the unbatched replay IS the
     * specification the micro-batched path must converge to. */
   val streamingIvfUpsertOracle: String = ivfUpsertOracle
+
+  // -------------------------------------------------------------------------
+  // q258 — TOMBSTONE DELETES from the persisted IVF index, completing the
+  // index-maintenance CRUD story (q246 build, q249 upsert, q245
+  // rebalance): deletes never rewrite the cell-partitioned postings —
+  // they append vec_ids to a tombstone side-table, and the query path
+  // anti-joins candidates against it (exactly how FAISS/Lucene-style
+  // stores handle deletes between compactions; the postings parquet
+  // stays immutable). The oracle replays the probe over raw embeddings
+  // with the deleted slice EXCLUDED, so the CORRECTNESS row certifies
+  // that a tombstoned vector is fully invisible: not a candidate, not a
+  // probe, and the top-k re-closes over the survivors.
+  //
+  // Scale: the tombstone relation is vec_id-only (narrow scan, pruned
+  // column); the anti-join is id-keyed; everything else is q250's plan.
+  // -------------------------------------------------------------------------
+
+  private val DeleteStride = 11L
+  private val DeleteResidue = 5L
+
+  def q258IvfDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val store = buildUpsertStore(spark, dir, merges = 1)
+    // tombstone append: ids only, postings untouched
+    vecs(spark, dir)
+      .filter(col("vec_id") % DeleteStride === DeleteResidue)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$store/tombstones")
+    val tomb = spark.read.parquet(s"$store/tombstones")
+    val postings = spark.read.parquet(s"$store/postings")
+      .join(tomb, Seq("vec_id"), "left_anti") // deleted = invisible
+    val centroids = spark.read.parquet(s"$store/centroids")
+    val q = postings.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sqDist = round(aggregate(
+      zip_with(col("qv"), col("cv"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, p) => acc + p), 4)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("label"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("rdist", sqDist)
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("label").cast("long").as("cell"),
+              col("qv"), col("qn"))
+    val sim = round(call_function("graft_dot", col("qv"), col("v")) /
+      sqrt(col("qn") * col("nrm")), 4)
+    val pairs = postings.withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sim.as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfDeleteQueryOracle: String =
+    s"""WITH $upsertChainSql,
+       |live AS (SELECT * FROM assigned
+       |         WHERE vec_id % $DeleteStride != $DeleteResidue),
+       |probes AS (
+       |  SELECT q_id, cell, qv, qn FROM (
+       |    SELECT q.vec_id AS q_id, c.label AS cell, q.v AS qv, q.nrm AS qn,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 4), c.label) AS pr
+       |    FROM live q, cent c WHERE q.vec_id < $N_QUERIES)
+       |  WHERE pr = 1),
+       |sims AS (
+       |  SELECT p.q_id, n.vec_id AS n_id,
+       |    round(list_dot_product(p.qv, n.v) / sqrt(p.qn * n.nrm), 4) AS cos_sim
+       |  FROM probes p JOIN live n ON n.cell = p.cell AND n.vec_id != p.q_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TOP_K ORDER BY q_id, rank""".stripMargin
 }

@@ -86,6 +86,36 @@ class Round9cSpec extends AnyFunSuite {
       "bottom-K not ascending in alignment")
   }
 
+  test("q257: reuse histogram conserves the packed rows and the fixture " +
+       "genuinely exhibits reuse (>1-context passages exist)") {
+    val cr = graft.operators.Retrieval.q257ContextReuse(spark, dir).collect()
+    assert(cr.nonEmpty)
+    cr.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(1) >= 1L && r.getLong(2) >= 1L)
+    }
+    assert(cr.exists(_.getLong(0) > 1L),
+      "context-reuse degenerate: no passage shared across contexts")
+  }
+
+  test("q258: tombstoned vectors are fully invisible (never a probe, " +
+       "never a candidate) and the top-k genuinely re-closes vs q250") {
+    val del = graft.operators.Similarity.q258IvfDeleteQuery(spark, dir).collect()
+    assert(del.nonEmpty)
+    val deletedQ = del.map(_.getLong(0)).distinct.filter(_ % 11L == 5L)
+    val deletedN = del.map(_.getLong(2)).filter(_ % 11L == 5L)
+    assert(deletedQ.isEmpty, s"tombstoned ids served as probes: ${deletedQ.toSeq}")
+    assert(deletedN.isEmpty, s"tombstoned ids returned as candidates: ${deletedN.toSeq}")
+    // deletion must actually change something: q250's pre-delete results
+    // contain tombstoned probes or candidates that q258 excludes
+    val pre = graft.operators.Similarity.q250IvfUpsertQuery(spark, dir).collect()
+    val preHasDeleted = pre.exists(r =>
+      r.getLong(0) % 11L == 5L || r.getLong(2) % 11L == 5L)
+    assert(preHasDeleted, "fixture never exercises a deletion-visible row")
+    assert(pre.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet !=
+           del.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "delete query identical to pre-delete query")
+  }
+
   test("q255: raw prose carries zero license markers; carrier counts are " +
        "the closed-form moduli arithmetic; multi ∧ untagged partition") {
     import spark.implicits._

@@ -759,6 +759,23 @@ class ScaleSpec extends AnyFunSuite {
     val su = finalPlan(graft.operators.Similarity.q256StreamingIvfUpsert(spark, dir))
     assert(!su.contains("CartesianProduct"), s"cartesian in q256:\n$su")
     assert(!su.contains("windowspecdefinition"), s"unexpected window in q256:\n$su")
+    // q257: everything downstream of the q248 packing is two keyed
+    // aggregates over a cap-bounded relation; windows stay query-keyed
+    val crp = graft.operators.Retrieval.q257ContextReuse(spark, dir)
+    val crs = finalPlan(crp)
+    assert(!crs.contains("CartesianProduct"), s"cartesian in q257:\n$crs")
+    val crWins = crs.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(crWins.forall(_.contains("query_id")),
+      s"q257 window not query-partitioned:\n$crs")
+    // q258: q250's probe discipline with an id-keyed tombstone anti-join;
+    // quantizer/probes broadcast, windows q_id-partitioned
+    val dq = graft.operators.Similarity.q258IvfDeleteQuery(spark, dir)
+    val dqs = finalPlan(dq)
+    assert(!dqs.contains("CartesianProduct"), s"shuffled cartesian in q258:\n$dqs")
+    val dqWins = dqs.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(dqWins.nonEmpty && dqWins.forall(_.contains("q_id")),
+      s"q258 window not q_id-partitioned:\n$dqs")
+    assert(broadcasts(dq), s"q258 probes should broadcast:\n$dqs")
   }
 
   test("salted aggregation equals direct aggregation under a hot key") {
