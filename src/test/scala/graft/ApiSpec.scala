@@ -405,9 +405,14 @@ class ApiSpec extends AnyFunSuite {
       // snapshot-pinned request path must not see it until a commit.
       def dupPart(table: String): Unit = {
         val td = java.nio.file.Paths.get(dir, table)
-        val part = java.nio.file.Files.list(td)
+        // duplicate the LARGEST part file — with more shuffle partitions
+        // than rows, some parts are 0-row parquet shells and Files.list
+        // order is filesystem-dependent (picking one made the strictly-
+        // grows assertion below flake)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(td).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+          .maxBy(java.nio.file.Files.size)
         java.nio.file.Files.copy(part, td.resolve("rogue-uncommitted.parquet"))
         ()
       }

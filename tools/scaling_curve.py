@@ -49,6 +49,10 @@ QUERIES = [
     # passage retrieval (q248 shares its passageScores leaf)
     "q237_image_phash", "q238_mrr_eval", "q239_hybrid_retrieval",
     "q246_ivf_persist", "q247_passage_retrieval", "q250_ivf_upsert_query",
+    # round-9 batch 2 (measured from round 10 on): the dense-workload
+    # packed-context audit (3rd-heaviest bench entry) and tombstone-delete
+    # serving
+    "q257_context_reuse", "q258_ivf_delete_query",
 ]
 
 SCALES = [
