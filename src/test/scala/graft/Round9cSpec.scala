@@ -116,6 +116,29 @@ class Round9cSpec extends AnyFunSuite {
       "delete query identical to pre-delete query")
   }
 
+  test("Tables.invalidate: a writer that mutates a loaded path can drop " +
+       "the memoized handle and the next load re-lists the directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_inval").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.documents(spark, dir).count() == 2L)
+    // in-session append to the SAME loaded path: the memoized handle's
+    // pinned file listing must NOT see it (the documented assumption)...
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(Tables.documents(spark, dir).count() == 2L,
+      "memoized handle should serve the pinned listing")
+    // ...until the writer calls the invalidation hook
+    Tables.invalidate(spark, dir)
+    assert(Tables.documents(spark, dir).count() == 3L,
+      "invalidate must force a re-list of the mutated directory")
+  }
+
   test("q255: raw prose carries zero license markers; carrier counts are " +
        "the closed-form moduli arithmetic; multi ∧ untagged partition") {
     import spark.implicits._
