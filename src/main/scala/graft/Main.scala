@@ -144,6 +144,12 @@ object Main {
     header +: df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
   }
 
+  def indexCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    val df = operators.Similarity.indexLifecycleStats(spark, sfDir)
+    df.columns.mkString("\t") +:
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
       val q = streaming.Listen.stream(session(), zone, tables, ckpt)
@@ -217,6 +223,15 @@ object Main {
       cardCmd(spark, sfDir).foreach(println)
       spark.stop()
 
+    // `graft index <sfDir>` — persisted-IVF maintenance lifecycle
+    // (build → upsert → tombstone) with the per-cell accounting TSV a
+    // rebalance/compaction planner consumes (the q249/q245/q258 CRUD
+    // story as one operational command).
+    case "index" :: sfDir :: Nil =>
+      val spark = session()
+      indexCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
     case "check-schema" :: tables :: Nil =>
       val spark = session()
       val bad = ingest.Schemas.check(spark, tables)
@@ -228,7 +243,8 @@ object Main {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: listen|serve|fill|single|fill-events|backfill-transfers|
-           |       migrate|richlist|check-schema|funnel (see scaladoc)""".stripMargin)
+           |       migrate|richlist|check-schema|funnel|card|index
+           |       (see scaladoc)""".stripMargin)
       sys.exit(2)
   }
 }

@@ -2920,6 +2920,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** CLI feed (`graft index <sfDir>`): the full maintenance lifecycle —
+    * build from the base slice, merge the upsert batch, tombstone the
+    * delete slice — then the per-cell accounting q245's rebalancer and a
+    * compaction planner read between compactions: base/added/after plus
+    * deleted/live. */
+  private[graft] def indexLifecycleStats(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    val store = buildUpsertStore(spark, dir, merges = 1)
+    vecs(spark, dir)
+      .filter(col("vec_id") % DeleteStride === DeleteResidue)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$store/tombstones")
+    val tomb = spark.read.parquet(s"$store/tombstones")
+      .withColumn("deleted", lit(1L))
+    spark.read.parquet(s"$store/postings")
+      .join(tomb, Seq("vec_id"), "left")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("sz_after"),
+           sum(when(col("vec_id") % UpsertStride === UpsertResidue, 1L)
+                 .otherwise(0L)).as("n_added"),
+           sum(coalesce(col("deleted"), lit(0L))).as("n_deleted"))
+      .select(col("cell"), (col("sz_after") - col("n_added")).as("sz_base"),
+              col("n_added"), col("sz_after"), col("n_deleted"),
+              (col("sz_after") - col("n_deleted")).as("sz_live"))
+      .orderBy(col("cell"))
+  }
+
   val ivfDeleteQueryOracle: String =
     s"""WITH $upsertChainSql,
        |live AS (SELECT * FROM assigned

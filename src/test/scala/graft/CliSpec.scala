@@ -85,6 +85,23 @@ class CliSpec extends AnyFunSuite {
     assert(lines.tail.forall(_.split("\t").length === cols))
   }
 
+  test("index: lifecycle TSV — cell accounting conserves the corpus and " +
+       "live = after - deleted") {
+    val lines = Main.indexCmd(spark, "/root/testdata/sf0.001")
+    assert(lines.head ==
+      "cell\tsz_base\tn_added\tsz_after\tn_deleted\tsz_live")
+    val rows = lines.tail.map(_.split("\t").map(_.toLong))
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_(3)).sum === total) // every vector in exactly one cell
+    rows.foreach { r =>
+      assert(r(1) + r(2) === r(3), s"base+added != after: ${r.toSeq}")
+      assert(r(3) - r(4) === r(5), s"after-deleted != live: ${r.toSeq}")
+      assert(r(4) >= 0 && r(4) <= r(3))
+    }
+    assert(rows.map(_(4)).sum > 0, "tombstone slice empty")
+  }
+
   test("single: present vs missing") {
     import spark.implicits._
     val dir = tmpTables()
