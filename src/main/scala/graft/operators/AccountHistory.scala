@@ -21,6 +21,31 @@ object AccountHistory {
 
   private def unq(c: Column): Column = regexp_replace(c, "^\"|\"$", "")
 
+  /** Bounded-scan SOURCE for `/txs/account` (Queries.hs:246-269
+    * `transfersSearchSource`): the union of the two indexed account scans
+    * (each prunes on its own account clustering), height-range guarded.
+    * Token/chain conditions are deliberately NOT here — they are the
+    * filter-mark predicate ([[predicate]]), so scanned-but-unmatched rows
+    * still consume scan budget exactly like the reference's
+    * `FilterMarked (searchCond tr) tr`. */
+  def source(spark: SparkSession, tableDir: String, account: String,
+             minHeight: Option[Long] = None,
+             maxHeight: Option[Long] = None): DataFrame = {
+    val transfers = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/transfers")
+    val ranged = Seq(
+      minHeight.map(h => col("height") >= h),
+      maxHeight.map(h => col("height") <= h)
+    ).flatten.foldLeft(transfers)(_ filter _)
+    ranged.filter(col("from_acct") === account)
+      .unionAll(ranged.filter(col("to_acct") === account))
+  }
+
+  /** Filter-mark predicate (Queries.hs:252-255 `searchCond`):
+    * `modulename = token [AND chainid = chain]`. */
+  def predicate(token: String, chain: Option[Long] = None): Column =
+    chain.foldLeft(col("modulename") === token)((p, c) => p && col("chainid") === c)
+
   /** History rows for one account, newest first (height DESC, requestkey
     * DESC, idx ASC — Queries.hs:238-242), decorated with block time and
     * x-chain resolution for empty counterparty accounts, covering BOTH
@@ -39,18 +64,28 @@ object AccountHistory {
                   token: String = "coin"): DataFrame = {
     // Snapshot-pinned + footer-memoized (the serving-path rule, VERDICT r8
     // item 4): one committed version across the scans and joins below.
-    val transfers = graft.sources.Snapshots
-      .readPinned(spark, s"$tableDir/transfers")
-      .filter(col("modulename") === token)
     val blocks = graft.sources.Snapshots
       .readPinned(spark, s"$tableDir/blocks")
-      .select(col("hash").as("block"), col("creationtime").as("block_time"))
     val events = graft.sources.Snapshots
       .readPinned(spark, s"$tableDir/events")
-
     // U1 — union of the two indexed scans, not one OR predicate.
-    val scans = transfers.filter(col("from_acct") === account)
-      .unionAll(transfers.filter(col("to_acct") === account))
+    val scans = source(spark, tableDir, account)
+      .filter(col("modulename") === token)
+    decorate(scans, blocks, events)
+      .orderBy(col("height").desc, col("requestkey").desc, col("idx").asc)
+  }
+
+  /** Block-time + cross-chain decoration of a transfers relation
+    * (Queries.hs:278-339 `transferSearchExtras` + `joinXChainInfo`),
+    * factored out so the serving layer can decorate just a RESULT PAGE
+    * (against pruned blocks/events scans) while [[transfersOf]] decorates
+    * the whole account relation. `blocks` must carry (hash, creationtime),
+    * `events` the ingested events schema. The x-chain lateral is
+    * 'coin'-scoped like the reference's hardcoded `mdName = 'coin'`
+    * (Queries.hs:311,321). */
+  def decorate(scans: DataFrame, blocksSrc: DataFrame, events: DataFrame): DataFrame = {
+    val blocks = blocksSrc
+      .select(col("hash").as("block"), col("creationtime").as("block_time"))
 
     // J3 branch 1 (outbound): TRANSFER_XCHAIN at idx-1 of the same tx.
     val outbound = events
@@ -81,10 +116,12 @@ object AccountHistory {
       .join(outbound,
             col("block") === col("o_block") && col("requestkey") === col("o_rk") &&
             col("idx") === col("o_idx") && col("to_acct") === "" &&
+            col("modulename") === "coin" &&
             col("o_from") === col("from_acct"), "left")
       .join(inbound,
             col("block") === col("i_block") && col("requestkey") === col("i_rk") &&
             col("from_acct") === "" && col("requestkey") =!= "cb" &&
+            col("modulename") === "coin" &&
             col("i_target") === col("to_acct"), "left")
       .select(
         col("requestkey"), col("chainid"), col("height"), col("idx"),
@@ -105,6 +142,46 @@ object AccountHistory {
         when(col("to_acct") === "", col("o_target"))
           .when(col("from_acct") === "", col("i_source")).as("xchain_acct"),
         col("block"), col("modulename").as("token"))
-      .orderBy(col("height").desc, col("requestkey").desc, col("idx").asc)
+  }
+
+  /** Decorate ONE bounded-scan result page (≤ resultLimit rows) — the
+    * serving analog of the reference running `transferSearchExtras` only
+    * over the page it is about to return (BoundedScan.hs's
+    * `boundedScanOffset/Limit` wrap the extras around the winning rows,
+    * not the scanned residue). The page rows become a tiny local relation;
+    * blocks/events are pre-pruned with `isin` on the page's block hashes /
+    * request keys so the decoration joins scan only the touched
+    * files at any corpus size. Returns rows in the page's order with the
+    * [[decorate]] output schema (what [[graft.server.Dto.transferDetail]]
+    * renders). */
+  def decoratePage(spark: SparkSession, tableDir: String,
+                   page: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+    if (page.isEmpty) return Seq.empty
+    val tcols = Seq("block", "requestkey", "chainid", "height", "idx",
+                    "modulename", "modulehash", "from_acct", "to_acct", "amount")
+    val schema = org.apache.spark.sql.types.StructType(
+      tcols.map(n => page.head.schema(n)))
+    val slim = page.map(r => org.apache.spark.sql.Row.fromSeq(
+      tcols.map(n => r.getAs[Any](n))))
+    val pageDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(slim).asJava, schema)
+    val hashes = page.map(_.getAs[String]("block")).distinct
+    val rks = page.map(_.getAs[String]("requestkey")).distinct
+    val blocks = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/blocks")
+      .filter(col("hash").isin(hashes: _*))
+    val events = graft.sources.Snapshots
+      .readPinned(spark, s"$tableDir/events")
+      .filter(col("block").isin(hashes: _*) && col("requestkey").isin(rks: _*) &&
+              col("qualname").isin("coin.TRANSFER_XCHAIN", "pact.X_RESUME"))
+    val decorated = decorate(pageDf, blocks, events).collect()
+    // restore the page's cursor order: (block, requestkey, idx) is the
+    // event PK, so it keys each decorated row back to its input position
+    val pos = page.zipWithIndex.map { case (r, i) =>
+      (r.getAs[String]("block"), r.getAs[String]("requestkey"),
+       r.getAs[Long]("idx")) -> i
+    }.toMap
+    decorated.sortBy(r => pos((r.getAs[String]("block"),
+      r.getAs[String]("requestkey"), r.getAs[Long]("idx")))).toSeq
   }
 }

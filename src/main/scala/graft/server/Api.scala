@@ -84,7 +84,8 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   server.createContext("/coins", (ex: HttpExchange) => handle(ex)(coins))
   server.createContext("/richlist", (ex: HttpExchange) => handle(ex)(richlist))
   server.createContext("/txs/account", (ex: HttpExchange) =>
-    handle(ex)(accountHistory(ex.getRequestURI.getPath)))
+    // boundedOf inside the closure: its 400 must fire inside handle's try
+    handle(ex)(p => accountHistory(ex.getRequestURI.getPath, boundedOf(ex))(p)))
   server.createContext("/txs/txs", (ex: HttpExchange) =>
     handle(ex)(txDetail(ex.getRequestURI.getPath, "/txs/txs/", one = false)))
   server.createContext("/txs/tx", (ex: HttpExchange) =>
@@ -97,9 +98,32 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
 
+  /** CORS (Server.hs:91-96 `setCors`: simple CORS policy with the
+    * continuation header exposed so browser clients can page). Applied to
+    * every response — including errors — plus an OPTIONS preflight short-
+    * circuit below. */
+  private def corsHeaders(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.add("Access-Control-Allow-Origin", "*")
+    h.add("Access-Control-Expose-Headers", "Graft-Next, Graft-Scan-Limit")
+  }
+
   private def handle(ex: HttpExchange)(f: Map[String, String] => (String, Map[String, String])): Unit = {
     inFlight.incrementAndGet()
     try {
+      corsHeaders(ex)
+      if (ex.getRequestMethod == "OPTIONS") {
+        // preflight: simple methods + simple request headers, plus the
+        // execution-strategy switch this API accepts (corsRequestHeaders)
+        val h = ex.getResponseHeaders
+        h.add("Access-Control-Allow-Methods", "GET, HEAD, POST")
+        h.add("Access-Control-Allow-Headers",
+              "Accept, Accept-Language, Content-Language, Content-Type, " +
+              "Chainweb-Execution-Strategy")
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+        return
+      }
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.contains("="))
         .map { kv =>
@@ -155,9 +179,27 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (math.ceil(Api.BaseScanLimit * f).toInt, math.ceil(Api.BaseMaxLimit * f).toInt)
   }
 
-  private def continuation(p: Map[String, String]): Option[Continuation] =
-    p.get("next").map(BoundedScan.decodeToken)
-      .orElse(p.get("offset").map(o => Continuation(None, o.toLong)))
+  private def continuation(p: Map[String, String], spec: CursorSpec): Option[Continuation] =
+    p.get("next").map { tok =>
+      // A garbled token (bad base64, bad payload) or a token minted against
+      // an older cursor spec (wrong arity) is a CLIENT error — 400, not a
+      // 500 from resumePredicate's require deep in the engine. The
+      // reference reaches the same end through readToken returning Nothing
+      // → throw400 (Server.hs:271-279).
+      val c = try BoundedScan.decodeToken(tok) catch {
+        case e: Exception =>
+          throw Api.ApiError(400, s"invalid next token: ${e.getMessage}")
+      }
+      c.cursor.foreach { cur =>
+        if (cur.length != spec.cols.length)
+          throw Api.ApiError(400,
+            s"invalid next token: cursor arity ${cur.length} != ${spec.cols.length}")
+      }
+      c
+    }
+      .orElse(p.get("offset").map(o => Continuation(None,
+        try o.toLong catch { case _: NumberFormatException =>
+          throw Api.ApiError(400, s"invalid offset: $o") })))
       .map { c =>
         // Dataset.offset is Int-bounded; wrap-around would surface as a 500
         if (c.remainingOffset > Int.MaxValue || c.remainingOffset < 0)
@@ -180,10 +222,11 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val (rows, next) =
       if (bounded)
         BoundedScan.performBoundedScan(
-          src, txSpec, TxSearch.matchCol(search), scanLimit, limit, continuation(p))
+          src, txSpec, TxSearch.matchCol(search), scanLimit, limit,
+          continuation(p, txSpec))
       else
         BoundedScan.performUnbounded(
-          src, txSpec, TxSearch.matchCol(search), limit, continuation(p))
+          src, txSpec, TxSearch.matchCol(search), limit, continuation(p, txSpec))
     val body = rows.map(Dto.txSummary).mkString("[", ",", "]")
     (body, (if (bounded) Map("Graft-Scan-Limit" -> scanLimit.toString)
             else Map.empty[String, String]) ++
@@ -209,10 +252,11 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
     def scan(src: DataFrame, spec: CursorSpec, pred: org.apache.spark.sql.Column) =
       if (bounded) BoundedScan.performBoundedScan(src, spec, pred,
-        scanLimit, limit, continuation(p))
-      else BoundedScan.performUnbounded(src, spec, pred, limit, continuation(p))
+        scanLimit, limit, continuation(p, spec))
+      else BoundedScan.performUnbounded(src, spec, pred, limit, continuation(p, spec))
     val (body, next) = tablesDir match {
       case Some(dir) =>
+        continuation(p, evSpec) // validate the client's token BEFORE any source work
         val src = graft.operators.EventSearch.source(spark, dir,
           p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
         val pred = graft.operators.EventSearch.predicate(
@@ -241,20 +285,46 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
            next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
 
-  /** `/txs/account/<acct>` — the marquee endpoint (Server.hs account
-    * handler): full transfer history with cross-chain resolution over the
-    * ingested tables ([[graft.operators.AccountHistory]]). */
-  private def accountHistory(path: String)(p: Map[String, String]): (String, Map[String, String]) = {
+  /** Transfers cursor (Queries.hs:238-242 `toAccountsSearchCursor`:
+    * height DESC, requestkey DESC, idx ASC) + the block-hash tiebreak —
+    * orphan fork twins share the reference's whole cursor, see txSpec. */
+  private val acctSpec = CursorSpec(
+    Seq("height" -> true, "requestkey" -> true, "idx" -> false,
+        "block" -> true))
+
+  /** `/txs/account/<acct>` — the marquee endpoint (Server.hs:493-546
+    * `accountHandler`): a full bounded-scan citizen. `token` (default
+    * "coin"), `chain`, `minheight`/`maxheight`, `limit`, `offset`/`next`
+    * params; the scan walks the account's transfer relation under the
+    * throttled scan budget with token/chain as the filter-mark predicate
+    * (Queries.hs:246-269), returns a `Graft-Next` continuation, and
+    * decorates only the RESULT PAGE with block time + x-chain resolution
+    * (`transferSearchExtras`). */
+  private def accountHistory(path: String, bounded: Boolean)
+                            (p: Map[String, String]): (String, Map[String, String]) = {
     val dir = tablesDir.getOrElse(
       throw new IllegalStateException("no ingested tables configured"))
     val acct = java.net.URLDecoder.decode(
       path.stripPrefix("/txs/account/"), StandardCharsets.UTF_8)
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit),
-                         Api.BaseMaxLimit)
-    val rows = graft.operators.AccountHistory
-      .transfersOf(spark, dir, acct)
-      .limit(limit).collect()
-    (rows.map(Dto.transferDetail).mkString("[", ",", "]"), Map.empty)
+    val token = p.getOrElse("token", "coin") // Server.hs:507 usedCoinType
+    val chain = p.get("chain").map(_.toLong)
+    val (scanLimit, maxLimit) = budgets()
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    val src = graft.operators.AccountHistory.source(spark, dir, acct,
+      p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+    val pred = graft.operators.AccountHistory.predicate(token, chain)
+    val (rows, next) =
+      if (bounded)
+        BoundedScan.performBoundedScan(src, acctSpec, pred,
+          scanLimit, limit, continuation(p, acctSpec))
+      else
+        BoundedScan.performUnbounded(src, acctSpec, pred, limit,
+          continuation(p, acctSpec))
+    val page = graft.operators.AccountHistory.decoratePage(spark, dir, rows)
+    (page.map(Dto.transferDetail).mkString("[", ",", "]"),
+     (if (bounded) Map("Graft-Scan-Limit" -> scanLimit.toString)
+      else Map.empty[String, String]) ++
+       next.map(c => "Graft-Next" -> BoundedScan.encodeToken(c)))
   }
 
   /** `/txs/tx/<rk>` (one row, success-first pick — Server.hs:449-460) and
