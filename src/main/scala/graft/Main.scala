@@ -150,6 +150,19 @@ object Main {
       df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
   }
 
+  /** `graft index <sfDir> compact` — run the lifecycle THEN the compaction
+    * pass (rewrite tombstone-affected cells, clear the side table) and
+    * print the post-compaction accounting: conservation means every row
+    * reads base′ = live and deleted′ = 0. */
+  def indexCompactCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    val store = operators.Similarity.indexLifecycleStore(spark, sfDir)
+    val affected = operators.Similarity.compactStore(spark, store)
+    val df = operators.Similarity.storeStats(spark, store)
+    s"compacted cells: ${affected.mkString(",")}" +:
+      df.columns.mkString("\t") +:
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "listen" :: zone :: tables :: ckpt :: Nil =>
       val q = streaming.Listen.stream(session(), zone, tables, ckpt)
@@ -230,6 +243,14 @@ object Main {
     case "index" :: sfDir :: Nil =>
       val spark = session()
       indexCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
+    // `graft index <sfDir> compact` — the maintenance pass that reclaims
+    // tombstoned rows (q259/q260; the reference analog: the scheduled
+    // maintenance loop, Server.hs:184-210).
+    case "index" :: sfDir :: "compact" :: Nil =>
+      val spark = session()
+      indexCompactCmd(spark, sfDir).foreach(println)
       spark.stop()
 
     case "check-schema" :: tables :: Nil =>

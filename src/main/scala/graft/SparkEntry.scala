@@ -276,6 +276,8 @@ object SparkEntry {
     "q256_streaming_ivf_upsert" -> (Similarity.q256StreamingIvfUpsert _),
     "q257_context_reuse"    -> (Retrieval.q257ContextReuse _),
     "q258_ivf_delete_query" -> (Similarity.q258IvfDeleteQuery _),
+    "q259_ivf_compact_query" -> (Similarity.q259IvfCompactQuery _),
+    "q260_ivf_compact_accounting" -> (Similarity.q260IvfCompactAccounting _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -759,5 +761,7 @@ object SparkEntry {
     "q256_streaming_ivf_upsert" -> Similarity.streamingIvfUpsertOracle,
     "q257_context_reuse"     -> Retrieval.contextReuseOracle,
     "q258_ivf_delete_query"  -> Similarity.ivfDeleteQueryOracle,
+    "q259_ivf_compact_query" -> Similarity.ivfCompactQueryOracle,
+    "q260_ivf_compact_accounting" -> Similarity.ivfCompactAccountingOracle,
   )
 }

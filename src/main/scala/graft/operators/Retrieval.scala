@@ -767,7 +767,11 @@ object Retrieval {
       .filter(col("rank") <= NdcgK)
       .join(disc, col("rank") === col("r"))
       .groupBy(col("query_id"))
-      .agg(sum(col("rel") * col("invlog_ppm")).as("dcg"))
+      // rel·invlog_ppm routes through DECIMAL(38,0): long docs at scale
+      // push tf_mass × 1e6-scale discounts past int64, where Spark
+      // non-ANSI silently wraps but DuckDB errors (the dl·10^12 rule)
+      .agg(expr("CAST(sum(CAST(rel AS DECIMAL(38,0)) * invlog_ppm) AS BIGINT)")
+        .as("dcg"))
     val wI = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("doc_id"))
     val idcg = scored
@@ -775,9 +779,11 @@ object Retrieval {
       .filter(col("irank") <= NdcgK)
       .join(disc, col("irank") === col("r"))
       .groupBy(col("query_id"))
-      .agg(sum(col("rel") * col("invlog_ppm")).as("idcg"))
+      .agg(expr("CAST(sum(CAST(rel AS DECIMAL(38,0)) * invlog_ppm) AS BIGINT)")
+        .as("idcg"))
     dcg.join(idcg, "query_id")
-      .withColumn("ndcg_ppm", expr("dcg * 1000000 DIV idcg"))
+      .withColumn("ndcg_ppm",
+        expr("CAST(CAST(dcg AS DECIMAL(38,0)) * 1000000 DIV idcg AS BIGINT)"))
       .orderBy(col("query_id"))
   }
 
@@ -793,7 +799,8 @@ object Retrieval {
        |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
        |  FROM scored),
        |dcg AS (
-       |  SELECT query_id, CAST(sum(rel * invlog_ppm) AS BIGINT) AS dcg
+       |  SELECT query_id,
+       |    CAST(sum(CAST(rel AS DECIMAL(38,0)) * invlog_ppm) AS BIGINT) AS dcg
        |  FROM ranked JOIN disc ON disc.r = ranked.rank
        |  WHERE rank <= $NdcgK GROUP BY query_id),
        |ideal AS (
@@ -802,10 +809,12 @@ object Retrieval {
        |      ORDER BY tf_mass DESC, doc_id) AS BIGINT) AS irank
        |  FROM scored),
        |idcg AS (
-       |  SELECT query_id, CAST(sum(rel * invlog_ppm) AS BIGINT) AS idcg
+       |  SELECT query_id,
+       |    CAST(sum(CAST(rel AS DECIMAL(38,0)) * invlog_ppm) AS BIGINT) AS idcg
        |  FROM ideal JOIN disc ON disc.r = ideal.irank
        |  WHERE irank <= $NdcgK GROUP BY query_id)
-       |SELECT query_id, dcg, idcg, CAST(dcg * 1000000 // idcg AS BIGINT)
+       |SELECT query_id, dcg, idcg,
+       |  CAST(CAST(dcg AS HUGEINT) * 1000000 // idcg AS BIGINT)
        |  AS ndcg_ppm
        |FROM dcg JOIN idcg USING (query_id) ORDER BY query_id""".stripMargin
 
@@ -859,7 +868,10 @@ object Retrieval {
       .join(broadcast(ansPairs.toDF("query_id", "term")),
             Seq("query_id", "term"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    broadcast(na).join(hits, Seq("query_id"), "left")
+    // build-side hint on the RIGHT: Spark can only broadcast the build
+    // (non-stream) side of a LEFT OUTER join — a hint on `na` would be
+    // silently ignored. `hits` is ≤ MaxEvalQueries grouped rows.
+    na.join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), col("n_ans"),
               coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("grounding_ppm", expr("n_hit * 1000000 DIV n_ans"))

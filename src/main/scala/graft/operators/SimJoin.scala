@@ -278,17 +278,37 @@ object SimJoin {
     val pref = ranked.filter(col("cum_excl") <= col("w") - oMin)
       .filter(maxDf.map(m => col("df") <= m).getOrElse(lit(true)))
     val a = pref.select(col("term"), col("doc_id").as("doc_a"),
-                        col("w").as("wa"), col("rem").as("rema"))
+                        col("w").as("wa"), col("rem").as("rema"),
+                        col("tf").as("tfa"))
     val b = pref.select(col("term"), col("doc_id").as("doc_b"),
-                        col("w").as("wb"), col("rem").as("remb"))
+                        col("w").as("wb"), col("rem").as("remb"),
+                        col("tf").as("tfb"))
     val oPair = expr(s"($TN*(wa+wb) + ${TN + TD - 1}) DIV ${TN + TD}")
+    // Candidate generation + the PPJoin+-style pair-aggregated suffix
+    // bound (round-9 verdict item 6). The per-collision rem filter is the
+    // classic positional check; the groupBy then REPLACES the old
+    // dropDuplicates pair-dedup shuffle (same shuffle key, same row
+    // volume in) with an aggregation that tightens the bound across ALL
+    // of a pair's prefix collisions C:
+    //   overlap(a,b) = Σ_C min(tfa,tfb) + Σ_{shared∉C} min(tfa,tfb)
+    //               ≤ pshared + min(wa − Σ_C tfa, wb − Σ_C tfb)
+    // (non-collision shared terms are disjoint from C, so their tf mass
+    // is bounded by each side's non-collision weight). A qualifying pair
+    // needs overlap ≥ o_pair, so the filter is lossless — it only
+    // discards pairs the Σ-least verify join would reject anyway, before
+    // they fan out into |doc| posting rows each. At the exact 4/5
+    // threshold this is the verify-volume governor.
     val cand = a.join(b, "term")
       .filter(col("doc_a") < col("doc_b"))
       .filter(lit(TD) * col("wa") >= lit(TN) * col("wb") &&
               lit(TD) * col("wb") >= lit(TN) * col("wa"))
       .filter(least(col("rema"), col("remb")) >= oPair)
+      .groupBy(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("pshared"),
+           sum(col("tfa")).as("ca"), sum(col("tfb")).as("cb"))
+      .filter(col("pshared") +
+              least(col("wa") - col("ca"), col("wb") - col("cb")) >= oPair)
       .select(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
-      .dropDuplicates("doc_a", "doc_b")
     val postings = ranked.select(col("doc_id"), col("term"), col("tf"))
     val interCnt = cand
       .join(postings.select(col("doc_id").as("doc_a"), col("term"),

@@ -121,17 +121,58 @@ object Snapshots {
   private val handles =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
 
+  /** How many versions of one table the handle memo retains. A long-running
+    * server commits a new version per ingest merge; without eviction every
+    * superseded handle (plan + full file listing) stays reachable — a
+    * driver memory leak growing with commit frequency × table size. The
+    * small window (not just latest) keeps handles alive for requests that
+    * pinned a version just before a concurrent commit bumped it. */
+  private val HandleWindow = 4
+
   def readCached(spark: SparkSession, snap: Snapshot): DataFrame = {
     val app = spark.sparkContext.applicationId
     handles.getOrElseUpdate((app, snap.table, snap.version), {
-      handles.filterInPlace { case ((a, _, _), _) => a == app }
+      handles.filterInPlace { case ((a, t, v), _) =>
+        a == app && !(t == snap.table && v <= snap.version - HandleWindow)
+      }
       read(spark, snap)
     })
   }
 
+  /** Test hook: live memo entries for one table path (eviction pin). */
+  private[graft] def cachedHandleCount(table: String): Int =
+    handles.keys.count(_._2 == table)
+
+  /** Serializes the first-read bootstrap commit: two concurrent first
+    * requests against an un-snapshotted table would both compute v=1 and
+    * collide on the tmp-file rename — a 500 on a pure read. */
+  private val bootstrapLock = new Object
+
   /** Pin-and-read convenience: latest committed version, else (for tables
     * written before snapshotting existed) commit the current state first.
-    * Served from the version-keyed handle memo. */
+    * Served from the version-keyed handle memo. The bootstrap commit is
+    * serialized in-process; if it still loses a cross-process race it
+    * proceeds on the winner's manifest, and on a read-only directory
+    * (no manifest writable at all) it falls back to a raw, unpinned
+    * directory read rather than failing the read path. */
   def readPinned(spark: SparkSession, path: String): DataFrame =
-    readCached(spark, latest(spark, path).getOrElse(commit(spark, path)))
+    latest(spark, path) match {
+      case Some(snap) => readCached(spark, snap)
+      case None =>
+        val snap = bootstrapLock.synchronized {
+          latest(spark, path).getOrElse {
+            try commit(spark, path)
+            catch {
+              case e: IllegalStateException =>
+                // lost a cross-process rename race: the winner's manifest
+                // pins the same pre-existing file set — read that
+                latest(spark, path).getOrElse(throw e)
+              case _: java.io.IOException =>
+                null // read-only mount: no manifest possible
+            }
+          }
+        }
+        if (snap == null) spark.read.parquet(path)
+        else readCached(spark, snap)
+    }
 }

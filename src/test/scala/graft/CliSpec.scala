@@ -102,6 +102,28 @@ class CliSpec extends AnyFunSuite {
     assert(rows.map(_(4)).sum > 0, "tombstone slice empty")
   }
 
+  test("index compact: accounting conservation — live rows preserved, " +
+       "base' = live, deleted' = 0") {
+    // pre-compaction lifecycle accounting (rebuilds the store fresh)
+    val pre = Main.indexCmd(spark, "/root/testdata/sf0.001")
+      .tail.map(_.split("\t").map(_.toLong))
+    val preLive = pre.map(_(5)).sum
+    assert(pre.map(_(4)).sum > 0, "nothing tombstoned — compaction untestable")
+    // compact (rebuilds, tombstones, rewrites affected cells)
+    val lines = Main.indexCompactCmd(spark, "/root/testdata/sf0.001")
+    assert(lines.head.startsWith("compacted cells:"))
+    assert(lines.head.length > "compacted cells: ".length - 1,
+      "no cells were affected")
+    assert(lines(1) === "cell\tsz_base\tn_added\tsz_after\tn_deleted\tsz_live")
+    val rows = lines.drop(2).map(_.split("\t").map(_.toLong))
+    // conservation: post-compaction store holds exactly the live rows
+    assert(rows.map(_(3)).sum === preLive)
+    rows.foreach { r =>
+      assert(r(4) === 0L, s"tombstones not cleared: ${r.toSeq}")
+      assert(r(3) === r(5), s"after' != live': ${r.toSeq}")
+    }
+  }
+
   test("single: present vs missing") {
     import spark.implicits._
     val dir = tmpTables()

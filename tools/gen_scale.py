@@ -20,7 +20,21 @@ rest on stay fixed:
 Determinism: pure remapping of the driver-generated sf0.1 fixture; no
 randomness anywhere.
 
-Usage: python3 tools/gen_scale.py <k> <outDir>   # e.g. 10 scaledata/sf1
+--sqrt-labels (round-10, VERDICT r9 item 2): the default label shift
+grows the label space K x with the corpus -- which grows the IVF coarse
+quantizer (one centroid per label) LINEARLY, where a real IVF retune
+grows nlist ~ sqrt(n) (cell count and cell size both ~ sqrt(n)). Under
+this flag replica rep reuses label block rep % round(sqrt(k)), so the
+label space grows ~ sqrt(k) and per-label blocks grow ~ sqrt(k) -- the
+honest scale geometry for the q250 curve. Duplicate vectors sharing a
+label only shift that label's mean centroid deterministically; nothing
+else changes. With a linearDir argument, documents.parquet and the
+relational tables are symlinked from that already-generated linear
+replica instead of recomputed (they are identical by construction).
+
+Usage: python3 tools/gen_scale.py <k> <outDir> [--sqrt-labels [linearDir]]
+       # e.g. 10 scaledata/sf1
+       #      10 scaledata/sf1s --sqrt-labels scaledata/sf1
 """
 import sys
 import pyarrow as pa
@@ -59,18 +73,21 @@ def scale_documents(k: int, out: str) -> None:
     print(f"documents: {len(ids)} rows")
 
 
-def scale_embeddings(k: int, out: str) -> None:
+def scale_embeddings(k: int, out: str, sqrt_labels: bool = False) -> None:
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_id = t.column("vec_id").to_pylist()
     emb = t.column("embedding")
     label = t.column("label").to_pylist()
     v_off = max(vec_id) + 1
     l_off = max(label) + 1
+    # sqrt mode: label blocks cycle over round(sqrt(k)) shifts -> label
+    # count grows ~sqrt(k), per-label block size grows ~sqrt(k)
+    m = max(1, round(k ** 0.5)) if sqrt_labels else k
     ids, labels = [], []
     chunks = []
     for rep in range(k):
         ids.extend(i + rep * v_off for i in vec_id)
-        labels.extend(l + rep * l_off for l in label)
+        labels.extend(l + (rep % m) * l_off for l in label)
         chunks.append(emb)
     out_t = pa.table({
         "vec_id": pa.array(ids, pa.int64()),
@@ -83,10 +100,19 @@ def scale_embeddings(k: int, out: str) -> None:
 
 def main() -> None:
     k, out = int(sys.argv[1]), sys.argv[2]
+    sqrt_labels = "--sqrt-labels" in sys.argv[3:]
+    rest = [a for a in sys.argv[3:] if not a.startswith("--")]
+    linear_dir = rest[0] if rest else None
     import os
     os.makedirs(out, exist_ok=True)
-    scale_documents(k, out)
-    scale_embeddings(k, out)
+    if linear_dir:
+        dst = f"{out}/documents.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{linear_dir}/documents.parquet"), dst)
+        print("documents: linked")
+    else:
+        scale_documents(k, out)
+    scale_embeddings(k, out, sqrt_labels)
     # the relational tables are not part of the scale-curve target set
     # (the top-cost queries are all in the document/embedding families);
     # symlink them so Verify/Bench table resolution still finds them.

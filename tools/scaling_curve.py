@@ -53,6 +53,8 @@ QUERIES = [
     # packed-context audit (3rd-heaviest bench entry) and tombstone-delete
     # serving
     "q257_context_reuse", "q258_ivf_delete_query",
+    # round-10: compaction serving path (q258's probe, clean store)
+    "q259_ivf_compact_query",
 ]
 
 SCALES = [
@@ -61,10 +63,24 @@ SCALES = [
     ("/root/repo/scaledata/sf1", 10.0),
 ]
 
+# Round-10 (VERDICT r9 item 2): the linear replica grows the LABEL space
+# K x, which grows the IVF coarse quantizer linearly -- a fixture
+# artifact; a real IVF retune grows nlist ~ sqrt(n). The sqrt-labels
+# replicas (gen_scale.py --sqrt-labels) measure the IVF-store families
+# under the honest retune geometry; entries land as "<q>@sqrt_labels".
+SQRT_QUERIES = [
+    "q250_ivf_upsert_query", "q258_ivf_delete_query", "q259_ivf_compact_query",
+]
+SQRT_SCALES = [
+    ("/root/testdata/sf0.1", 1.0),
+    ("/root/repo/scaledata/sf03s", 3.0),
+    ("/root/repo/scaledata/sf1s", 10.0),
+]
 
-def run_bench(sf_dir: str) -> dict:
+
+def run_bench(sf_dir: str, queries=None) -> dict:
     env = {"SPARK_GRAFT_SF_DIR": sf_dir,
-           "SPARK_GRAFT_ONLY": ",".join(QUERIES),
+           "SPARK_GRAFT_ONLY": ",".join(queries or QUERIES),
            # force q42 onto the distributed pointer-jumping branch at every
            # scale so the curve measures THAT path, not the driver shortcut
            "SPARK_GRAFT_CC_DRIVER_LIMIT": "0"}
@@ -81,6 +97,27 @@ def run_bench(sf_dir: str) -> dict:
     raise SystemExit(f"no bench JSON for {sf_dir}:\n{out.stdout[-2000:]}")
 
 
+def fit(runs, queries, suffix=""):
+    result = {}
+    xs = [math.log(f) for f, _, _ in runs]
+    for q in queries:
+        ts = [qs.get(q) for _, qs, _ in runs]
+        key = q + suffix
+        if any(t is None or t <= 0 for t in ts):
+            result[key] = {"error": "missing timing"}
+            continue
+        ys = [math.log(t) for t in ts]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        result[key] = {
+            "sec_at": {f"{f:g}x": round(t, 3) for (f, _, _), t in zip(runs, ts)},
+            "exponent": round(alpha, 3),
+        }
+    return result
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r08.json"
     runs = []
@@ -88,30 +125,26 @@ def main() -> None:
         r = run_bench(sf_dir)
         print(f"{sf_dir}: total {r['value']:.1f}s", flush=True)
         runs.append((factor, r["queries"], r.get("failed", "[]")))
-    result = {}
-    xs = [math.log(f) for f, _, _ in runs]
-    for q in QUERIES:
-        ts = [queries.get(q) for _, queries, _ in runs]
-        if any(t is None or t <= 0 for t in ts):
-            result[q] = {"error": "missing timing"}
-            continue
-        ys = [math.log(t) for t in ts]
-        n = len(xs)
-        mx, my = sum(xs) / n, sum(ys) / n
-        denom = sum((x - mx) ** 2 for x in xs)
-        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
-        result[q] = {
-            "sec_at": {f"{f:g}x": round(t, 3) for (f, _, _), t in zip(runs, ts)},
-            "exponent": round(alpha, 3),
-        }
+    result = fit(runs, QUERIES)
+    sqrt_runs = []
+    for sf_dir, factor in SQRT_SCALES:
+        r = run_bench(sf_dir, SQRT_QUERIES)
+        print(f"{sf_dir} (sqrt-labels): total {r['value']:.1f}s", flush=True)
+        sqrt_runs.append((factor, r["queries"], r.get("failed", "[]")))
+    result.update(fit(sqrt_runs, SQRT_QUERIES, suffix="@sqrt_labels"))
     doc = {
         "method": ("graft.Bench (warmup + min-of-2 toRdd.count, min-of-3 "
                    "above 5s) on sf0.1 and "
                    "its 3x/10x deterministic replicas (tools/gen_scale.py: "
                    "per-replica disjoint vocab, constant dimension "
                    "cardinality, constant per-label blocks); exponent = "
-                   "least-squares slope of log t vs log n over the 3 points"),
+                   "least-squares slope of log t vs log n over the 3 points. "
+                   "@sqrt_labels entries re-measure the IVF-store families "
+                   "on --sqrt-labels replicas (label space grows ~sqrt(n), "
+                   "the real IVF-retune geometry; the linear replica grows "
+                   "the coarse quantizer linearly, a fixture artifact)"),
         "scales": {f"{f:g}x": d for d, f in SCALES},
+        "sqrt_scales": {f"{f:g}x": d for d, f in SQRT_SCALES},
         "queries": result,
     }
     with open(out_path, "w") as fh:
