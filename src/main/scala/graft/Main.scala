@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   graft migrate <tableDir> [--check]                 — ordered migrations
   *   graft richlist <tableDir> <outDir>                 — maintenance pass
   *   graft check-schema <tableDir>                      — schema contract
+  *   graft vacuum <tableDir> [keepLast]                 — manifest retention
   *   graft funnel <sfDir> [v1|v2|v3]                    — curation funnel counts
   *
   * `server`, `gaps` and `backfill` are accepted as aliases (the reference
@@ -144,6 +145,25 @@ object Main {
     header +: df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
   }
 
+  /** `vacuum` — snapshot-manifest retention over every table under
+    * `tables` that has a `_manifests/` directory ([[sources.Snapshots
+    * .vacuum]]): keeps the newest `keep` versions, prints one line per
+    * table. The ingest-side maintenance pass a long-running `listen`
+    * deployment schedules next to `richlist`. */
+  def vacuumCmd(spark: SparkSession, tables: String, keep: Int): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tables)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Seq(s"no such directory: $tables")
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_manifests")))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val dropped = sources.Snapshots.vacuum(spark, st.getPath.toString, keep)
+        s"${st.getPath.getName}\tdropped=${dropped.size}\tkeep=$keep"
+      }
+  }
+
   def indexCmd(spark: SparkSession, sfDir: String): Seq[String] = {
     val df = operators.Similarity.indexLifecycleStats(spark, sfDir)
     df.columns.mkString("\t") +:
@@ -253,6 +273,15 @@ object Main {
       indexCompactCmd(spark, sfDir).foreach(println)
       spark.stop()
 
+    // `graft vacuum <tableDir> [keepLast]` — drop superseded snapshot
+    // manifests (bounded per-request `_manifests/` listing; see
+    // sources.Snapshots.vacuum).
+    case "vacuum" :: tables :: rest if rest.size <= 1 =>
+      val spark = session()
+      vacuumCmd(spark, tables, rest.headOption.map(_.toInt).getOrElse(16))
+        .foreach(println)
+      spark.stop()
+
     case "check-schema" :: tables :: Nil =>
       val spark = session()
       val bad = ingest.Schemas.check(spark, tables)
@@ -264,7 +293,7 @@ object Main {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: listen|serve|fill|single|fill-events|backfill-transfers|
-           |       migrate|richlist|check-schema|funnel|card|index
+           |       migrate|richlist|check-schema|funnel|card|index|vacuum
            |       (see scaladoc)""".stripMargin)
       sys.exit(2)
   }

@@ -278,6 +278,7 @@ object SparkEntry {
     "q258_ivf_delete_query" -> (Similarity.q258IvfDeleteQuery _),
     "q259_ivf_compact_query" -> (Similarity.q259IvfCompactQuery _),
     "q260_ivf_compact_accounting" -> (Similarity.q260IvfCompactAccounting _),
+    "q261_token_fertility"  -> (TextOps.q261TokenFertility _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -763,5 +764,6 @@ object SparkEntry {
     "q258_ivf_delete_query"  -> Similarity.ivfDeleteQueryOracle,
     "q259_ivf_compact_query" -> Similarity.ivfCompactQueryOracle,
     "q260_ivf_compact_accounting" -> Similarity.ivfCompactAccountingOracle,
+    "q261_token_fertility"   -> TextOps.tokenFertilityOracle,
   )
 }

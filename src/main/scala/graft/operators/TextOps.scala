@@ -184,6 +184,53 @@ object TextOps {
        |  CAST(length(text) AS BIGINT) AS chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q261 — tokenizer fertility by language: BPE-ish tokens per character
+    * for each PREDICTED language (q34's marker heuristic recomputed inline,
+    * not joined — one `documents` scan feeding a ≤6-group aggregation, so
+    * the 100 TB shape is scan + map-side partial agg, no doc_id shuffle).
+    * Fertility (tokens/char) is the standard multilingual tokenizer-
+    * efficiency audit: a language whose fertility_ppm is far above the
+    * corpus norm is being over-segmented by the tokenizer and will burn
+    * context budget (cf. the fertility tables in the BLOOM and XLM-R
+    * tokenizer analyses). ppm output via the repo's integer-DIV
+    * convention; the numerator routes through DECIMAL(38,0) because
+    * sum(bpe_tokens)·10^6 overflows int64 at web-corpus scale. */
+  def q261TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lg, ws) =>
+      lg -> ws.map(w => length(padded) - length(regexp_replace(padded, s" $w ", "")))
+              .reduce(_ + _)
+    }
+    val maxS = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(maxS <= 0, "und")) { case (acc, (lg, s)) =>
+      acc.when(s === maxS, lg)
+    }
+    Tables.documents(spark, dir)
+      .select(pred.as("pred_lang"),
+              size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+                .cast("long").as("bpe"),
+              length(col("text")).cast("long").as("chars"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("docs"),
+           sum(col("bpe")).as("bpe_tokens"),
+           sum(col("chars")).as("chars_total"))
+      .select(col("pred_lang"), col("docs"), col("bpe_tokens"), col("chars_total"),
+              expr("""CAST(CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000
+                      DIV greatest(chars_total, 1) AS BIGINT)""").as("fertility_ppm"))
+      .orderBy(col("pred_lang"))
+  }
+
+  def tokenFertilityOracle: String =
+    s"""WITH pred AS ($langIdOracle)
+       |SELECT p.pred_lang,
+       |  CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(sum(len(regexp_extract_all(lower(d.text), '$bpePattern'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(length(d.text)) AS BIGINT) AS chars_total,
+       |  CAST(CAST(sum(len(regexp_extract_all(lower(d.text), '$bpePattern'))) AS HUGEINT) * 1000000
+       |    // greatest(sum(length(d.text)), 1) AS BIGINT) AS fertility_ppm
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------------
   // Document fingerprinting
   // -------------------------------------------------------------------------

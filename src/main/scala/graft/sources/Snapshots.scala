@@ -143,6 +143,38 @@ object Snapshots {
   private[graft] def cachedHandleCount(table: String): Int =
     handles.keys.count(_._2 == table)
 
+  /** Maintenance: delete all manifests older than the newest `keepLast`
+    * versions (the on-disk complement of the handle-memo window above).
+    * Writers only ever ADD data files, so old manifests reference subsets
+    * of live files and vacuum reclaims no data — what it bounds is the
+    * manifest directory itself: each commit writes O(#files) text, and the
+    * serving path's `latest()` lists `_manifests/` on every request, a
+    * listing that otherwise grows with every ingest merge forever (the
+    * reference analog: the scheduled maintenance loop,
+    * chainweb-data haskell-src/exec/Chainweb/Server.hs:184-210).
+    * `keepLast` should stay above [[HandleWindow]] so versions pinned by
+    * in-flight continuation tokens survive; a token that still pins a
+    * vacuumed version fails like any aged-out cursor. In-flight commit
+    * temp files (`.v*.manifest.tmp`) are deliberately left alone —
+    * deleting one under a live single-writer would fail its rename.
+    * Returns the deleted version numbers (oldest first). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 16): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/$ManifestDir")
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val versions = f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong }
+        .sorted
+      val drop = versions.dropRight(keepLast)
+      drop.foreach(v => f.delete(manifestPath(path, v), false): Unit)
+      drop
+    }
+  }
+
   /** Serializes the first-read bootstrap commit: two concurrent first
     * requests against an un-snapshotted table would both compute v=1 and
     * collide on the tmp-file rename — a 500 on a pure read. */

@@ -115,4 +115,54 @@ class Round10Spec extends AnyFunSuite {
     assert(counts.forall(_ === 2L))
     assert(graft.sources.Snapshots.latest(spark, t).map(_.version) === Some(1L))
   }
+
+  test("q261 token fertility: join-free single-scan shape, mass " +
+       "conservation, and ppm arithmetic") {
+    val df = operators.TextOps.q261TokenFertility(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // pred_lang is recomputed INLINE on the documents scan — a join with
+    // the q34 relation would shuffle every doc_id at 100 TB
+    assert(!plan.contains("Join"), s"q261 grew a join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val docsTotal = rows.map(_.getLong(1)).sum
+    assert(docsTotal ===
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(0)), s"unknown lang ${r.getString(0)}")
+      val expected = (BigInt(r.getLong(2)) * 1000000 /
+        BigInt(math.max(r.getLong(3), 1L))).toLong
+      assert(r.getLong(4) === expected, s"ppm mismatch in row $r")
+    }
+  }
+
+  test("Snapshots.vacuum keeps the newest keepLast manifests; latest " +
+       "still reads; idempotent; rejects keepLast < 1") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_snap_vac")
+      .toString + "/tbl"
+    (1 to 7).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "s")
+        .write.mode("append").parquet(t)
+      graft.sources.Snapshots.commit(spark, t): Unit
+    }
+    val dropped = graft.sources.Snapshots.vacuum(spark, t, keepLast = 3)
+    assert(dropped === Seq(1L, 2L, 3L, 4L))
+    // retained window intact: latest readable, v5 (oldest kept) readable
+    assert(graft.sources.Snapshots.latest(spark, t).map(_.version) === Some(7L))
+    assert(graft.sources.Snapshots.readPinned(spark, t).count() === 7L)
+    assert(graft.sources.Snapshots.at(spark, t, 5L).files.nonEmpty)
+    // idempotent; a later commit restarts numbering AFTER the survivors
+    assert(graft.sources.Snapshots.vacuum(spark, t, keepLast = 3).isEmpty)
+    val v8 = graft.sources.Snapshots.commit(spark, t)
+    assert(v8.version === 8L)
+    assertThrows[IllegalArgumentException] {
+      graft.sources.Snapshots.vacuum(spark, t, keepLast = 0)
+    }
+    // CLI face: one line per snapshotted table under the parent dir
+    val parent = new java.io.File(t).getParent
+    val lines = Main.vacuumCmd(spark, parent, 2)
+    assert(lines.exists(l => l.startsWith("tbl\t") && l.contains("dropped=2")))
+  }
 }
