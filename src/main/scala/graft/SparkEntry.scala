@@ -279,6 +279,10 @@ object SparkEntry {
     "q259_ivf_compact_query" -> (Similarity.q259IvfCompactQuery _),
     "q260_ivf_compact_accounting" -> (Similarity.q260IvfCompactAccounting _),
     "q261_token_fertility"  -> (TextOps.q261TokenFertility _),
+    "q262_bt_strength"      -> (Preference.q262BtStrength _),
+    "q263_text_index_build" -> (Retrieval.q263TextIndexBuild _),
+    "q264_text_index_query" -> (Retrieval.q264TextIndexQuery _),
+    "q265_pref_cycles"      -> (Preference.q265PrefCycles _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -765,5 +769,9 @@ object SparkEntry {
     "q259_ivf_compact_query" -> Similarity.ivfCompactQueryOracle,
     "q260_ivf_compact_accounting" -> Similarity.ivfCompactAccountingOracle,
     "q261_token_fertility"   -> TextOps.tokenFertilityOracle,
+    "q262_bt_strength"       -> Preference.btStrengthOracle,
+    "q263_text_index_build"  -> Retrieval.textIndexBuildOracle,
+    "q264_text_index_query"  -> Retrieval.textIndexQueryOracle,
+    "q265_pref_cycles"       -> Preference.prefCyclesOracle,
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,8 +97,16 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfRel), "term")
+    bm25Chain(tf.join(broadcast(dfRel), "term"), terms, n, avgdlPpm)
+  }
+
+  /** BM25-ppm scoring tail over a postings relation carrying
+    * (doc_id, dl, term, tf, df) — shared by the on-the-fly [[scoredFor]]
+    * chain and the persisted-index query path (q264), so the serving
+    * index and the from-scratch scorer can never drift formula-wise. */
+  private def bm25Chain(tfdf: DataFrame, terms: DataFrame,
+                        n: Long, avgdlPpm: Long): DataFrame =
+    tfdf
       .join(broadcast(terms), "term")
       // dl·10^12 routes through DECIMAL(38,0): at web scale dl can reach
       // 10^6 tokens and the product would clip int64.
@@ -119,8 +127,6 @@ object Retrieval {
            // raw query-term mass — q252's graded-relevance signal (a gold
            // grade INDEPENDENT of the ranker's saturation/normalization)
            sum(col("tf")).as("tf_mass"))
-    scored
-  }
 
   def q150Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -729,6 +735,156 @@ object Retrieval {
        |              ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
        |  FROM fused)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q263/q264 — PERSISTED INVERTED INDEX: the sparse-retrieval serving
+  // lifecycle, completing the dense story (q246-q260 persisted IVF) on the
+  // BM25 side. q150 deliberately never materializes a corpus-wide TF
+  // relation — the right trade for a one-shot query. A SERVING deployment
+  // makes the opposite trade: pay the full posting build ONCE, then answer
+  // every query from storage touching only the query terms' postings.
+  //
+  // Layout: postings (term, doc_id, tf, dl, df — df denormalized at build,
+  // RLE-friendly) PARTITIONED BY the term's md5 first byte (256 buckets),
+  // so a query's term set maps to a bucket list and the read is DIRECTORY
+  // pruning, not a filter over the full index; plus a 1-row corpus-stats
+  // table (n_docs, total_dl) for the length normalization. The bucket
+  // function is md5 (the repo's only hash) — reproducible in the oracle,
+  // unlike engine-native hashes.
+  //
+  // Scale: the build is one corpus-wide explode + two keyed aggregates —
+  // THE index-build shuffle, priced once (the FAISS-build analog on the
+  // sparse side). A query reads |query-bucket| directories, filters to the
+  // vocab, broadcasts the ≤|vocab| term list, and ranks per query — no
+  // corpus scan anywhere on the serving path. q264 ≡ q150 (same oracle
+  // VERBATIM — the q139-pattern equivalence pin) proves the persisted
+  // round trip changes no ranking.
+  // -------------------------------------------------------------------------
+
+  /** Partition-bucket count of the persisted index (md5 first byte):
+    * wide enough that a query's term set prunes to a few percent of the
+    * directory tree — a 16-term query touches ≤ 16/256 of the index. */
+  val IndexBuckets = 256
+
+  /** The bucket column: first md5 byte of the term (q61's conv idiom). */
+  private def termBucket(term: Column): Column =
+    conv(substring(md5(term), 1, 2), 16, 10).cast("int")
+
+  /** Scala-side twin of [[termBucket]] for deriving query-time bucket
+    * literals — must equal the column function and the oracle's strpos
+    * nibbles (md5 of the UTF-8 term, byte 0). */
+  private def bucketOfTerm(term: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    d(0) & 0xFF
+  }
+
+  /** BUILD: write the bucket-partitioned postings + corpus stats; returns
+    * the store path. Overwrite-in-place (the Stores contract) — rebuild
+    * is idempotent. */
+  private[graft] def buildTextIndex(spark: SparkSession, dir: String): String = {
+    val store = graft.Stores.path(spark, "graft_text_index")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df denormalized into every posting row: a keyed corpus join at BUILD
+    // time buys a join-free serving path (parquet RLE makes it ~free on disk)
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfRel, "term")
+      .select(termBucket(col("term")).as("bucket"), col("term"),
+        col("doc_id"), col("tf"), col("dl"), col("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode("overwrite").parquet(s"$store/stats")
+    store
+  }
+
+  /** q263 — index-build accounting: per bucket, distinct terms, posting
+    * rows, total tf mass, and the largest df. The oracle recomputes all
+    * four from the raw corpus — equality proves the build wrote exactly
+    * the TF/df relation (no dropped terms, no double-counted postings)
+    * under the same bucket function. */
+  def q263TextIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val store = buildTextIndex(spark, dir)
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("sum_tf"),
+        max(col("df")).as("max_df"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_terms"),
+        col("n_postings"), col("sum_tf"), col("max_df"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The serving-path postings read: bucket list derived from the query
+    * vocabulary (directory pruning), then the vocab filter. Shuffle-free
+    * by construction — graft-visible so the spec can pin the pruned
+    * numFiles on the exact relation q264 consumes. */
+  private[graft] def servingRead(spark: SparkSession, store: String): DataFrame = {
+    val vocab = queryVocab
+    val buckets = vocab.map(bucketOfTerm).distinct.map(Int.box)
+    spark.read.parquet(s"$store/postings")
+      .filter(col("bucket").isin(buckets: _*)) // directory pruning
+      .filter(col("term").isin(vocab: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+  }
+
+  /** q264 — SERVE from the persisted index: the full q150 query set
+    * answered purely from storage — bucket-pruned postings read, vocab
+    * filter, the shared [[bm25Chain]], top-k rank. Output ≡ q150
+    * row-for-row (its oracle IS [[bm25Oracle]]). */
+  def q264TextIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = buildTextIndex(spark, dir)
+    val st = spark.read.parquet(s"$store/stats").first()
+    val n = st.getLong(0)
+    val avgdlPpm = st.getLong(1) * 1000000L / n // trunc-div == SQL DIV (>0)
+    val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    bm25Chain(servingRead(spark, store), terms, n, avgdlPpm)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit"),
+        col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q263's oracle: the same TF/df/bucket derivation straight from
+    * `documents` (strpos nibble ≡ conv(md5 nibble)). */
+  val textIndexBuildOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      |        FROM documents)),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |b AS (
+      |  SELECT (strpos('0123456789abcdef', substr(md5(tf.term), 1, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(tf.term), 2, 1)) - 1)
+      |           AS bucket,
+      |         tf.term, tf.tf, df.df
+      |  FROM tf JOIN df USING (term))
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |  CAST(max(df) AS BIGINT) AS max_df
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q264's oracle IS q150's — the persisted index must be
+    * indistinguishable from scoring the raw corpus. */
+  val textIndexQueryOracle: String = bm25Oracle
 
   // -------------------------------------------------------------------------
   // q252 — NDCG@k retrieval-quality eval (Järvelin & Kekäläinen, TOIS'02):

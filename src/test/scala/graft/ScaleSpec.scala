@@ -796,4 +796,33 @@ class ScaleSpec extends AnyFunSuite {
       .select(pmod(hash(col("row_id")), lit(16))).distinct().count()
     assert(shards > 8)
   }
+
+  test("round-10 batch: preference fit stays control-plane sized; " +
+       "persisted-index serving is pruned + broadcast-bounded") {
+    val dir = "/root/testdata/sf0.001"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // q262/q265 upstream: the corpus side is scan + two-phase rank + one
+    // keyed pair aggregate; the only join is globalRankBy's ≤257-row
+    // bucket-offset broadcast (Round10bSpec pins no shuffled join); the
+    // matrix itself is |sources|² — bounded at any corpus size
+    val m = graft.operators.Preference.winMatrix(spark, dir)
+    val ms = finalPlan(m)
+    assert(!ms.contains("CartesianProduct"), s"cartesian in win matrix:\n$ms")
+    assert(m.count() <= 20L * 19L, "win matrix outgrew |sources|²")
+    // q264: postings read is directory-pruned, query terms broadcast,
+    // the only window partitions by query_id
+    val q = graft.operators.Retrieval.q264TextIndexQuery(spark, dir)
+    val qsPlan = finalPlan(q)
+    assert(!qsPlan.contains("CartesianProduct"), s"cartesian in q264:\n$qsPlan")
+    assert(qsPlan.contains("PartitionFilters: ["),
+      s"q264 postings read not partition-pruned:\n$qsPlan")
+    val qWins = qsPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(qWins.nonEmpty && qWins.forall(_.contains("query_id")),
+      s"q264 window not query-partitioned:\n$qsPlan")
+    assert(PlanWalk.allNodes(q).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      s"q264 terms should broadcast:\n$qsPlan")
+  }
 }
