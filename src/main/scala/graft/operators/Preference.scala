@@ -128,7 +128,9 @@ object Preference {
     * players, majority edges, complete triads, cyclic, transitive,
     * consistency in ppm. */
   def q265PrefCycles(spark: SparkSession, dir: String): DataFrame = {
-    val g = winMatrix(spark, dir)
+    // four downstream actions (players/edges/triads/cycles) — checkpoint
+    // the ≤|S|² matrix so the corpus pipeline runs once, not four times
+    val g = winMatrix(spark, dir).localCheckpoint()
     val rev = g.select(col("loser").as("winner"), col("winner").as("loser"),
       col("n").as("rn"))
     // strict majority edge a→b (absent reverse counts as 0)

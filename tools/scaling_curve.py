@@ -55,6 +55,11 @@ QUERIES = [
     "q257_context_reuse", "q258_ivf_delete_query",
     # round-10: compaction serving path (q258's probe, clean store)
     "q259_ivf_compact_query",
+    # round-10 batch 2: preference fit (corpus scan + two-phase rank into a
+    # control-plane matrix), inverted-index build (THE corpus-wide postings
+    # shuffle, priced once) and the pruned serve-from-storage path
+    "q262_bt_strength", "q263_text_index_build", "q264_text_index_query",
+    "q265_pref_cycles",
 ]
 
 SCALES = [
