@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   graft check-schema <tableDir>                      — schema contract
   *   graft vacuum <tableDir> [keepLast]                 — manifest retention
   *   graft funnel <sfDir> [v1|v2|v3]                    — curation funnel counts
+  *   graft index <sfDir> [compact|text]                 — persisted-index ops
   *
   * `server`, `gaps` and `backfill` are accepted as aliases (the reference
   * marks the latter two DEPRECATED; their work is the `fill` plan here —
@@ -170,6 +171,24 @@ object Main {
       df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
   }
 
+  /** `graft index <sfDir> text` — the sparse twin of the IVF lifecycle
+    * verb: build the persisted inverted index (bucket-partitioned BM25
+    * postings, [[operators.Retrieval.buildTextIndex]]) and print the
+    * per-bucket accounting plus a serve-from-storage smoke (top hit per
+    * query via the pruned q264 path). */
+  def indexTextCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    def dump(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.columns.mkString("\t") +:
+        df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
+    // materialize the accounting BEFORE q264's rebuild overwrites the
+    // postings files its lazy plan points at (overwrite = new part names)
+    val acct = dump(operators.Retrieval.q263TextIndexBuild(spark, sfDir))
+    val serve = operators.Retrieval.q264TextIndexQuery(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1L)
+    acct ++ Seq("--- top hit per query (served from storage) ---") ++
+      dump(serve)
+  }
+
   /** `graft index <sfDir> compact` — run the lifecycle THEN the compaction
     * pass (rewrite tombstone-affected cells, clear the side table) and
     * print the post-compaction accounting: conservation means every row
@@ -271,6 +290,13 @@ object Main {
     case "index" :: sfDir :: "compact" :: Nil =>
       val spark = session()
       indexCompactCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
+    // `graft index <sfDir> text` — build + smoke the persisted inverted
+    // index (q263/q264), the sparse side of the serving story.
+    case "index" :: sfDir :: "text" :: Nil =>
+      val spark = session()
+      indexTextCmd(spark, sfDir).foreach(println)
       spark.stop()
 
     // `graft vacuum <tableDir> [keepLast]` — drop superseded snapshot

@@ -196,4 +196,17 @@ class CliSpec extends AnyFunSuite {
       Seq("0_all", "1_urlgate", "2_redacted", "3_dedup", "4_sample"))
     assert(stages.head._2 > stages(1)._2) // the URL gate drops docs
   }
+
+  test("index text: builds the inverted index, prints per-bucket " +
+       "accounting and a served top hit per query") {
+    val lines = Main.indexTextCmd(spark, "/root/testdata/sf0.001")
+    assert(lines.head === "bucket\tn_terms\tn_postings\tsum_tf\tmax_df")
+    val sep = lines.indexWhere(_.startsWith("--- top hit"))
+    assert(sep > 1, "no accounting rows before the separator")
+    val acct = lines.slice(1, sep).map(_.split("\t").map(_.toLong))
+    assert(acct.forall(r => r(1) > 0 && r(2) >= r(1)))
+    val serve = lines.drop(sep + 2).map(_.split("\t"))
+    assert(serve.nonEmpty && serve.forall(_(1) == "1")) // rank == 1 rows
+    assert(serve.map(_(0)).distinct.length === serve.length) // one per query
+  }
 }
