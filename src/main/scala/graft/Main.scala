@@ -189,6 +189,78 @@ object Main {
       dump(serve)
   }
 
+  /** `graft index <sfDir> text upsert` — build the lifecycle store from
+    * the base slice and merge the batch (replayed twice — the second merge
+    * must be a no-op); print the committed stats version and the
+    * post-upsert per-bucket accounting (n_added = merged batch postings). */
+  def indexTextUpsertCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    val store = operators.Retrieval.textLifecycleStore(spark, sfDir)
+    val (v, n, dl) = operators.Retrieval.latestTextStats(spark, store)
+    val df = operators.Retrieval.textStoreAccounting(spark, store)
+    s"stats\tversion=$v\tn_docs=$n\ttotal_dl=$dl" +:
+      df.columns.mkString("\t") +:
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t"))
+  }
+
+  /** `graft index <sfDir> text compact` — the full verb chain (build →
+    * upsert → tombstone-delete → compact); print the affected buckets,
+    * the exact-refreshed stats version, and the conservation accounting
+    * (residual tombstones must be 0). */
+  def indexTextCompactCmd(spark: SparkSession, sfDir: String): Seq[String] = {
+    val store = operators.Retrieval.textDeletedStore(spark, sfDir)
+    val affected = operators.Retrieval.textCompact(spark, store)
+    val (v, n, dl) = operators.Retrieval.latestTextStats(spark, store)
+    val nTomb = spark.read.parquet(s"$store/tombstones").count()
+    val df = operators.Retrieval.textStoreAccounting(spark, store)
+    Seq(s"compacted buckets: ${affected.mkString(",")}",
+        s"stats\tversion=$v\tn_docs=$n\ttotal_dl=$dl\ttombstones=$nTomb") ++
+      (df.columns.mkString("\t") +:
+        df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("\t")))
+  }
+
+  /** `graft maintain <tablesDir> <outDir> [keepLast]` — the reference's
+    * scheduled maintenance loop (Server.hs:184-210 runs richlist + coins +
+    * fill on a 24 h cadence) as ONE idempotent entry point that sequences
+    * every housekeeping verb this engine has:
+    *   1. the richlist/supply/stats maintenance pass
+    *      ([[plans.Maintenance.run]] — also emits the gap-repair plan),
+    *   2. snapshot-manifest vacuum over the ingested tables
+    *      ([[sources.Snapshots.vacuum]]),
+    *   3. compaction of any persisted index store that has accumulated
+    *      tombstones (IVF cells + text buckets — the segment-merge pass).
+    * Re-running immediately is a no-op beyond the recomputed richlist:
+    * vacuum keeps the same window and both compactions see empty
+    * tombstone tables. */
+  def maintainCmd(spark: SparkSession, tables: String, out: String,
+                  keep: Int): Seq[String] = {
+    val rep = plans.Maintenance.run(spark, tables, out, genesis = Map.empty)
+    val head = Seq(
+      s"richlist\trows=${rep.richlistRows}\tsupply=${rep.totalSupply}",
+      s"gaps\tchunks=${rep.gapChunks}")
+    val vac = vacuumCmd(spark, tables, keep).map(l => s"vacuum\t$l")
+    val stores = Seq(
+      "graft_ivf_upsert_store" -> "ivf",
+      "graft_text_lifecycle" -> "text")
+    val compacts = stores.map { case (name, kind) =>
+      val store = Stores.path(spark, name)
+      val tombPath = new org.apache.hadoop.fs.Path(s"$store/tombstones")
+      val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(tombPath)) s"compact\t$kind\tno store"
+      else {
+        val nTomb = spark.read.parquet(s"$store/tombstones").count()
+        if (nTomb == 0) s"compact\t$kind\tclean"
+        else {
+          val affected = kind match {
+            case "ivf" => operators.Similarity.compactStore(spark, store).size
+            case _     => operators.Retrieval.textCompact(spark, store).size
+          }
+          s"compact\t$kind\ttombstones=$nTomb\taffected=$affected"
+        }
+      }
+    }
+    head ++ vac ++ compacts
+  }
+
   /** `graft index <sfDir> compact` — run the lifecycle THEN the compaction
     * pass (rewrite tombstone-affected cells, clear the side table) and
     * print the post-compaction accounting: conservation means every row
@@ -299,13 +371,45 @@ object Main {
       indexTextCmd(spark, sfDir).foreach(println)
       spark.stop()
 
+    // `graft index <sfDir> text upsert|compact` — the text-index
+    // maintenance lifecycle (q266-q270): affected-bucket merges with
+    // versioned stats, tombstone compaction with conservation accounting.
+    case "index" :: sfDir :: "text" :: "upsert" :: Nil =>
+      val spark = session()
+      indexTextUpsertCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
+    case "index" :: sfDir :: "text" :: "compact" :: Nil =>
+      val spark = session()
+      indexTextCompactCmd(spark, sfDir).foreach(println)
+      spark.stop()
+
+    // `graft maintain <tablesDir> <outDir> [keepLast]` — the scheduled
+    // nightly pass: richlist/supply/stats + manifest vacuum + index-store
+    // compaction in one idempotent sequence (Server.hs:184-210 cadence).
+    case "maintain" :: tables :: out :: rest if rest.size <= 1 =>
+      val keep = rest.headOption.map { k =>
+        try k.toInt catch { case _: NumberFormatException =>
+          System.err.println(s"maintain: keepLast must be a number, got: $k")
+          sys.exit(2)
+        }
+      }.getOrElse(16)
+      val spark = session()
+      maintainCmd(spark, tables, out, keep).foreach(println)
+      spark.stop()
+
     // `graft vacuum <tableDir> [keepLast]` — drop superseded snapshot
     // manifests (bounded per-request `_manifests/` listing; see
     // sources.Snapshots.vacuum).
     case "vacuum" :: tables :: rest if rest.size <= 1 =>
+      val keep = rest.headOption.map { k =>
+        try k.toInt catch { case _: NumberFormatException =>
+          System.err.println(s"vacuum: keepLast must be a number, got: $k")
+          sys.exit(2)
+        }
+      }.getOrElse(16)
       val spark = session()
-      vacuumCmd(spark, tables, rest.headOption.map(_.toInt).getOrElse(16))
-        .foreach(println)
+      vacuumCmd(spark, tables, keep).foreach(println)
       spark.stop()
 
     case "check-schema" :: tables :: Nil =>
@@ -319,8 +423,8 @@ object Main {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: listen|serve|fill|single|fill-events|backfill-transfers|
-           |       migrate|richlist|check-schema|funnel|card|index|vacuum
-           |       (see scaladoc)""".stripMargin)
+           |       migrate|richlist|check-schema|funnel|card|index|vacuum|
+           |       maintain  (see scaladoc)""".stripMargin)
       sys.exit(2)
   }
 }

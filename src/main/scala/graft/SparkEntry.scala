@@ -283,6 +283,13 @@ object SparkEntry {
     "q263_text_index_build" -> (Retrieval.q263TextIndexBuild _),
     "q264_text_index_query" -> (Retrieval.q264TextIndexQuery _),
     "q265_pref_cycles"      -> (Preference.q265PrefCycles _),
+    "q266_text_upsert"      -> (Retrieval.q266TextUpsert _),
+    "q267_text_upsert_query" -> (Retrieval.q267TextUpsertQuery _),
+    "q268_text_delete_query" -> (Retrieval.q268TextDeleteQuery _),
+    "q269_text_compact_query" -> (Retrieval.q269TextCompactQuery _),
+    "q270_text_compact_accounting" -> (Retrieval.q270TextCompactAccounting _),
+    "q271_hybrid_from_stores" -> (Retrieval.q271HybridFromStores _),
+    "q272_streaming_text_upsert" -> (Retrieval.q272StreamingTextUpsert _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same parquet tables, same column
@@ -773,5 +780,12 @@ object SparkEntry {
     "q263_text_index_build"  -> Retrieval.textIndexBuildOracle,
     "q264_text_index_query"  -> Retrieval.textIndexQueryOracle,
     "q265_pref_cycles"       -> Preference.prefCyclesOracle,
+    "q266_text_upsert"       -> Retrieval.textUpsertOracle,
+    "q267_text_upsert_query" -> Retrieval.textUpsertQueryOracle,
+    "q268_text_delete_query" -> Retrieval.textDeleteQueryOracle,
+    "q269_text_compact_query" -> Retrieval.textCompactQueryOracle,
+    "q270_text_compact_accounting" -> Retrieval.textCompactAccountingOracle,
+    "q271_hybrid_from_stores" -> Retrieval.hybridFromStoresOracle,
+    "q272_streaming_text_upsert" -> Retrieval.streamingTextUpsertOracle,
   )
 }

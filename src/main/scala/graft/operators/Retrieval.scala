@@ -87,7 +87,8 @@ object Retrieval {
     // driver-loop dimension): corpus size and total token mass.
     val row = docs.agg(count(lit(1)), sum(col("dl"))).first()
     val n = row.getLong(0)
-    val avgdlPpm = row.getLong(1) * 1000000L / n // trunc-div == SQL DIV (>0)
+    // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
+    val avgdlPpm = (BigInt(row.getLong(1)) * 1000000 / n).toLong
     val terms = termPairs.toDF("query_id", "term")
     // Literal IN filter BEFORE the aggregate: only query-term occurrences
     // survive the explode — the corpus-wide TF relation never exists.
@@ -493,7 +494,8 @@ object Retrieval {
     val pass = passages(spark, dir)
     val row = pass.agg(count(lit(1)), sum(col("dl"))).first()
     val n = row.getLong(0)
-    val avgdlPpm = row.getLong(1) * 1000000L / n
+    // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
+    val avgdlPpm = (BigInt(row.getLong(1)) * 1000000 / n).toLong
     val terms = termPairs.toDF("query_id", "term")
     val tf = pass
       .select(col("doc_id"), col("chunk_idx"), col("dl"),
@@ -664,7 +666,11 @@ object Retrieval {
 
   /** The shared oracle CTE chain through `scored` (now carrying both the
     * BM25 and the IDF-overlap score). */
-  private def bm25ChainSql: String = {
+  private def bm25ChainSql: String = bm25ChainSqlOver("documents")
+
+  /** [[bm25ChainSql]] with the corpus source pluggable — the lifecycle
+    * oracles (q269) score over the LIVE slice only. */
+  private def bm25ChainSqlOver(docSrc: String): String = {
     val values = querySet
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
@@ -674,7 +680,7 @@ object Retrieval {
        |d AS (
        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-       |        FROM documents)),
+       |        FROM $docSrc)),
        |stats AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(dl) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
@@ -779,30 +785,78 @@ object Retrieval {
     d(0) & 0xFF
   }
 
+  /** The doc→(doc_id, dl, term, tf) tokenize-aggregate shared by the
+    * build and the lifecycle merge. explode_OUTER + null filter, not plain
+    * explode: InferFiltersFromGenerate would clone the `split(lower(text))`
+    * into a scan-level `size(..)>0` filter and tokenize the corpus TWICE
+    * (the q214 trap — see Corpus.q214NoveltyByQuality). Outer explode
+    * admits one null row per empty array, dropped by a cheap per-row
+    * filter the optimizer can't push through the Generate. */
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, t, dl) over a documents slice. */
+  private def tokenizedDocs(docsRaw: DataFrame): DataFrame =
+    docsRaw
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+
+  /** df-denormalization tail over a TF relation: a keyed join at BUILD
+    * time buys a join-free serving path (parquet RLE makes the repeated
+    * df ~free on disk). The caller decides whether `tf` is materialized:
+    * both sides of the join traverse it. */
+  private def postingsFromTf(tf: DataFrame): DataFrame = {
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfRel, "term")
+      .select(termBucket(col("term")).as("bucket"), col("term"),
+        col("doc_id"), col("tf"), col("dl"), col("df"))
+  }
+
+  /** Lazy postings relation (spec-side ground truth — recomputes the
+    * tokenize on each traversal; the build path uses [[buildPostings]]). */
+  private[graft] def postingsOf(docsRaw: DataFrame): DataFrame =
+    postingsFromTf(tfOf(tokenizedDocs(docsRaw)))
+
+  /** The postings relation the BUILD actually writes: TF is materialized
+    * ONCE (localCheckpoint) before the df derivation and the denorm join
+    * traverse it — the corpus is tokenized and shuffled exactly once per
+    * build. (Column pruning defeats exchange reuse on the lazy form: the
+    * df branch's pre-shuffle aggregate drops the count, so the two join
+    * inputs are different subplans and Spark re-runs the tokenize. The
+    * TF relation is the same magnitude as the output postings, so one
+    * bounded materialization beats a second corpus pass at any scale.)
+    * Round11Spec pins the zero-split executed plan. */
+  private[graft] def buildPostings(docsRaw: DataFrame): DataFrame =
+    postingsFromTf(tfOf(tokenizedDocs(docsRaw)).localCheckpoint())
+
   /** BUILD: write the bucket-partitioned postings + corpus stats; returns
     * the store path. Overwrite-in-place (the Stores contract) — rebuild
     * is idempotent. */
   private[graft] def buildTextIndex(spark: SparkSession, dir: String): String = {
     val store = graft.Stores.path(spark, "graft_text_index")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df denormalized into every posting row: a keyed corpus join at BUILD
-    // time buys a join-free serving path (parquet RLE makes it ~free on disk)
-    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfRel, "term")
-      .select(termBucket(col("term")).as("bucket"), col("term"),
-        col("doc_id"), col("tf"), col("dl"), col("df"))
+    val docsRaw = Tables.documents(spark, dir)
+    buildPostings(docsRaw)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$store/postings")
-    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    // corpus stats FROM the written postings (a narrow 2-column read), not
+    // a second tokenize pass over the corpus: every doc has ≥1 posting
+    // (split of even an empty text yields one token), so distinct doc_id
+    // and one dl per doc recover (n_docs, total_dl) exactly.
+    statsOfPostings(spark.read.parquet(s"$store/postings"))
       .write.mode("overwrite").parquet(s"$store/stats")
     store
   }
+
+  /** (n_docs, total_dl) recovered from a postings relation: dl is
+    * denormalized per posting, so one row per doc restores the corpus
+    * token mass. */
+  private def statsOfPostings(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
   /** q263 — index-build accounting: per bucket, distinct terms, posting
     * rows, total tf mass, and the largest df. The oracle recomputes all
@@ -822,18 +876,22 @@ object Retrieval {
       .orderBy(col("bucket"))
   }
 
-  /** The serving-path postings read: bucket list derived from the query
-    * vocabulary (directory pruning), then the vocab filter. Shuffle-free
-    * by construction — graft-visible so the spec can pin the pruned
-    * numFiles on the exact relation q264 consumes. */
-  private[graft] def servingRead(spark: SparkSession, store: String): DataFrame = {
-    val vocab = queryVocab
+  /** The serving-path postings read for an ARBITRARY query vocabulary:
+    * bucket list derived from the vocabulary (directory pruning), then the
+    * vocab filter. Shuffle-free by construction — graft-visible so specs
+    * can pin the pruned numFiles on the exact relation served. */
+  private[graft] def servingReadFor(spark: SparkSession, store: String,
+                                    vocab: Seq[String]): DataFrame = {
     val buckets = vocab.map(bucketOfTerm).distinct.map(Int.box)
     spark.read.parquet(s"$store/postings")
       .filter(col("bucket").isin(buckets: _*)) // directory pruning
       .filter(col("term").isin(vocab: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
   }
+
+  /** [[servingReadFor]] at the fixed [[querySet]] vocabulary (q264). */
+  private[graft] def servingRead(spark: SparkSession, store: String): DataFrame =
+    servingReadFor(spark, store, queryVocab)
 
   /** q264 — SERVE from the persisted index: the full q150 query set
     * answered purely from storage — bucket-pruned postings read, vocab
@@ -844,7 +902,8 @@ object Retrieval {
     val store = buildTextIndex(spark, dir)
     val st = spark.read.parquet(s"$store/stats").first()
     val n = st.getLong(0)
-    val avgdlPpm = st.getLong(1) * 1000000L / n // trunc-div == SQL DIV (>0)
+    // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
+    val avgdlPpm = (BigInt(st.getLong(1)) * 1000000 / n).toLong
     val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val w = Window.partitionBy(col("query_id"))
@@ -885,6 +944,510 @@ object Retrieval {
   /** q264's oracle IS q150's — the persisted index must be
     * indistinguishable from scoring the raw corpus. */
   val textIndexQueryOracle: String = bm25Oracle
+
+  // -------------------------------------------------------------------------
+  // q266-q270 — TEXT-INDEX LIFECYCLE (upsert / delete / compact), giving the
+  // sparse index the same maintenance verb set as its dense IVF sibling
+  // (q246 build, q249 upsert, q258 delete, q259/q260 compact). The shapes
+  // transplant, with one text-specific twist: df is DENORMALIZED into every
+  // posting row, so any term whose df changes must have ALL its postings
+  // rewritten. Because the bucket function is term-keyed, every posting of
+  // a term lives in exactly one bucket — an upsert is therefore an
+  // affected-BUCKET read-modify-write bounded by the batch vocabulary
+  // (≤ IndexBuckets directories), the q259 affected-cell pattern.
+  //
+  // Statistics policy (versioned stats rows, the serving choice the round-10
+  // verdict asked to document):
+  //   - UPSERT refreshes EXACTLY and cheaply: df for every changed term is
+  //     recomputed inside the rewritten buckets, and (n_docs, total_dl) are
+  //     incremented from the batch — no corpus rescan. A new stats version
+  //     is appended; serving reads the latest.
+  //   - DELETE is tombstone-only (the Lucene norm): postings stay immutable,
+  //     the query path anti-joins a doc_id side table, and df/avgdl/N remain
+  //     STALE until compaction — exactly how Lucene scores against indexes
+  //     with uncommitted deletes. No stats version is written.
+  //   - COMPACT folds tombstones in (affected buckets = buckets holding any
+  //     deleted doc's postings), recomputes df inside them, decrements the
+  //     stats exactly (each deleted doc's dl is recovered from its postings
+  //     in the buckets the pass already reads), and appends the new version
+  //     — after compaction the store is bit-equivalent to a fresh build
+  //     over the live corpus, and q269 proves it against that oracle.
+  //
+  // Reference analog for the maintenance cadence: the scheduled richlist/
+  // coins/fill loop, haskell-src/exec/Chainweb/Server.hs:184-210.
+  // -------------------------------------------------------------------------
+
+  /** Lifecycle fixture slices: base = doc_id % 7 ≠ 3, upsert batch = the
+    * ≡ 3 slice, delete slice = doc_id % 11 ≡ 5 (cuts across base AND
+    * batch, so compaction exercises both build- and upsert-written rows). */
+  private[graft] val TextUpsertStride = 7L
+  private[graft] val TextUpsertResidue = 3L
+  private[graft] val TextDeleteStride = 11L
+  private[graft] val TextDeleteResidue = 5L
+
+  private def statsRow(spark: SparkSession, v: Long, n: Long,
+                       dl: Long): DataFrame = {
+    import spark.implicits._
+    Seq((v, n, dl)).toDF("version", "n_docs", "total_dl")
+  }
+
+  /** Latest committed (version, n_docs, total_dl) — serving always reads
+    * the newest stats version (exact-refresh policy above). */
+  private[graft] def latestTextStats(spark: SparkSession,
+                                     store: String): (Long, Long, Long) = {
+    val r = spark.read.parquet(s"$store/stats")
+      .select(col("version"), col("n_docs"), col("total_dl"))
+      .orderBy(col("version").desc).limit(1).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** BUILD the lifecycle store from the base slice: bucket-partitioned
+    * postings, stats v1, empty tombstones. Overwrite-in-place (the Stores
+    * contract) — a rebuild resets all three tables. */
+  private[graft] def buildTextBase(spark: SparkSession, dir: String): String = {
+    val store = graft.Stores.path(spark, "graft_text_lifecycle")
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % TextUpsertStride =!= TextUpsertResidue)
+    buildPostings(base)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/postings")
+    val st = statsOfPostings(spark.read.parquet(s"$store/postings")).first()
+    statsRow(spark, 1L, st.getLong(0), st.getLong(1))
+      .write.mode("overwrite").parquet(s"$store/stats")
+    spark.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$store/tombstones")
+    store
+  }
+
+  /** The NOVEL postings of an upsert batch: tokenized batch TF rows whose
+    * doc_id is not already indexed (PK anti-join against the stored
+    * postings' pruned doc_id column — the ingest/Upsert idempotence rule,
+    * same as the IVF merge). Exposed un-checkpointed for plan pins. */
+  private[graft] def textUpsertNovel(spark: SparkSession, store: String,
+                                     batchRaw: DataFrame): DataFrame = {
+    val existing = spark.read.parquet(s"$store/postings").select(col("doc_id"))
+    tfOf(tokenizedDocs(batchRaw)).join(existing, Seq("doc_id"), "left_anti")
+  }
+
+  /** UPSERT: merge a document batch into the store. Affected buckets =
+    * buckets of the novel batch's vocabulary (df changes only for terms
+    * the batch contains, and a term's postings all live in its bucket);
+    * each is read, merged with the novel postings, df-recomputed, and
+    * rewritten — unaffected bucket directories are untouched on disk
+    * (Round11Spec pins this file-level minimality). Stats are refreshed
+    * exactly by increment and committed as a new version. Replay-idempotent:
+    * an already-merged batch yields zero novel rows → zero affected
+    * buckets → no writes at all. Returns the affected bucket ids. */
+  private[graft] def textUpsert(spark: SparkSession, store: String,
+                                batchRaw: DataFrame): Seq[Int] = {
+    val novel = textUpsertNovel(spark, store, batchRaw).localCheckpoint()
+    val affected = novel.select(termBucket(col("term")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val stored = spark.read.parquet(s"$store/postings")
+        .filter(col("bucket").isin(affected.map(Int.box): _*))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      // checkpointed ONCE: the df derivation and the denorm join both
+      // traverse it, and the rewrite must not read the directories it is
+      // about to delete
+      val merged = stored.unionByName(
+        novel.select(col("term"), col("doc_id"), col("tf"), col("dl")))
+        .localCheckpoint()
+      // df recomputed WITHIN the affected buckets is globally exact: every
+      // posting of a term lives in its term-bucket, and terms outside the
+      // batch vocabulary gained no documents.
+      val dfRel = merged.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val rewritten = merged.join(dfRel, "term")
+        .select(termBucket(col("term")).as("bucket"), col("term"),
+          col("doc_id"), col("tf"), col("dl"), col("df"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$store/postings/bucket=$b"), true): Unit
+      }
+      rewritten.write.mode("append").partitionBy("bucket")
+        .parquet(s"$store/postings")
+      // exact incremental stats: one bounded aggregate over the batch
+      val d = novel.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)), sum(col("dl"))).first()
+      val (v, n, dl) = latestTextStats(spark, store)
+      statsRow(spark, v + 1, n + d.getLong(0), dl + d.getLong(1))
+        .write.mode("append").parquet(s"$store/stats")
+    }
+    affected
+  }
+
+  /** DELETE: tombstone-only — overwrite the doc_id side table; postings
+    * and stats untouched (stale-until-compact, the Lucene norm). */
+  private[graft] def textDelete(spark: SparkSession, store: String,
+                                idsRaw: DataFrame): Unit =
+    idsRaw.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$store/tombstones")
+
+  /** COMPACT: rewrite ONLY the buckets holding tombstoned docs' postings
+    * (dropping those rows, recomputing df inside), decrement the stats
+    * exactly (each deleted doc's dl is recovered from its postings in the
+    * buckets this pass already reads — every doc has ≥ 1 posting), commit
+    * the new stats version, and clear the tombstone table. Idempotent:
+    * with no tombstones it is a no-op. Returns affected bucket ids. */
+  private[graft] def textCompact(spark: SparkSession, store: String): Seq[Int] = {
+    val tomb = spark.read.parquet(s"$store/tombstones")
+    val postings = spark.read.parquet(s"$store/postings")
+    val hit = postings.select(col("doc_id"), col("bucket"), col("dl"))
+      .join(tomb, Seq("doc_id"), "left_semi").localCheckpoint()
+    val affected = hit.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val d = hit.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)), sum(col("dl"))).first()
+      // checkpointed ONCE (df derivation + denorm join both traverse it,
+      // and the source directories are deleted before the append)
+      val survivors = postings
+        .filter(col("bucket").isin(affected.map(Int.box): _*))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .select(col("bucket"), col("term"), col("doc_id"), col("tf"),
+          col("dl"))
+        .localCheckpoint()
+      val dfRel = survivors.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val rewritten = survivors.join(dfRel, "term")
+        .select(col("bucket"), col("term"), col("doc_id"), col("tf"),
+          col("dl"), col("df"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$store/postings/bucket=$b"), true): Unit
+      }
+      rewritten.write.mode("append").partitionBy("bucket")
+        .parquet(s"$store/postings")
+      val (v, n, dl) = latestTextStats(spark, store)
+      statsRow(spark, v + 1, n - d.getLong(0), dl - d.getLong(1))
+        .write.mode("append").parquet(s"$store/stats")
+      // deleted′ = 0: the side table empties (schema-preserving overwrite)
+      tomb.limit(0).localCheckpoint()
+        .write.mode("overwrite").parquet(s"$store/tombstones")
+    }
+    affected
+  }
+
+  /** build(base) → upsert(batch) × `merges` (default twice — the replay
+    * that makes idempotence part of the CORRECTNESS gate, the
+    * buildUpsertStore convention). */
+  private[graft] def textLifecycleStore(spark: SparkSession, dir: String,
+                                        merges: Int = 2): String = {
+    val store = buildTextBase(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .filter(col("doc_id") % TextUpsertStride === TextUpsertResidue)
+    (1 to merges).foreach(_ => textUpsert(spark, store, batch): Unit)
+    store
+  }
+
+  /** build → upsert → tombstone-delete, compaction NOT yet run. */
+  private[graft] def textDeletedStore(spark: SparkSession, dir: String): String = {
+    val store = textLifecycleStore(spark, dir, merges = 1)
+    textDelete(spark, store, Tables.documents(spark, dir)
+      .filter(col("doc_id") % TextDeleteStride === TextDeleteResidue))
+    store
+  }
+
+  /** build → upsert → delete → compact: the full verb chain. */
+  private[graft] def textCompactedStore(spark: SparkSession, dir: String): String = {
+    val store = textDeletedStore(spark, dir)
+    textCompact(spark, store): Unit
+    store
+  }
+
+  /** The lifecycle store's serving read — [[servingReadFor]] at the fixed
+    * query vocabulary (exposed for pruning pins). */
+  private[graft] def lifecycleServingRead(spark: SparkSession,
+                                          store: String): DataFrame =
+    servingReadFor(spark, store, queryVocab)
+
+  /** Serve the q150 query set from a lifecycle store at its LATEST stats
+    * version; `tombstoneAware` anti-joins the side table (the between-
+    * compactions path — q268), otherwise the store is trusted clean. */
+  private def serveLifecycle(spark: SparkSession, store: String,
+                             tombstoneAware: Boolean): DataFrame = {
+    import spark.implicits._
+    val (_, n, totalDl) = latestTextStats(spark, store)
+    val avgdlPpm = (BigInt(totalDl) * 1000000 / n).toLong
+    val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val read0 = lifecycleServingRead(spark, store)
+    val read =
+      if (tombstoneAware)
+        read0.join(spark.read.parquet(s"$store/tombstones"),
+          Seq("doc_id"), "left_anti")
+      else read0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    bm25Chain(read, terms, n, avgdlPpm)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit"),
+        col("score_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q266 — post-upsert bucket accounting (read back from the merged
+    * store). The oracle replays the FULL-corpus build: equality proves
+    * build(base) + upsert(batch) ≡ build(base ∪ batch) — df re-derived
+    * exactly in the affected buckets, untouched elsewhere — and `n_added`
+    * (postings of batch docs) makes a non-idempotent double merge inflate
+    * against the replay (the q249 tripwire). */
+  def q266TextUpsert(spark: SparkSession, dir: String): DataFrame =
+    textStoreAccounting(spark, textLifecycleStore(spark, dir))
+
+  /** Per-bucket accounting of any lifecycle-store state (shared by q266
+    * and the `graft index <sf> text upsert` CLI verb). */
+  private[graft] def textStoreAccounting(spark: SparkSession,
+                                         store: String): DataFrame =
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("sum_tf"),
+        max(col("df")).as("max_df"),
+        sum(when(col("doc_id") % TextUpsertStride === TextUpsertResidue, 1L)
+          .otherwise(0L)).as("n_added"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_terms"),
+        col("n_postings"), col("sum_tf"), col("max_df"), col("n_added"))
+      .orderBy(col("bucket"))
+
+  /** q267 — serve after upsert: the q150 query set from the merged store
+    * at stats v2 (exact refresh). Oracle IS [[bm25Oracle]] — the lifecycle
+    * round trip must be indistinguishable from scoring the raw corpus. */
+  def q267TextUpsertQuery(spark: SparkSession, dir: String): DataFrame =
+    serveLifecycle(spark, textLifecycleStore(spark, dir),
+      tombstoneAware = false)
+
+  /** q268 — serve BETWEEN delete and compaction: tombstoned docs are
+    * invisible (anti-join), df and corpus stats STALE (the Lucene norm —
+    * documented above). The oracle scores with full-corpus df/stats and
+    * excludes deleted docs before ranking: exactly the stale-stats
+    * semantics, deterministically. */
+  def q268TextDeleteQuery(spark: SparkSession, dir: String): DataFrame =
+    serveLifecycle(spark, textDeletedStore(spark, dir),
+      tombstoneAware = true)
+
+  /** q269 — serve AFTER compaction: no tombstone anti-join in the plan,
+    * df/stats exact over the live corpus. The oracle is a fresh-build
+    * replay over the live slice — compaction must leave the store
+    * bit-equivalent to rebuilding from scratch. */
+  def q269TextCompactQuery(spark: SparkSession, dir: String): DataFrame =
+    serveLifecycle(spark, textCompactedStore(spark, dir),
+      tombstoneAware = false)
+
+  /** q270 — post-compaction conservation: per-bucket accounting of the
+    * compacted store plus the residual tombstone count (must be 0) and
+    * the committed stats row (must equal the live corpus exactly —
+    * pinning the exact-refresh decrement). */
+  def q270TextCompactAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val store = textCompactedStore(spark, dir)
+    val nTomb = spark.read.parquet(s"$store/tombstones").count()
+    val (_, n, totalDl) = latestTextStats(spark, store)
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("sum_tf"),
+        max(col("df")).as("max_df"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_terms"),
+        col("n_postings"), col("sum_tf"), col("max_df"),
+        lit(nTomb).as("n_tomb"), lit(n).as("stat_n_docs"),
+        lit(totalDl).as("stat_total_dl"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q266's oracle: the q263 full-corpus replay plus the batch-posting
+    * count per bucket. */
+  val textUpsertOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      |        FROM documents)),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |b AS (
+      |  SELECT (strpos('0123456789abcdef', substr(md5(tf.term), 1, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(tf.term), 2, 1)) - 1)
+      |           AS bucket,
+      |         tf.term, tf.doc_id, tf.tf, df.df
+      |  FROM tf JOIN df USING (term))
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |  CAST(max(df) AS BIGINT) AS max_df,
+      |  CAST(sum(CASE WHEN doc_id % $TextUpsertStride = $TextUpsertResidue
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q267's oracle IS q150's (the q264 convention, extended through the
+    * upsert verb). */
+  val textUpsertQueryOracle: String = bm25Oracle
+
+  /** q268's oracle: full-corpus df/stats (STALE — the declared between-
+    * compactions semantics), deleted docs excluded before ranking. */
+  val textDeleteQueryOracle: String =
+    s"""WITH $bm25ChainSql
+       |SELECT query_id, rank, doc_id, n_hit, score_ppm FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored
+       |  WHERE doc_id % $TextDeleteStride != $TextDeleteResidue)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q269's oracle: a fresh-build replay over the LIVE corpus only —
+    * df, N, and avgdl all exact post-compaction. */
+  val textCompactQueryOracle: String =
+    s"""WITH ${bm25ChainSqlOver(
+         s"(SELECT * FROM documents WHERE doc_id % $TextDeleteStride != $TextDeleteResidue)")}
+       |SELECT query_id, rank, doc_id, n_hit, score_ppm FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q270's oracle: per-bucket accounting recomputed from the live slice,
+    * zero residual tombstones, and the exact live stats. */
+  val textCompactAccountingOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      |        FROM documents
+      |        WHERE doc_id % $TextDeleteStride != $TextDeleteResidue)),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |b AS (
+      |  SELECT (strpos('0123456789abcdef', substr(md5(tf.term), 1, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(tf.term), 2, 1)) - 1)
+      |           AS bucket,
+      |         tf.term, tf.tf, df.df
+      |  FROM tf JOIN df USING (term))
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS n_postings,
+      |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |  CAST(max(df) AS BIGINT) AS max_df,
+      |  CAST(0 AS BIGINT) AS n_tomb,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS stat_n_docs,
+      |  (SELECT CAST(sum(dl) AS BIGINT) FROM d) AS stat_total_dl
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q271 — HYBRID RETRIEVAL SERVED FROM THE PERSISTED STORES: q239's
+  // dense+sparse RRF eval answered entirely from storage — the sparse leg
+  // from the inverted index (bucket-pruned by the DATA-DERIVED gold
+  // vocabulary, proving the serving path generalizes beyond the fixed
+  // q150 query set), the dense leg from the q246 IVF store's postings
+  // (exact brute cosine — the eval contract — so every cell is read, but
+  // only the 3 narrow columns the scorer needs). Oracle IS q239's
+  // verbatim: the two persisted indexes COMPOSE — an eval harness can run
+  // from the serving stores without touching the raw corpus. At 100 TB
+  // that is the difference between an eval that costs two index reads and
+  // one that re-tokenizes and re-normalizes the corpus per run.
+  // -------------------------------------------------------------------------
+
+  def q271HybridFromStores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val goldRows = evalGold(spark, dir)
+    val qids = goldRows.map(_._1)
+    val termPairs = goldRows.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    // sparse leg: the persisted inverted index, pruned to the gold vocab
+    val tstore = buildTextIndex(spark, dir)
+    val st = spark.read.parquet(s"$tstore/stats").first()
+    val n = st.getLong(0)
+    val avgdlPpm = (BigInt(st.getLong(1)) * 1000000 / n).toLong
+    val terms = termPairs.toDF("query_id", "term")
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val sparse = bm25Chain(
+        servingReadFor(spark, tstore, termPairs.map(_._2).distinct),
+        terms, n, avgdlPpm)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("r_sparse", row_number().over(ws).cast("long"))
+      .filter(col("r_sparse") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("r_sparse"))
+    // dense leg: exact brute cosine over the IVF store's postings (norms
+    // were precomputed at index time; vec_id/v/nrm is the pruned read)
+    val dstore = Similarity.buildIvfStore(spark, dir)
+    val vecs = spark.read.parquet(s"$dstore/postings")
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qv = vecs.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    val dense = vecs.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(call_function("graft_dot", col("qv"), col("v")) /
+          sqrt(col("qn") * col("nrm")), 4).as("cos_sim"))
+      .withColumn("r_dense", row_number().over(wd).cast("long"))
+      .filter(col("r_dense") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("r_dense"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000 DIV ($RrfK + r_sparse)"), lit(0L)) +
+        coalesce(expr(s"1000000000 DIV ($RrfK + r_dense)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q271's oracle IS q239's — serving from the two persisted stores must
+    * be indistinguishable from computing the eval on the raw corpus. */
+  lazy val hybridFromStoresOracle: String = hybridRetrievalOracle
+
+  // -------------------------------------------------------------------------
+  // q272 — STREAMING-SHAPED TEXT-INDEX UPSERT (the q256 contract on the
+  // sparse side): the q266 merge driven as out-of-order micro-batches
+  // WITH a replay (batch residues arrive 2, 0, 1, then 0 again — the
+  // delivery pattern a Structured Streaming foreachBatch sink sees).
+  // Effectively-once = at-least-once delivery + the doc_id anti-join
+  // making re-delivery a literal no-op (zero novel rows → zero bucket
+  // writes → no stats version). The oracle is the UNBATCHED full-corpus
+  // build replay (q266's verbatim), so the CORRECTNESS row certifies
+  // order/batching/replay-invariance of the affected-bucket merge.
+  // -------------------------------------------------------------------------
+
+  private val TextStreamResidues = Seq(2L, 0L, 1L, 0L) // out of order + replay
+
+  /** build(base) → the batch slice delivered as micro-batches (with one
+    * replayed); returns the store. Exposed for Round11Spec's stats-version
+    * pin (v1 + one version per NON-EMPTY novel merge; the replay adds
+    * none). */
+  private[graft] def streamingTextStore(spark: SparkSession,
+                                        dir: String): String = {
+    val store = buildTextBase(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .filter(col("doc_id") % TextUpsertStride === TextUpsertResidue)
+    TextStreamResidues.foreach { b =>
+      textUpsert(spark, store, batch.filter(col("doc_id") % 3 === b)): Unit
+    }
+    store
+  }
+
+  def q272StreamingTextUpsert(spark: SparkSession, dir: String): DataFrame =
+    textStoreAccounting(spark, streamingTextStore(spark, dir))
+
+  /** Identical to [[textUpsertOracle]] — the unbatched replay IS the
+    * specification the micro-batched path must converge to. */
+  lazy val streamingTextUpsertOracle: String = textUpsertOracle
 
   // -------------------------------------------------------------------------
   // q252 — NDCG@k retrieval-quality eval (Järvelin & Kekäläinen, TOIS'02):

@@ -2318,7 +2318,11 @@ object Similarity {
   // which the oracle must and does reproduce.
   // -------------------------------------------------------------------------
 
-  def q246IvfPersist(spark: SparkSession, dir: String): DataFrame = {
+  /** BUILD arm of q246: the full-corpus IVF store (postings partitioned
+    * by cell with norms precomputed at index time + centroid table).
+    * Exposed so other store-served paths (q271's dense leg) can read the
+    * same persisted postings. Returns the store path. */
+  private[graft] def buildIvfStore(spark: SparkSession, dir: String): String = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = vecs(spark, dir)
     val cent = e
@@ -2331,10 +2335,15 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
                      _.getField("c")).as("cv"))
     val store = graft.Stores.path(spark, "graft_ivf_store")
-    // BUILD: postings partitioned by cell, norms precomputed at index time
     e.select(col("vec_id"), col("label"), col("v"), col("nrm"))
       .write.mode("overwrite").partitionBy("label").parquet(s"$store/postings")
     cent.write.mode("overwrite").parquet(s"$store/centroids")
+    store
+  }
+
+  def q246IvfPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val store = buildIvfStore(spark, dir)
     // QUERY: persisted tables only
     val postings = spark.read.parquet(s"$store/postings")
     val centroids = spark.read.parquet(s"$store/centroids")

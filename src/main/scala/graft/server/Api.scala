@@ -179,6 +179,17 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     (math.ceil(Api.BaseScanLimit * f).toInt, math.ceil(Api.BaseMaxLimit * f).toInt)
   }
 
+  /** Numeric query params are CLIENT input: a garbage `chain=zzz` must be
+    * a 400, not a NumberFormatException 500 — the same contract as the
+    * garbled-token path in [[continuation]]. */
+  private def longParam(p: Map[String, String], k: String): Option[Long] =
+    p.get(k).map(v => try v.toLong catch { case _: NumberFormatException =>
+      throw Api.ApiError(400, s"invalid $k: $v") })
+
+  private def intParam(p: Map[String, String], k: String): Option[Int] =
+    p.get(k).map(v => try v.toInt catch { case _: NumberFormatException =>
+      throw Api.ApiError(400, s"invalid $k: $v") })
+
   private def continuation(p: Map[String, String], spec: CursorSpec): Option[Continuation] =
     p.get("next").map { tok =>
       // A garbled token (bad base64, bad payload) or a token minted against
@@ -216,9 +227,9 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val search = p.getOrElse("search",
       throw new IllegalArgumentException("You must specify a search string"))
     val (scanLimit, maxLimit) = budgets()
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    val limit = math.min(intParam(p, "limit").getOrElse(Api.DefaultLimit), maxLimit)
     val src = TxSearch.heightRange(txSearchSrc,
-      p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+      longParam(p, "minheight"), longParam(p, "maxheight"))
     val (rows, next) =
       if (bounded)
         BoundedScan.performBoundedScan(
@@ -249,7 +260,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
   private def searchEvents(p: Map[String, String], bounded: Boolean)
       : (String, Map[String, String]) = {
     val (scanLimit, maxLimit) = budgets()
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    val limit = math.min(intParam(p, "limit").getOrElse(Api.DefaultLimit), maxLimit)
     def scan(src: DataFrame, spec: CursorSpec, pred: org.apache.spark.sql.Column) =
       if (bounded) BoundedScan.performBoundedScan(src, spec, pred,
         scanLimit, limit, continuation(p, spec))
@@ -258,7 +269,7 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
       case Some(dir) =>
         continuation(p, evSpec) // validate the client's token BEFORE any source work
         val src = graft.operators.EventSearch.source(spark, dir,
-          p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+          longParam(p, "minheight"), longParam(p, "maxheight"))
         val pred = graft.operators.EventSearch.predicate(
           p.get("search"), p.get("qualname"), p.get("param"), p.get("modulename"))
         val (rows, nxt) = scan(src, evSpec, pred)
@@ -307,11 +318,11 @@ class Api(spark: SparkSession, dataDir: String, port: Int,
     val acct = java.net.URLDecoder.decode(
       path.stripPrefix("/txs/account/"), StandardCharsets.UTF_8)
     val token = p.getOrElse("token", "coin") // Server.hs:507 usedCoinType
-    val chain = p.get("chain").map(_.toLong)
+    val chain = longParam(p, "chain")
     val (scanLimit, maxLimit) = budgets()
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(Api.DefaultLimit), maxLimit)
+    val limit = math.min(intParam(p, "limit").getOrElse(Api.DefaultLimit), maxLimit)
     val src = graft.operators.AccountHistory.source(spark, dir, acct,
-      p.get("minheight").map(_.toLong), p.get("maxheight").map(_.toLong))
+      longParam(p, "minheight"), longParam(p, "maxheight"))
     val pred = graft.operators.AccountHistory.predicate(token, chain)
     val (rows, next) =
       if (bounded)

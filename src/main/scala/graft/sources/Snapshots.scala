@@ -180,16 +180,53 @@ object Snapshots {
     * collide on the tmp-file rename — a 500 on a pure read. */
   private val bootstrapLock = new Object
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Table paths PROVEN unwritable by an explicit probe: the unpinned-read
+    * downgrade is decided once per table, logged, and memoized — so a
+    * genuinely read-only mount doesn't re-attempt the bootstrap commit on
+    * every request, and a transient IO failure never silently drops the
+    * snapshot-pinning (repeatable-read) guarantee. */
+  private val readOnlyTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Explicit writability probe of the table's manifest directory:
+    * create-then-delete a hidden probe file (hidden names are excluded
+    * from [[listDataFiles]] and from the manifest listing). */
+  private def probeReadOnly(spark: SparkSession, path: String): Boolean = {
+    if (readOnlyTables.contains(path)) true
+    else {
+      val f = fs(spark, path)
+      val dir = new Path(s"$path/$ManifestDir")
+      val probe = new Path(dir, ".writable.probe")
+      val ro =
+        try {
+          if (!f.exists(dir)) { f.mkdirs(dir): Unit }
+          f.create(probe, true).close()
+          f.delete(probe, false): Unit
+          false
+        } catch { case _: java.io.IOException => true }
+      if (ro) {
+        readOnlyTables.add(path): Unit
+        log.warn(s"snapshot bootstrap: $path is read-only — downgrading " +
+          "to an UNPINNED directory read (no repeatable-read guarantee)")
+      }
+      ro
+    }
+  }
+
   /** Pin-and-read convenience: latest committed version, else (for tables
     * written before snapshotting existed) commit the current state first.
     * Served from the version-keyed handle memo. The bootstrap commit is
     * serialized in-process; if it still loses a cross-process race it
-    * proceeds on the winner's manifest, and on a read-only directory
-    * (no manifest writable at all) it falls back to a raw, unpinned
-    * directory read rather than failing the read path. */
+    * proceeds on the winner's manifest. Only a directory that FAILS an
+    * explicit writability probe falls back to a raw, unpinned read (the
+    * decision is logged and memoized per table) — a transient IO failure
+    * on a writable mount propagates instead of silently losing the pin. */
   def readPinned(spark: SparkSession, path: String): DataFrame =
     latest(spark, path) match {
       case Some(snap) => readCached(spark, snap)
+      case None if readOnlyTables.contains(path) => spark.read.parquet(path)
       case None =>
         val snap = bootstrapLock.synchronized {
           latest(spark, path).getOrElse {
@@ -199,8 +236,8 @@ object Snapshots {
                 // lost a cross-process rename race: the winner's manifest
                 // pins the same pre-existing file set — read that
                 latest(spark, path).getOrElse(throw e)
-              case _: java.io.IOException =>
-                null // read-only mount: no manifest possible
+              case e: java.io.IOException =>
+                if (probeReadOnly(spark, path)) null else throw e
             }
           }
         }

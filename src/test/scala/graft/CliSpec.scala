@@ -197,6 +197,75 @@ class CliSpec extends AnyFunSuite {
     assert(stages.head._2 > stages(1)._2) // the URL gate drops docs
   }
 
+  test("index text upsert: merged accounting + exact stats version; " +
+       "n_added postings present in their buckets") {
+    val lines = Main.indexTextUpsertCmd(spark, "/root/testdata/sf0.001")
+    assert(lines.head.startsWith("stats\tversion=2\t"),
+      s"upsert did not commit stats v2: ${lines.head}")
+    assert(lines(1) ===
+      "bucket\tn_terms\tn_postings\tsum_tf\tmax_df\tn_added")
+    val rows = lines.drop(2).map(_.split("\t").map(_.toLong))
+    assert(rows.nonEmpty && rows.map(_(5)).sum > 0, "no batch postings merged")
+    rows.foreach(r => assert(r(5) <= r(2), s"n_added > n_postings: ${r.toSeq}"))
+    // stats v2 = the full corpus (base + batch, exact incremental refresh)
+    val nDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .count()
+    assert(lines.head.contains(s"n_docs=$nDocs"))
+  }
+
+  test("index text compact: conservation — tombstones cleared, stats " +
+       "exactly refreshed to the live corpus") {
+    val lines = Main.indexTextCompactCmd(spark, "/root/testdata/sf0.001")
+    assert(lines.head.startsWith("compacted buckets:"))
+    assert(lines.head.length > "compacted buckets: ".length - 1,
+      "no buckets were affected")
+    assert(lines(1).contains("version=3") && lines(1).contains("tombstones=0"),
+      s"stats not refreshed / tombstones not cleared: ${lines(1)}")
+    val live = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("doc_id % 11 != 5").count()
+    assert(lines(1).contains(s"n_docs=$live"),
+      s"stats n_docs != live corpus: ${lines(1)}")
+    val rows = lines.drop(3).map(_.split("\t").map(_.toLong))
+    assert(rows.nonEmpty)
+    // no posting of a deleted doc survives in any bucket's counts: the
+    // total posting mass equals a live-corpus recompute
+    val direct = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("doc_id % 11 != 5")
+      .selectExpr("doc_id",
+        "explode(split(lower(text), '\\\\s+')) AS term")
+      .groupBy("doc_id", "term").count()
+    assert(rows.map(_(2)).sum === direct.count())
+  }
+
+  test("maintain: sequences richlist + gaps + vacuum + index compaction " +
+       "in one pass; the immediate re-run is a no-op on the stores") {
+    import spark.implicits._
+    val dir = tmpTables()
+    // header1/payload1: the full fixture block (user txs included), so the
+    // maintenance pass finds blocks + transfers + transactions
+    val hp = ingest.Flatten.joined(
+      ingest.Flatten.parseHeaders(Seq(Fixtures.header1).toDF("value")),
+      ingest.Flatten.parsePayloads(Seq(Fixtures.payload1).toDF("value")))
+    ingest.Upsert.mergeAll(spark, dir, ingest.Flatten.allTables(hp)): Unit
+    val out = Files.createTempDirectory("graft-maint").toString
+    // seed a text store with pending tombstones so the compaction arm works
+    operators.Retrieval.textDeletedStore(spark, "/root/testdata/sf0.001"): Unit
+    val lines = Main.maintainCmd(spark, dir, out, keep = 4)
+    assert(lines.exists(_.startsWith("richlist\trows=")))
+    assert(lines.exists(_.startsWith("gaps\tchunks=")))
+    assert(lines.exists(_.startsWith("vacuum\t")), s"no vacuum lines:\n$lines")
+    val textLine = lines.find(_.startsWith("compact\ttext")).get
+    assert(textLine.contains("tombstones="),
+      s"seeded text store not compacted: $textLine")
+    assert(lines.exists(_.startsWith("compact\tivf"))) // arm always reports
+    // the richlist CSV landed where the serving tier reads it
+    assert(new java.io.File(s"$out/richlist").exists())
+    // idempotent: the store arms find nothing to do on the second pass
+    val again = Main.maintainCmd(spark, dir, out, keep = 4)
+    assert(again.find(_.startsWith("compact\ttext"))
+      .exists(_.endsWith("clean")), s"re-run not clean:\n$again")
+  }
+
   test("index text: builds the inverted index, prints per-bucket " +
        "accounting and a served top hit per query") {
     val lines = Main.indexTextCmd(spark, "/root/testdata/sf0.001")

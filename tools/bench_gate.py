@@ -19,6 +19,10 @@ def main() -> None:
     common = sorted(set(bench) & set(base))
     only_new = sorted(set(bench) - set(base))
     ratios = {q: bench[q] / base[q] for q in common if base[q] > 0}
+    if not ratios:
+        print("GATE ERROR: the two runs share no (nonzero-baseline) queries "
+              "— nothing to compare")
+        sys.exit(2)
     geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     over15 = {q: r for q, r in ratios.items() if r > 1.5}
     over2 = {q: r for q, r in ratios.items() if r > threshold}

@@ -48,18 +48,18 @@ QUERIES = [
     # build+query round trip and its incremental-upsert variant, and
     # passage retrieval (q248 shares its passageScores leaf)
     "q237_image_phash", "q238_mrr_eval", "q239_hybrid_retrieval",
-    "q246_ivf_persist", "q247_passage_retrieval", "q250_ivf_upsert_query",
+    "q246_ivf_persist", "q247_passage_retrieval",
     # round-9 batch 2 (measured from round 10 on): the dense-workload
-    # packed-context audit (3rd-heaviest bench entry) and tombstone-delete
-    # serving
-    "q257_context_reuse", "q258_ivf_delete_query",
-    # round-10: compaction serving path (q258's probe, clean store)
-    "q259_ivf_compact_query",
+    # packed-context audit (3rd-heaviest bench entry)
+    "q257_context_reuse",
     # round-10 batch 2: preference fit (corpus scan + two-phase rank into a
     # control-plane matrix), inverted-index build (THE corpus-wide postings
     # shuffle, priced once) and the pruned serve-from-storage path
     "q262_bt_strength", "q263_text_index_build", "q264_text_index_query",
     "q265_pref_cycles",
+    # round-11: text-index lifecycle — the affected-bucket upsert merge
+    # (build + batch x2) and the post-compaction serving path
+    "q266_text_upsert", "q269_text_compact_query",
 ]
 
 SCALES = [
@@ -68,14 +68,17 @@ SCALES = [
     ("/root/repo/scaledata/sf1", 10.0),
 ]
 
-# Round-10 (VERDICT r9 item 2): the linear replica grows the LABEL space
+# Round-11 (VERDICT r10 item 4): sqrt-labels is now the PRIMARY geometry
+# for the IVF-store families. The linear replica grows the LABEL space
 # K x, which grows the IVF coarse quantizer linearly -- a fixture
-# artifact; a real IVF retune grows nlist ~ sqrt(n). The sqrt-labels
-# replicas (gen_scale.py --sqrt-labels) measure the IVF-store families
-# under the honest retune geometry; entries land as "<q>@sqrt_labels".
+# artifact; a real IVF retune grows nlist ~ sqrt(n) (gen_scale.py
+# --sqrt-labels). These queries' headline rows are measured on the
+# sqrt replicas; ONE linear row (q250@linear_labels) stays as the
+# documented artifact.
 SQRT_QUERIES = [
     "q250_ivf_upsert_query", "q258_ivf_delete_query", "q259_ivf_compact_query",
 ]
+LINEAR_ARTIFACT = ["q250_ivf_upsert_query"]
 SQRT_SCALES = [
     ("/root/testdata/sf0.1", 1.0),
     ("/root/repo/scaledata/sf03s", 3.0),
@@ -136,7 +139,15 @@ def main() -> None:
         r = run_bench(sf_dir, SQRT_QUERIES)
         print(f"{sf_dir} (sqrt-labels): total {r['value']:.1f}s", flush=True)
         sqrt_runs.append((factor, r["queries"], r.get("failed", "[]")))
-    result.update(fit(sqrt_runs, SQRT_QUERIES, suffix="@sqrt_labels"))
+    # PRIMARY rows for the IVF-store families: the sqrt-labels geometry
+    result.update(fit(sqrt_runs, SQRT_QUERIES))
+    lin_runs = []
+    for sf_dir, factor in SCALES:
+        r = run_bench(sf_dir, LINEAR_ARTIFACT)
+        print(f"{sf_dir} (linear-labels artifact): total {r['value']:.1f}s",
+              flush=True)
+        lin_runs.append((factor, r["queries"], r.get("failed", "[]")))
+    result.update(fit(lin_runs, LINEAR_ARTIFACT, suffix="@linear_labels"))
     doc = {
         "method": ("graft.Bench (warmup + min-of-2 toRdd.count, min-of-3 "
                    "above 5s) on sf0.1 and "
@@ -144,10 +155,12 @@ def main() -> None:
                    "per-replica disjoint vocab, constant dimension "
                    "cardinality, constant per-label blocks); exponent = "
                    "least-squares slope of log t vs log n over the 3 points. "
-                   "@sqrt_labels entries re-measure the IVF-store families "
-                   "on --sqrt-labels replicas (label space grows ~sqrt(n), "
-                   "the real IVF-retune geometry; the linear replica grows "
-                   "the coarse quantizer linearly, a fixture artifact)"),
+                   "IVF-store families (q250/q258/q259) are measured on the "
+                   "--sqrt-labels replicas as their PRIMARY rows (label "
+                   "space grows ~sqrt(n), the real IVF-retune geometry); "
+                   "the @linear_labels row keeps one linear-replica "
+                   "measurement as the documented fixture artifact (the "
+                   "linear replica grows the coarse quantizer linearly)"),
         "scales": {f"{f:g}x": d for d, f in SCALES},
         "sqrt_scales": {f"{f:g}x": d for d, f in SQRT_SCALES},
         "queries": result,
