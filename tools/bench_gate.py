@@ -11,6 +11,17 @@ import json
 import math
 import sys
 
+# Known seesaw cohorts (VERDICT r10 item 5): queries sharing a heavy
+# physical leaf where a materialization trade moves time between the
+# twins run-to-run while the pair total stays flat. A member over the
+# threshold does NOT fail the gate if its cohort's summed time ratio is
+# <= 1.5 (a tighter bar than the individual 2.0) -- the cohort sum is
+# the honest signal for these. The cohort line is always printed.
+COHORTS = {
+    "weighted_ppjoin": ["q93_weighted_jaccard", "q139_weighted_maxdf"],
+}
+COHORT_SUM_BAR = 1.5
+
 
 def main() -> None:
     bench = json.load(open(sys.argv[1]))["queries"]
@@ -32,8 +43,24 @@ def main() -> None:
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
     for q, r in worst:
         print(f"  {q}: {r:.2f}x  ({base[q]:.3f}s -> {bench[q]:.3f}s)")
-    if over2:
-        print(f"GATE FAIL: {sorted(over2)}")
+    exempt = set()
+    for name, members in COHORTS.items():
+        present = [q for q in members if q in ratios]
+        if len(present) < 2:
+            continue
+        bsum = sum(base[q] for q in present)
+        nsum = sum(bench[q] for q in present)
+        csum = nsum / bsum if bsum > 0 else float("inf")
+        print(f"cohort {name} ({'+'.join(present)}): "
+              f"sum {bsum:.2f}s -> {nsum:.2f}s = {csum:.2f}x")
+        if csum <= COHORT_SUM_BAR:
+            exempt.update(q for q in present if q in over2)
+    fail = sorted(set(over2) - exempt)
+    if exempt:
+        print(f"cohort-exempt (member >{threshold}x but cohort sum <= "
+              f"{COHORT_SUM_BAR}x): {sorted(exempt)}")
+    if fail:
+        print(f"GATE FAIL: {fail}")
         sys.exit(1)
     print("GATE PASS")
 
