@@ -11,7 +11,7 @@
 # Subset = the 10 queries the r11-vs-r10 gate flagged >2x, plus three
 # stable heavies as references.
 set -uo pipefail
-SUBSET="q03_global_stats,q04_filtered_count,q44_stratified_sample,q65_resize_stub,q66_frame_sample,q71_kmeans_iter,q102_hist_median,q165_batch_plan,q167_quality_auc,q246_ivf_persist,q82_jaccard_join,q27_dedup_exact,q150_bm25_topk"
+SUBSET="q03_global_stats,q04_filtered_count,q44_stratified_sample,q65_resize_stub,q66_frame_sample,q71_kmeans_iter,q102_hist_median,q165_batch_plan,q167_quality_auc,q246_ivf_persist,q82_jaccard_join,q27_dedup_exact,q150_bm25_topk,q263_text_index_build,q264_text_index_query,q214_novelty_quality"
 log() { echo "[$(date +%H:%M:%S)] $*" >> /tmp/hostcheck.status; }
 
 run() { # $1=dir $2=tag $3=leg
