@@ -2,13 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query steady-state seconds.
-  * Each query runs a warmup pass (codegen/JIT/file-listing) then three
-  * measured passes, reporting the best (what a long-running cluster job
-  * sees). Min-of-3 keeps the number a property of the QUERY, not of the
-  * host: single-run timings on this VM occasionally absorb a scheduler
-  * stall (multi-second on the heavy family, 100–200 ms on sub-second
-  * queries — either reads as a fake 1.5–2× delta under min-of-2) that
-  * moves to a different query on every invocation. */
+  * Each query runs a warmup pass (codegen/JIT/file-listing) then measured
+  * passes, reporting the best (what a long-running cluster job sees).
+  *
+  * Pass count is ADAPTIVE (round 12, VERDICT r11 item 1): min-of-2 for the
+  * sub-second cohort, min-of-3 for the >1 s tail. Round 9's all-min-of-3
+  * move was motivated by the >5 s similarity family swinging ±50% under
+  * min-of-2; BASELINE.md's own noise analysis puts the min-of-3 win in
+  * that tail. For sub-second queries a stray 100–200 ms scheduler stall
+  * must hit BOTH measured passes to survive the min — rare, and the cost
+  * of the third pass across ~230 sub-second queries was a large slice of
+  * the wall-clock that made BENCH_r11 blow the driver budget (rc 124, no
+  * artifact at all — strictly worse than a ±1-stall-wide error bar).
+  * Decision uses the measured passes themselves (min(p1,p2) < 1 s), so it
+  * needs no baseline file and is stable under host drift.
+  *
+  * Output is INCREMENTAL: one small {"q":name,"sec":s,"ok":b} line per
+  * query as it completes, then the aggregate {"metric":...} line the
+  * driver contract greps. A timeout now yields a parseable per-query
+  * prefix instead of nothing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,8 +75,20 @@ object Bench {
     // methodology is unchanged): comma-separated query names to time.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Bench-only legs (NOT on the oracle surface): q264 split into its
+    // build and serve components so the scale curve grades each
+    // independently (the combined query rebuilds the store per run).
+    val benchLegs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "q264_build_leg" -> ((s, d) => graft.operators.Retrieval.q264BuildLeg(s, d)),
+        "q264_serve_leg" -> ((s, d) => graft.operators.Retrieval.q264ServeLeg(s, d)))
+    val selected = (SparkEntry.queries ++ benchLegs).toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only match {
+          case Some(names) => names.contains(name)
+          case None        => !benchLegs.contains(name) // legs are opt-in
+        }
+      }
     // Leaf pre-warm, OUTSIDE every timed window: under shareLeaves the
     // first consumer of each shared leaf (SimJoin postings/ranked/TF,
     // fluency scores, novelty postings) pays its one-time parquet
@@ -82,20 +106,26 @@ object Bench {
       }
     }
     val prewarmSec = (System.nanoTime() - pw0) / 1e9
-    // Min-of-3 across the board (round-9, per the round-8 verdict's
-    // item 3): min-of-2 left both tails noisy — the >5 s similarity
-    // family swung ±50% between identical-code rounds (q139 6.7→10.0 s,
-    // unchanged plan), and sub-second queries occasionally absorb a
-    // 100–200 ms scheduler stall that reads as a 2× "regression" against
-    // a 0.15 s baseline entry. A third measured pass costs one extra
-    // pass of the measured total (~4 min at sf0.1) and brings
-    // unchanged-code deltas inside ±15% at both ends.
+    // Adaptive passes (see object scaladoc): min-of-2 below 1 s, a third
+    // measured pass only for the >1 s tail where run-to-run swing is the
+    // documented hazard.
+    val thirdPassBarNs = 1000L * 1000 * 1000
     val results = selected.map { case (name, fn) =>
       run(fn)                       // warmup: codegen + JIT + parquet footers
-      val (ns1, ok1) = run(fn)      // steady state: best of three
+      val (ns1, ok1) = run(fn)      // steady state
       val (ns2, ok2) = run(fn)
-      val (ns3, ok3) = run(fn)
-      (name, math.min(ns1, math.min(ns2, ns3)) / 1e9, ok1 && ok2 && ok3)
+      val best2 = math.min(ns1, ns2)
+      val (bestNs, ok) =
+        if (best2 < thirdPassBarNs) (best2, ok1 && ok2)
+        else {
+          val (ns3, ok3) = run(fn)
+          (math.min(best2, ns3), ok1 && ok2 && ok3)
+        }
+      val sec = bestNs / 1e9
+      // incremental per-query line: a driver timeout still leaves a
+      // parseable prefix (BENCH_r11 rc=124 left nothing)
+      println(s"""{"q":"$name","sec":$sec,"ok":$ok}""")
+      (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -191,9 +191,16 @@ object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
   /** Session-local registration for sessions built without the extension
-    * (idempotent). */
+    * (idempotent). Guarded per session: operators call this on every query
+    * construction, and an unguarded createOrReplace emits a
+    * "replaced a previously registered function" WARN per function per
+    * call — 272 bench queries × 3 runs of that flood was the entire
+    * visible tail of the driver's truncated BENCH_r11 log (VERDICT r11
+    * item 5). The sentinel probe (`graft_gram`, the last name registered
+    * by BOTH paths) makes the re-entry a cheap registry lookup. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_gram"))) return
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -923,21 +923,51 @@ object Dedup {
   private def semCos(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(call_function("graft_dot", va, vb) / sqrt(na * nb), 4)
 
+  /** Max label-cell rows before the q109 pair join sub-buckets into a
+    * B×B grid (`spark.graft.semdedup.maxCell`). The label blocking bounds
+    * WHICH pairs form, but a hot cell was still O(cell²) inside ONE task
+    * (VERDICT r11 item 6 — the one pairwise join whose bucket size wasn't
+    * a knob). With the grid, per-task work is ≤ maxCell² comparisons and
+    * per-task input ≤ 2·maxCell rows, at a replication factor of
+    * B = ceil(cell/maxCell) per side — Okcan & Riedewald's 1-bucket-theta
+    * decomposition (SIGMOD'11), exact by construction: a pair (a,b) meets
+    * in exactly the grid cell (hash(a) mod B, hash(b) mod B). */
+  private[graft] def semMaxCell(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.semdedup.maxCell")
+      .map(_.toLong).getOrElse(8192L)
+
   /** q109 — SEMANTIC dedup apply (SemDeDup, Abbas et al. 2023, public):
     * within each cluster (the pre-assigned coarse label — at 100 TB the
     * k-means cells of q71, which are also the physical partition key),
     * drop every vector that has a lower-id in-cluster neighbor at cosine
-    * ≥ τ; keep the rest. The cluster blocking is what bounds the
-    * quadratic term: pairs form only inside a cell, never across the
-    * corpus (q31's join shape), and the survivor set is an anti-join of
-    * the tiny drop list (q74's apply shape). q110 measures exactly what
-    * the blocking buys and loses. */
+    * ≥ τ; keep the rest. The cluster blocking bounds WHICH pairs form
+    * (never across the corpus — q31's join shape); the [[semMaxCell]]
+    * grid bounds how much of one cell's quadratic lands in one task. The
+    * survivor set is an anti-join of the tiny drop list (q74's apply
+    * shape). q110 measures exactly what the blocking buys and loses. */
   def q109SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = semVecs(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-                     col("v").as("va"), col("nrm").as("na"))
-    val dropped = e.join(a,
-        col("label") === col("label_a") && col("vec_a") < col("vec_id") &&
+    val maxCell = semMaxCell(spark)
+    // per-label grid width B = ceil(cell/maxCell); label cardinality is
+    // the coarse-quantizer size (bounded like the IVF centroid set), so
+    // the size table broadcasts
+    val grid = e.groupBy(col("label"))
+      .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("int").as("nb"))
+    val withNb = e.join(broadcast(grid), "label")
+    val a = withNb.select(
+      col("label").as("label_a"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"),
+      pmod(hash(col("vec_id")), col("nb")).as("grow_a"),
+      explode(sequence(lit(0), col("nb") - 1)).as("gcol_a"))
+    val b = withNb.select(
+      col("label"), col("vec_id"), col("v"), col("nrm"),
+      explode(sequence(lit(0), col("nb") - 1)).as("grow_b"),
+      pmod(hash(col("vec_id")), col("nb")).as("gcol_b"))
+    val dropped = b.join(a,
+        col("label") === col("label_a") &&
+          col("grow_b") === col("grow_a") &&
+          col("gcol_b") === col("gcol_a") &&
+          col("vec_a") < col("vec_id") &&
           semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau,
         "left_semi")
       .select(col("vec_id"))

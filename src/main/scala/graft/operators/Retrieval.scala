@@ -833,20 +833,33 @@ object Retrieval {
   private[graft] def buildPostings(docsRaw: DataFrame): DataFrame =
     postingsFromTf(tfOf(tokenizedDocs(docsRaw)).localCheckpoint())
 
+  /** Write the bucket-partitioned postings for a corpus slice and return
+    * the ONE materialized TF relation that fed them, so the caller can
+    * derive corpus stats from the in-memory checkpoint instead of
+    * re-reading the just-written store. Round-12: the stats re-read was
+    * r11's only code-attributed regression (q264 1.45×, q263 1.22× in the
+    * host-controlled A/B) — an extra read job + groupBy(doc_id) shuffle
+    * over the full postings relation, where the TF checkpoint already
+    * holds (doc_id, dl) hot. */
+  private def writePostingsOnce(docsRaw: DataFrame, dest: String): DataFrame = {
+    val tf = tfOf(tokenizedDocs(docsRaw)).localCheckpoint()
+    postingsFromTf(tf).write.mode("overwrite").partitionBy("bucket")
+      .parquet(dest)
+    tf
+  }
+
   /** BUILD: write the bucket-partitioned postings + corpus stats; returns
     * the store path. Overwrite-in-place (the Stores contract) — rebuild
     * is idempotent. */
   private[graft] def buildTextIndex(spark: SparkSession, dir: String): String = {
     val store = graft.Stores.path(spark, "graft_text_index")
     val docsRaw = Tables.documents(spark, dir)
-    buildPostings(docsRaw)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$store/postings")
-    // corpus stats FROM the written postings (a narrow 2-column read), not
-    // a second tokenize pass over the corpus: every doc has ≥1 posting
-    // (split of even an empty text yields one token), so distinct doc_id
-    // and one dl per doc recover (n_docs, total_dl) exactly.
-    statsOfPostings(spark.read.parquet(s"$store/postings"))
+    val tf = writePostingsOnce(docsRaw, s"$store/postings")
+    // corpus stats from the SAME checkpointed TF the write consumed (one
+    // row per (doc,term); every doc has ≥1 token row, so distinct doc_id
+    // and one dl per doc recover (n_docs, total_dl) exactly) — a bounded
+    // in-memory aggregate, never a second pass over written parquet.
+    statsOfPostings(tf)
       .write.mode("overwrite").parquet(s"$store/stats")
     store
   }
@@ -897,9 +910,33 @@ object Retrieval {
     * answered purely from storage — bucket-pruned postings read, vocab
     * filter, the shared [[bm25Chain]], top-k rank. Output ≡ q150
     * row-for-row (its oracle IS [[bm25Oracle]]). */
-  def q264TextIndexQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q264TextIndexQuery(spark: SparkSession, dir: String): DataFrame =
+    q264ServeFrom(spark, buildTextIndex(spark, dir))
+
+  /** Bench-only legs (graft.Bench / tools/scaling_curve.py — NOT part of
+    * the oracle surface): q264 rebuilds the store inside the query, so its
+    * single scaling row conflated the corpus-wide build shuffle with the
+    * bucket-pruned serve read (VERDICT r11 item 3 — the 1.067 exponent).
+    * The build leg times the store build alone; the serve leg self-heals
+    * the store on its (untimed) warmup pass and then times ONLY the
+    * serving path, the way a long-running cluster actually pays it. */
+  def q264BuildLeg(spark: SparkSession, dir: String): DataFrame = {
     val store = buildTextIndex(spark, dir)
+    spark.read.parquet(s"$store/stats")
+  }
+
+  def q264ServeLeg(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.Stores.path(spark, "graft_text_index")
+    val stats = new org.apache.hadoop.fs.Path(s"$store/stats")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stats)) buildTextIndex(spark, dir): Unit
+    q264ServeFrom(spark, store)
+  }
+
+  /** The q264 serve body against an EXISTING store (shared by the
+    * oracle-gated q264 and the serve-only bench leg). */
+  private def q264ServeFrom(spark: SparkSession, store: String): DataFrame = {
+    import spark.implicits._
     val st = spark.read.parquet(s"$store/stats").first()
     val n = st.getLong(0)
     // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
@@ -1008,10 +1045,10 @@ object Retrieval {
     val store = graft.Stores.path(spark, "graft_text_lifecycle")
     val base = Tables.documents(spark, dir)
       .filter(col("doc_id") % TextUpsertStride =!= TextUpsertResidue)
-    buildPostings(base)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$store/postings")
-    val st = statsOfPostings(spark.read.parquet(s"$store/postings")).first()
+    val tf = writePostingsOnce(base, s"$store/postings")
+    // stats from the checkpointed TF, not a re-read of the written store
+    // (same single-pass rule as buildTextIndex)
+    val st = statsOfPostings(tf).first()
     statsRow(spark, 1L, st.getLong(0), st.getLong(1))
       .write.mode("overwrite").parquet(s"$store/stats")
     spark.range(0).select(col("id").as("doc_id"))

@@ -2,10 +2,21 @@
 """Bench gate report: geomean + per-query deltas of a fresh bench run vs
 the operative baseline, over their common queries.
 
-Usage: python3 tools/bench_gate.py <bench.json> <baseline.json> [threshold]
+Usage: python3 tools/bench_gate.py <bench.json> <baseline.json>
+           [threshold] [--normalize <hostcheck.json>]
 
 Prints geomean ratio, counts over 1.5x/2x, and the worst offenders.
 Exit 1 if any common query exceeds the threshold (default 2.0).
+
+--normalize (round 12, VERDICT r11 item 4): divide every ratio by the
+host multiplier measured by tools/hostcheck_ab.sh — the old-code leg of
+its interleaved A/B re-runs the EXACT commit whose recording is the
+baseline, so old_code_today / recorded is pure host drift (zero code
+delta). Per-query multipliers are used where the hostcheck subset covers
+the query; the subset geomean everywhere else. Both raw and normalized
+columns are printed; the gate fails on the NORMALIZED ratio (r11's
+measured 1.30x drift cost a day of forensics that this column replaces).
+The rule is documented in BASELINE.md.
 """
 import json
 import math
@@ -15,35 +26,67 @@ import sys
 # physical leaf where a materialization trade moves time between the
 # twins run-to-run while the pair total stays flat. A member over the
 # threshold does NOT fail the gate if its cohort's summed time ratio is
-# <= 1.5 (a tighter bar than the individual 2.0) -- the cohort sum is
-# the honest signal for these. The cohort line is always printed.
+# within the cohort bar -- the cohort sum is the honest signal for
+# these. The cohort line is always printed. The effective cohort bar is
+# min(COHORT_SUM_BAR, threshold): the exemption must stay TIGHTER than
+# the individual bar even under a custom low threshold (ADVICE r11).
 COHORTS = {
     "weighted_ppjoin": ["q93_weighted_jaccard", "q139_weighted_maxdf"],
 }
 COHORT_SUM_BAR = 1.5
 
 
+def geomean(xs):
+    return math.exp(sum(math.log(x) for x in xs) / len(xs))
+
+
 def main() -> None:
-    bench = json.load(open(sys.argv[1]))["queries"]
-    base = json.load(open(sys.argv[2]))["queries"]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    args = list(sys.argv[1:])
+    hostcheck = None
+    if "--normalize" in args:
+        i = args.index("--normalize")
+        hostcheck = json.load(open(args[i + 1]))
+        del args[i:i + 2]
+    bench = json.load(open(args[0]))["queries"]
+    base = json.load(open(args[1]))["queries"]
+    threshold = float(args[2]) if len(args) > 2 else 2.0
     common = sorted(set(bench) & set(base))
     only_new = sorted(set(bench) - set(base))
-    ratios = {q: bench[q] / base[q] for q in common if base[q] > 0}
-    if not ratios:
+    raw = {q: bench[q] / base[q] for q in common if base[q] > 0}
+    if not raw:
         print("GATE ERROR: the two runs share no (nonzero-baseline) queries "
               "— nothing to compare")
         sys.exit(2)
-    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+
+    # host normalization: per-query multiplier where measured, subset
+    # geomean elsewhere
+    if hostcheck is not None:
+        per_q = {q: row["old_vs_recorded"]
+                 for q, row in hostcheck.get("queries", {}).items()
+                 if row.get("old_vs_recorded", 0) > 0}
+        suite_mult = hostcheck.get("geomean_old_vs_recorded") or \
+            (geomean(list(per_q.values())) if per_q else 1.0)
+        mult = {q: per_q.get(q, suite_mult) for q in raw}
+        print(f"host multiplier: suite {suite_mult:.3f} "
+              f"(per-query for {len(set(raw) & set(per_q))} covered queries)")
+        ratios = {q: raw[q] / mult[q] for q in raw}
+    else:
+        ratios = raw
+
     over15 = {q: r for q, r in ratios.items() if r > 1.5}
     over2 = {q: r for q, r in ratios.items() if r > threshold}
+    label = "normalized" if hostcheck is not None else "raw"
     print(f"common queries: {len(common)}   new (ungated): {only_new}")
-    print(f"geomean ratio: {geomean:.3f}")
-    print(f">1.5x: {len(over15)}   >{threshold}x: {len(over2)}")
+    print(f"geomean ratio (raw): {geomean(list(raw.values())):.3f}")
+    if hostcheck is not None:
+        print(f"geomean ratio (normalized): {geomean(list(ratios.values())):.3f}")
+    print(f">1.5x ({label}): {len(over15)}   >{threshold}x ({label}): {len(over2)}")
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
     for q, r in worst:
-        print(f"  {q}: {r:.2f}x  ({base[q]:.3f}s -> {bench[q]:.3f}s)")
+        extra = f"  raw {raw[q]:.2f}x" if hostcheck is not None else ""
+        print(f"  {q}: {r:.2f}x  ({base[q]:.3f}s -> {bench[q]:.3f}s){extra}")
     exempt = set()
+    cohort_bar = min(COHORT_SUM_BAR, threshold)
     for name, members in COHORTS.items():
         present = [q for q in members if q in ratios]
         if len(present) < 2:
@@ -51,18 +94,20 @@ def main() -> None:
         bsum = sum(base[q] for q in present)
         nsum = sum(bench[q] for q in present)
         csum = nsum / bsum if bsum > 0 else float("inf")
+        if hostcheck is not None:
+            csum /= geomean([mult[q] for q in present])
         print(f"cohort {name} ({'+'.join(present)}): "
-              f"sum {bsum:.2f}s -> {nsum:.2f}s = {csum:.2f}x")
-        if csum <= COHORT_SUM_BAR:
+              f"sum {bsum:.2f}s -> {nsum:.2f}s = {csum:.2f}x ({label})")
+        if csum <= cohort_bar:
             exempt.update(q for q in present if q in over2)
     fail = sorted(set(over2) - exempt)
     if exempt:
         print(f"cohort-exempt (member >{threshold}x but cohort sum <= "
-              f"{COHORT_SUM_BAR}x): {sorted(exempt)}")
+              f"{cohort_bar}x): {sorted(exempt)}")
     if fail:
-        print(f"GATE FAIL: {fail}")
+        print(f"GATE FAIL ({label}): {fail}")
         sys.exit(1)
-    print("GATE PASS")
+    print(f"GATE PASS ({label})")
 
 
 if __name__ == "__main__":
