@@ -55,12 +55,28 @@ QUERIES = [
     # round-10 batch 2: preference fit (corpus scan + two-phase rank into a
     # control-plane matrix), inverted-index build (THE corpus-wide postings
     # shuffle, priced once) and the pruned serve-from-storage path
-    "q262_bt_strength", "q263_text_index_build", "q264_text_index_query",
+    "q262_bt_strength", "q263_text_index_build",
+    # round-12 (VERDICT r11 item 3): q264's single row conflated build and
+    # serve (the query rebuilds the store per run) — the curve now grades
+    # the two bench-only legs separately; the serve leg times ONLY the
+    # bucket-pruned read + BM25 chain against a store built in its
+    # (untimed) warmup pass.
+    "q264_build_leg", "q264_serve_leg",
     "q265_pref_cycles",
     # round-11: text-index lifecycle — the affected-bucket upsert merge
     # (build + batch x2) and the post-compaction serving path
     "q266_text_upsert", "q269_text_compact_query",
+    # round-12: the semantic-dedup grid path (exact BxB decomposition of
+    # the within-label pair join)
+    "q109_semantic_dedup",
 ]
+
+# presentation names for the artifact (VERDICT r11 item 3 asked for
+# q264@build / q264@serve rows)
+RENAME = {
+    "q264_build_leg": "q264_text_index_query@build",
+    "q264_serve_leg": "q264_text_index_query@serve",
+}
 
 SCALES = [
     ("/root/testdata/sf0.1", 1.0),
@@ -148,9 +164,10 @@ def main() -> None:
               flush=True)
         lin_runs.append((factor, r["queries"], r.get("failed", "[]")))
     result.update(fit(lin_runs, LINEAR_ARTIFACT, suffix="@linear_labels"))
+    result = {RENAME.get(q, q): v for q, v in result.items()}
     doc = {
-        "method": ("graft.Bench (warmup + min-of-2 toRdd.count, min-of-3 "
-                   "above 5s) on sf0.1 and "
+        "method": ("graft.Bench (warmup + adaptive min-of-2 below 1s / "
+                   "min-of-3 above, round 12) on sf0.1 and "
                    "its 3x/10x deterministic replicas (tools/gen_scale.py: "
                    "per-replica disjoint vocab, constant dimension "
                    "cardinality, constant per-label blocks); exponent = "
