@@ -16,6 +16,8 @@ delta). Per-query multipliers are used where the hostcheck subset covers
 the query; the subset geomean everywhere else. Both raw and normalized
 columns are printed; the gate fails on the NORMALIZED ratio (r11's
 measured 1.30x drift cost a day of forensics that this column replaces).
+Normalization uses the hostcheck SUBSET GEOMEAN only — a per-query
+multiplier would conflate host drift with query-level noise.
 The rule is documented in BASELINE.md.
 """
 import json
@@ -58,18 +60,17 @@ def main() -> None:
               "— nothing to compare")
         sys.exit(2)
 
-    # host normalization: per-query multiplier where measured, subset
-    # geomean elsewhere
+    # host normalization: the SUITE-level multiplier only. A per-query
+    # old_vs_recorded conflates host drift with query-level run-to-run
+    # noise (q93's seesaw recording read as a 0.52x "host multiplier" and
+    # corrupted the cohort line when tried) — host drift is a host-wide
+    # property, so the subset geomean is the honest estimator; the
+    # per-query rows stay in the hostcheck artifact for diagnosis.
     if hostcheck is not None:
-        per_q = {q: row["old_vs_recorded"]
-                 for q, row in hostcheck.get("queries", {}).items()
-                 if row.get("old_vs_recorded", 0) > 0}
-        suite_mult = hostcheck.get("geomean_old_vs_recorded") or \
-            (geomean(list(per_q.values())) if per_q else 1.0)
-        mult = {q: per_q.get(q, suite_mult) for q in raw}
-        print(f"host multiplier: suite {suite_mult:.3f} "
-              f"(per-query for {len(set(raw) & set(per_q))} covered queries)")
-        ratios = {q: raw[q] / mult[q] for q in raw}
+        suite_mult = hostcheck.get("geomean_old_vs_recorded") or 1.0
+        print(f"host multiplier (suite geomean): {suite_mult:.3f}")
+        ratios = {q: raw[q] / suite_mult for q in raw}
+        mult = {q: suite_mult for q in raw}
     else:
         ratios = raw
 
