@@ -12,12 +12,13 @@ Exit 1 if any common query exceeds the threshold (default 2.0).
 host multiplier measured by tools/hostcheck_ab.sh — the old-code leg of
 its interleaved A/B re-runs the EXACT commit whose recording is the
 baseline, so old_code_today / recorded is pure host drift (zero code
-delta). Per-query multipliers are used where the hostcheck subset covers
-the query; the subset geomean everywhere else. Both raw and normalized
-columns are printed; the gate fails on the NORMALIZED ratio (r11's
-measured 1.30x drift cost a day of forensics that this column replaces).
-Normalization uses the hostcheck SUBSET GEOMEAN only — a per-query
-multiplier would conflate host drift with query-level noise.
+delta). Both raw and normalized columns are printed; the gate fails on
+the NORMALIZED ratio (r11's measured 1.30x drift cost a day of
+forensics that this column replaces). Normalization uses the hostcheck
+SUITE-LEVEL SUBSET GEOMEAN only, applied uniformly to every query — a
+per-query multiplier would conflate host drift with query-level
+run-to-run noise (tried and reverted in round 12: q93's seesaw
+recording read as a 0.52x "host multiplier").
 The rule is documented in BASELINE.md.
 """
 import json
@@ -36,6 +37,20 @@ COHORTS = {
     "weighted_ppjoin": ["q93_weighted_jaccard", "q139_weighted_maxdf"],
 }
 COHORT_SUM_BAR = 1.5
+
+# Documented-bimodal single-query exemptions (VERDICT r12 item 4):
+# query -> absolute ceiling in seconds. q24_range_chunks (a 5-row,
+# ~100 ms result, RangePlan.scala:24) alternates between ~0.13 s and
+# ~0.25 s across rounds r9-r12 with ZERO code delta — scheduler jitter
+# on a query too short to amortize it. Its ratio against whichever mode
+# the baseline happened to record flaps the gate (three rounds of manual
+# adjudication). A flagged member is exempt ONLY while its measured
+# absolute time stays under the ceiling (2x the slow mode) — a real
+# regression blows past the ceiling and still fails. The exemption line
+# is always printed so the artifact shows what was waived.
+BIMODAL_ABS = {
+    "q24_range_chunks": 0.50,
+}
 
 
 def geomean(xs):
@@ -67,7 +82,16 @@ def main() -> None:
     # property, so the subset geomean is the honest estimator; the
     # per-query rows stay in the hostcheck artifact for diagnosis.
     if hostcheck is not None:
-        suite_mult = hostcheck.get("geomean_old_vs_recorded") or 1.0
+        suite_mult = hostcheck.get("geomean_old_vs_recorded")
+        if not suite_mult:
+            # Fail loudly (ADVICE r12): silently defaulting to 1.0 would
+            # print rows labeled "normalized" that are actually raw —
+            # defeating the forensics the flag exists for (e.g. an
+            # r11-format hostcheck file keys this geomean differently).
+            print("GATE ERROR: hostcheck file lacks a usable "
+                  "geomean_old_vs_recorded — refusing to print raw ratios "
+                  "under a 'normalized' label")
+            sys.exit(2)
         print(f"host multiplier (suite geomean): {suite_mult:.3f}")
         ratios = {q: raw[q] / suite_mult for q in raw}
         mult = {q: suite_mult for q in raw}
@@ -101,10 +125,15 @@ def main() -> None:
               f"sum {bsum:.2f}s -> {nsum:.2f}s = {csum:.2f}x ({label})")
         if csum <= cohort_bar:
             exempt.update(q for q in present if q in over2)
-    fail = sorted(set(over2) - exempt)
     if exempt:
         print(f"cohort-exempt (member >{threshold}x but cohort sum <= "
               f"{cohort_bar}x): {sorted(exempt)}")
+    for q, ceiling in BIMODAL_ABS.items():
+        if q in over2 and bench[q] <= ceiling:
+            print(f"bimodal-exempt: {q} {ratios[q]:.2f}x but abs "
+                  f"{bench[q]:.3f}s <= documented ceiling {ceiling}s")
+            exempt.add(q)
+    fail = sorted(set(over2) - exempt)
     if fail:
         print(f"GATE FAIL ({label}): {fail}")
         sys.exit(1)
