@@ -34,6 +34,7 @@ import org.apache.spark.sql.SparkSession
   * prefix instead of nothing. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -123,10 +124,20 @@ object Bench {
       val (ns1, ok1) = run(fn)
       val (bestNs, ok) =
         if (ns1 < heavyBarNs) {
-          // sub-second: pass 1 was the warmup; min-of-2 measured passes
+          // sub-second: pass 1 was the warmup; min-of-2 measured passes.
+          // A fourth pass only when the two measured passes disagree by
+          // >1.5x (round 13, VERDICT r12 item 4): the documented-bimodal
+          // 100 ms queries (q24 swings ~0.13 s <-> ~0.25 s across rounds)
+          // get one more chance to draw their fast mode before the
+          // recording freezes the slow one into a baseline entry.
           val (ns2, ok2) = run(fn)
           val (ns3, ok3) = run(fn)
-          (math.min(ns2, ns3), ok1 && ok2 && ok3)
+          val (lo, hi) = (math.min(ns2, ns3), math.max(ns2, ns3))
+          if (hi <= lo + lo / 2) (lo, ok1 && ok2 && ok3)
+          else {
+            val (ns4, ok4) = run(fn)
+            (math.min(lo, ns4), ok1 && ok2 && ok3 && ok4)
+          }
         } else {
           // heavy: pass 1 counts; third pass only if the first two
           // disagree by >10%
@@ -150,6 +161,15 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"prewarm_sec":$prewarmSec,"sf":"$sfDir"}""")
+    // Self-certifying tail (round 13, VERDICT r12 item 3): the driver
+    // stores only the last ~2,000 chars of output, which clips the ~12 KB
+    // aggregate line above to a fragment (`parsed: null` in every rc-0
+    // round so far). This compact (<200-byte) final line always fits the
+    // tail, so the stored artifact carries a parseable verdict of the run
+    // even when the per-query map is clipped.
+    val failedN = results.count(!_._3)
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    println(s"""{"summary":{"n":${results.size},"failed":$failedN,"total_sec":${math.round(total * 1000) / 1000.0},"wall_sec":${math.round(wallSec * 1000) / 1000.0}}}""")
     spark.stop()
   }
 }

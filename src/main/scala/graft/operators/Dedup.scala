@@ -950,27 +950,53 @@ object Dedup {
     val maxCell = semMaxCell(spark)
     // per-label grid width B = ceil(cell/maxCell); label cardinality is
     // the coarse-quantizer size (bounded like the IVF centroid set), so
-    // the size table broadcasts
-    val grid = e.groupBy(col("label"))
+    // the size table is a bounded control read — collected ONCE and
+    // reused both as the nb=1 fast-path decision and as the broadcast
+    // side of the grid join (collecting, rather than broadcast(grid),
+    // also saves recomputing the aggregate twice)
+    val gridDf = e.groupBy(col("label"))
       .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("int").as("nb"))
-    val withNb = e.join(broadcast(grid), "label")
-    val a = withNb.select(
-      col("label").as("label_a"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("nrm").as("na"),
-      pmod(hash(col("vec_id")), col("nb")).as("grow_a"),
-      explode(sequence(lit(0), col("nb") - 1)).as("gcol_a"))
-    val b = withNb.select(
-      col("label"), col("vec_id"), col("v"), col("nrm"),
-      explode(sequence(lit(0), col("nb") - 1)).as("grow_b"),
-      pmod(hash(col("vec_id")), col("nb")).as("gcol_b"))
-    val dropped = b.join(a,
-        col("label") === col("label_a") &&
-          col("grow_b") === col("grow_a") &&
-          col("gcol_b") === col("gcol_a") &&
-          col("vec_a") < col("vec_id") &&
-          semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau,
-        "left_semi")
-      .select(col("vec_id"))
+    val gridRows = gridDf.collect()
+    val maxNb = gridRows.iterator.map(_.getInt(1)).max
+    val dropped =
+      if (maxNb <= 1) {
+        // Fast path (round 13, VERDICT r12 item 7): every cell fits one
+        // task, so the grid is degenerate (1x1 everywhere) — skip the two
+        // explodes and the grow/gcol conjuncts; HOSTCHECK_r12 priced the
+        // always-on plumbing at ~0.14 s on a 0.43 s query. Semantics are
+        // identical by construction (a 1x1 grid replicates nothing);
+        // Round12Spec pins gridded == ungridded row-for-row.
+        val a = e.select(
+          col("label").as("label_a"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        e.join(a,
+            col("label") === col("label_a") &&
+              col("vec_a") < col("vec_id") &&
+              semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau,
+            "left_semi")
+          .select(col("vec_id"))
+      } else {
+        import scala.jdk.CollectionConverters._
+        val grid = spark.createDataFrame(gridRows.toSeq.asJava, gridDf.schema)
+        val withNb = e.join(broadcast(grid), "label")
+        val a = withNb.select(
+          col("label").as("label_a"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"),
+          pmod(hash(col("vec_id")), col("nb")).as("grow_a"),
+          explode(sequence(lit(0), col("nb") - 1)).as("gcol_a"))
+        val b = withNb.select(
+          col("label"), col("vec_id"), col("v"), col("nrm"),
+          explode(sequence(lit(0), col("nb") - 1)).as("grow_b"),
+          pmod(hash(col("vec_id")), col("nb")).as("gcol_b"))
+        b.join(a,
+            col("label") === col("label_a") &&
+              col("grow_b") === col("grow_a") &&
+              col("gcol_b") === col("gcol_a") &&
+              col("vec_a") < col("vec_id") &&
+              semCos(col("va"), col("na"), col("v"), col("nrm")) >= SemTau,
+            "left_semi")
+          .select(col("vec_id"))
+      }
     e.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))

@@ -859,7 +859,10 @@ object Retrieval {
     // row per (doc,term); every doc has ≥1 token row, so distinct doc_id
     // and one dl per doc recover (n_docs, total_dl) exactly) — a bounded
     // in-memory aggregate, never a second pass over written parquet.
-    statsOfPostings(tf)
+    // src_dir records WHICH corpus built the store, so the serve leg's
+    // self-heal can detect a stale store from a different scale's data
+    // (ADVICE r12) instead of silently serving it.
+    statsOfPostings(tf).withColumn("src_dir", lit(dir))
       .write.mode("overwrite").parquet(s"$store/stats")
     store
   }
@@ -929,7 +932,16 @@ object Retrieval {
     val store = graft.Stores.path(spark, "graft_text_index")
     val stats = new org.apache.hadoop.fs.Path(s"$store/stats")
     val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stats)) buildTextIndex(spark, dir): Unit
+    // Self-heal must check WHICH corpus built the store, not just that
+    // stats exist (ADVICE r12): a store left by a different scale's run
+    // would otherwise be served with ok=true, corrupting the scaling row.
+    // Pre-src_dir stores (no such column) also rebuild.
+    val current = fs.exists(stats) && {
+      val st = spark.read.parquet(s"$store/stats")
+      st.schema.fieldNames.contains("src_dir") &&
+        st.select(col("src_dir")).first().getString(0) == dir
+    }
+    if (!current) buildTextIndex(spark, dir): Unit
     q264ServeFrom(spark, store)
   }
 
@@ -938,9 +950,9 @@ object Retrieval {
   private def q264ServeFrom(spark: SparkSession, store: String): DataFrame = {
     import spark.implicits._
     val st = spark.read.parquet(s"$store/stats").first()
-    val n = st.getLong(0)
+    val n = st.getAs[Long]("n_docs")
     // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
-    val avgdlPpm = (BigInt(st.getLong(1)) * 1000000 / n).toLong
+    val avgdlPpm = (BigInt(st.getAs[Long]("total_dl")) * 1000000 / n).toLong
     val terms = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val w = Window.partitionBy(col("query_id"))
