@@ -77,6 +77,52 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Scan-partition count of a loaded table, memoized per (app, dir,
+    * name): deciding [[wide]]'s fan-out needs the PHYSICAL split count,
+    * which costs one plan compilation — paid once per table per session,
+    * like the handle itself. */
+  private val scanParts =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
+
+  /** A table handle for HEAVY MAP-SIDE consumers (tokenize/shingle
+    * kernels, codec encode/decode, per-row vector math): [[load]], fanned
+    * out to the session's parallelism when the file's physical split
+    * count can't feed it.
+    *
+    * Why (optimization guide §2.5 "input skew — one huge unsplittable
+    * file"): the driver fixtures are single-row-group parquet files, so
+    * EVERY scan is one task no matter how many cores the session has —
+    * at sf0.1 the whole map side of the suite ran single-threaded (e.g.
+    * q214's quality+shingle kernel: 9.8 s of CPU in one task while 31
+    * cores idled; measured round 13). One row-group can't be split by
+    * `maxPartitionBytes`, so an explicit exchange after the read is the
+    * only lever — exactly the guide's prescribed fix.
+    *
+    * SCALE-ADAPTIVE, not a constant: the repartition node is added only
+    * when the scan's split count is below `defaultParallelism`, so on a
+    * real cluster (100 TB table = tens of thousands of splits ≫ cores)
+    * this is the identity — no extra exchange ever appears in a plan
+    * that doesn't need it. Hash-partitioning on the table's key keeps
+    * the assignment deterministic under task retry (guide §2.5 warns
+    * against rand-derived keys; a keyed repartition needs no
+    * sort-before-repartition pass either).
+    *
+    * NOT for filter-first consumers: a filter applied above the exchange
+    * no longer pushes down to the scan — call sites that predicate on
+    * the table keep using [[load]]. */
+  def wide(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val base = load(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val parts = scanParts.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, name), base.rdd.getNumPartitions)
+    if (parts >= p) base else base.repartition(p, col(key))
+  }
+
+  def documentsWide(spark: SparkSession, dir: String): DataFrame =
+    wide(spark, dir, "documents", "doc_id")
+  def embeddingsWide(spark: SparkSession, dir: String): DataFrame =
+    wide(spark, dir, "embeddings", "vec_id")
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

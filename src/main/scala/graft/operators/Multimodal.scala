@@ -29,8 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write wraps its stream in a FileCache*ImageStream that
+  // creates a temp FILE PER IMAGE — for thousands of sub-4KB payloads per
+  // pass that's pure filesystem overhead in the codec hot loop
+  // (optimization guide §1.2 step 2, per-task work). All payloads here are
+  // in-memory byte arrays; the memory-backed stream cache is strictly
+  // better at any scale. JVM-global and idempotent; runs on each executor
+  // when this object initializes there (every codec closure references it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media table synthesized deterministically over `documents`: the text
     * bytes stand in for an encoded frame buffer. */
+  // NOT wide: mediaTable's consumers (q39/q65/q66) do trivial per-row
+  // work (metadata, byte stats) — the fan-out exchange cost tripled them
+  // in the round-13 A/B (0.20 s → 0.56 s) with nothing to amortize it.
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     Tables.documents(spark, dir).select(
@@ -217,7 +230,7 @@ object Multimodal {
     * and shuffle-free like every decode stage here. */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
         (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
@@ -626,7 +639,7 @@ object Multimodal {
     * encoded through the other codec under `img_id = doc_id + CloneOffset`. */
   private[graft] def imageCorpusWithClones(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
         (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
@@ -739,7 +752,7 @@ object Multimodal {
     * family is the training-pipeline extension, cf. q140). */
   def gifTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
         (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))
@@ -845,7 +858,7 @@ object Multimodal {
     * (a row map; payloads never shuffle). */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documentsWide(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = wavSamples(id)
         val dataLen = n * 2
@@ -1011,7 +1024,7 @@ object Multimodal {
     * clip_id + [[CloneOffset]], every sample negated in 16-bit space). */
   private[graft] def audioCorpusWithClones(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documentsWide(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val n = wavSamples(id)
         val base = (id, mkWavBytes(n, i => sampleAt(id, i).toShort))
@@ -1149,7 +1162,7 @@ object Multimodal {
   /** One hand-built AVI per document (geometry = q140's w/h formulas). */
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         (lit(16) + (col("doc_id") * 37 + 11) % 48).cast("int").as("w"),
         (lit(16) + (col("doc_id") * 53 + 7) % 48).cast("int").as("h"))

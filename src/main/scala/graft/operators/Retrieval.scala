@@ -80,7 +80,8 @@ object Retrieval {
                         termPairs: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     val vocab = termPairs.map(_._2).distinct
-    val docs = Tables.documents(spark, dir)
+    // round 13: wide scan — the tokenize is the whole corpus-side cost
+    val docs = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
     // Control scalars (one bounded 1-row aggregate, the q70/PrefixSum
@@ -92,8 +93,11 @@ object Retrieval {
     val terms = termPairs.toDF("query_id", "term")
     // Literal IN filter BEFORE the aggregate: only query-term occurrences
     // survive the explode — the corpus-wide TF relation never exists.
+    // explode_OUTER: stops InferFiltersFromGenerate cloning the split into
+    // a scan-level size()>0 filter (tokenize twice per doc); a null term
+    // can't pass the INSET filter, so the row set is unchanged.
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .select(col("doc_id"), col("dl"), explode_outer(col("t")).as("term"))
       .filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -104,11 +108,27 @@ object Retrieval {
   /** BM25-ppm scoring tail over a postings relation carrying
     * (doc_id, dl, term, tf, df) — shared by the on-the-fly [[scoredFor]]
     * chain and the persisted-index query path (q264), so the serving
-    * index and the from-scratch scorer can never drift formula-wise. */
+    * index and the from-scratch scorer can never drift formula-wise.
+    *
+    * Round 13 (optimization guide §1.2 step 2 / §2.3): the per-posting
+    * scalars (ratio/denom/tfn/idf — value-identical expressions, moved
+    * verbatim) are computed BEFORE the terms join, not after it: a term
+    * shared by k eval queries used to pay its DECIMAL(38,0) divisions k
+    * times — `java.math.BigDecimal.divideToIntegralValue` dominated the
+    * profile of every bm25 consumer (q238/q239/q247/q248/q253/q257/q264/
+    * q266-q272; thread-sample measured round 13). The one remaining
+    * per-joined-row product is decomposed into pure int64 arithmetic:
+    * with q = idf DIV 1e6 and r = idf MOD 1e6 (idf = q·1e6 + r, all
+    * terms non-negative),
+    *     (tfn · idf) DIV 1e6  =  tfn·q + (tfn·r) DIV 1e6      (exact)
+    * and the decomposition overflows int64 only where the ORIGINAL
+    * expression's own CAST(... AS BIGINT) already clipped (tfn ≤ 2.2e6
+    * by saturation, so tfn·q ≤ 2.2·idf = term_ppm's own magnitude) — the
+    * valid domain is unchanged. Round13bSpec pins the identity against
+    * the decimal form across the magnitude range. */
   private def bm25Chain(tfdf: DataFrame, terms: DataFrame,
                         n: Long, avgdlPpm: Long): DataFrame =
     tfdf
-      .join(broadcast(terms), "term")
       // dl·10^12 routes through DECIMAL(38,0): at web scale dl can reach
       // 10^6 tokens and the product would clip int64.
       .withColumn("ratio_ppm", expr(
@@ -119,8 +139,13 @@ object Retrieval {
         "CAST(CAST(tf AS DECIMAL(38,0)) * 2200000 * 1000000 DIV denom_ppm AS BIGINT)"))
       .withColumn("idf_ppm", expr(
         s"CAST((2 * ${n}L - 2 * df + 1) * CAST(1000000 AS DECIMAL(38,0)) DIV (2 * df + 1) AS BIGINT)"))
+      // project the exchange-bound columns only (guide §2.3): the join
+      // fan-out multiplies every byte by the queries sharing the term
+      .select(col("term"), col("doc_id"), col("tf"), col("tfn_ppm"),
+              col("idf_ppm"))
+      .join(broadcast(terms), "term")
       .withColumn("term_ppm", expr(
-        "CAST(CAST(tfn_ppm AS DECIMAL(38,0)) * idf_ppm DIV 1000000 AS BIGINT)"))
+        "tfn_ppm * (idf_ppm DIV 1000000L) + tfn_ppm * (idf_ppm % 1000000L) DIV 1000000L"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_ppm")).as("score_ppm"),
            sum(col("idf_ppm")).as("overlap_ppm"),
@@ -475,16 +500,23 @@ object Retrieval {
     * context-token source. */
   private[graft] def passages(spark: SparkSession, dir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
-    Tables.documents(spark, dir)
+    // round 13: wide scan (the tokenize+chunk kernel is the heavy map
+    // side; Tables.wide scaladoc) and dl in closed form — size(slice(t,
+    // cs+1, L)) = least(L, size(t) − cs) exactly, for 0 ≤ cs < size(t)
+    // (every chunk_start the sequence generates). The closed form frees
+    // the STATS pass (count + sum(dl) in passageScores) from
+    // materializing any pt slice: column pruning reduces its subtree to
+    // (chunk_start, size(t)). Round13bSpec pins dl ≡ size(pt).
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"), t.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 1, lit(PassageStride)))
           .as("chunk_start"))
       .select(col("doc_id"),
         expr(s"CAST(chunk_start DIV $PassageStride AS BIGINT)").as("chunk_idx"),
-        slice(col("t"), col("chunk_start") + 1, lit(PassageLen)).as("pt"))
-      .select(col("doc_id"), col("chunk_idx"), col("pt"),
-        size(col("pt")).cast("long").as("dl"))
+        slice(col("t"), col("chunk_start") + 1, lit(PassageLen)).as("pt"),
+        least(lit(PassageLen), size(col("t")) - col("chunk_start"))
+          .cast("long").as("dl"))
   }
 
   private def passageScores(spark: SparkSession, dir: String,
@@ -497,15 +529,23 @@ object Retrieval {
     // BigInt: total token mass × 1e6 clips int64 past ~9.2e12 tokens
     val avgdlPpm = (BigInt(row.getLong(1)) * 1000000 / n).toLong
     val terms = termPairs.toDF("query_id", "term")
+    // explode_OUTER, not explode: InferFiltersFromGenerate would clone the
+    // pt slice into `size(slice(..)) > 0` filters below BOTH generates —
+    // 3× the slice per chunk row (the q214 trap; round-13 plan audit). The
+    // outer form admits one null term per empty pt (pt is never empty —
+    // chunk_start < size(t) — and a null term cannot pass the INSET
+    // filter anyway), so the row set is unchanged.
     val tf = pass
       .select(col("doc_id"), col("chunk_idx"), col("dl"),
-        explode(col("pt")).as("term"))
+        explode_outer(col("pt")).as("term"))
       .filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Same round-13 restructure as [[bm25Chain]]: per-posting decimal
+    // scalars BEFORE the query fan-out join; the per-joined-row product
+    // in exact int64 (proof at bm25Chain; Round13bSpec pins the identity).
     tf.join(broadcast(dfRel), "term")
-      .join(broadcast(terms), "term")
       .withColumn("ratio_ppm", expr(
         s"CAST(CAST(dl AS DECIMAL(38,0)) * 1000000000000 DIV ${avgdlPpm}L AS BIGINT)"))
       .withColumn("denom_ppm",
@@ -514,8 +554,11 @@ object Retrieval {
         "CAST(CAST(tf AS DECIMAL(38,0)) * 2200000 * 1000000 DIV denom_ppm AS BIGINT)"))
       .withColumn("idf_ppm", expr(
         s"CAST((2 * ${n}L - 2 * df + 1) * CAST(1000000 AS DECIMAL(38,0)) DIV (2 * df + 1) AS BIGINT)"))
+      .select(col("term"), col("doc_id"), col("chunk_idx"), col("dl"),
+              col("tfn_ppm"), col("idf_ppm"))
+      .join(broadcast(terms), "term")
       .withColumn("term_ppm", expr(
-        "CAST(CAST(tfn_ppm AS DECIMAL(38,0)) * idf_ppm DIV 1000000 AS BIGINT)"))
+        "tfn_ppm * (idf_ppm DIV 1000000L) + tfn_ppm * (idf_ppm % 1000000L) DIV 1000000L"))
       .groupBy(col("query_id"), col("doc_id"), col("chunk_idx"), col("dl"))
       .agg(sum(col("term_ppm")).as("score_ppm"))
   }
