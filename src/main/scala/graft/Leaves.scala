@@ -34,9 +34,10 @@ object Leaves {
 
   /** Unkeyed inputs (generic DataFrames a spec hands in) can never be
     * identified safely — they always isolate, flag or no flag. */
-  def sharedOpt(spark: SparkSession, key: Option[String])
+  def sharedOpt(spark: SparkSession, key: Option[String],
+                fanOut: Boolean = false)
                (build: => DataFrame): DataFrame = key match {
-    case Some(k) => shared(spark, k)(build)
+    case Some(k) => shared(spark, k, fanOut)(build)
     case None    => build.localCheckpoint()
   }
 
@@ -45,14 +46,16 @@ object Leaves {
     * straight into its consumer — materializing for one reader only adds
     * cost); flag on → the parquet-shared table, which repeat invocations
     * (bench steady-state runs, a session re-running the query) reuse. */
-  def sharedOrInline(spark: SparkSession, key: String)
+  def sharedOrInline(spark: SparkSession, key: String,
+                     fanOut: Boolean = false)
                     (build: => DataFrame): DataFrame =
-    if (!enabled(spark)) build else shared(spark, key)(build)
+    if (!enabled(spark)) build else shared(spark, key, fanOut)(build)
 
   /** The leaf for `key` (callers pass a name + the table dir): built
     * fresh per call by default, built once and parquet-shared when the
     * session opts in. */
-  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def shared(spark: SparkSession, key: String,
+             fanOut: Boolean = false)(build: => DataFrame): DataFrame =
     if (!enabled(spark)) build.localCheckpoint()
     else {
       // Evict entries from OTHER applications before touching the map: the
@@ -68,7 +71,22 @@ object Leaves {
           .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val path = Stores.path(spark, name)
         build.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+        val read = spark.read.parquet(path)
+        // Round 13 (optimization guide §2.5), caller-opt-in via `fanOut`:
+        // a leaf built from a single-split fixture lands as a handful of
+        // small files, and `openCostInBytes` packs those into ~one read
+        // split — every downstream map/broadcast-probe stage inheriting
+        // the scan partitioning (q93's 34M-row verify stream, measured)
+        // ran on 1-2 cores. High-volume leaves (SimJoin postings/TF,
+        // novelty postings) opt in and get fanned to the session's
+        // parallelism when the file layout can't feed it; tiny leaves
+        // (per-doc signatures) skip the exchange. On a real cluster the
+        // leaf is a many-split table and this is the identity either way.
+        // Round-robin over a deterministic parquet read is retry-safe
+        // (sort-before-repartition is on by default).
+        val p = spark.sparkContext.defaultParallelism
+        if (fanOut && read.rdd.getNumPartitions < p) read.repartition(p)
+        else read
       })
     }
 }

@@ -43,7 +43,7 @@ object Cdc {
 
   /** (doc, chunk) relation: token count + md5 fingerprint per chunk. */
   private[graft] def chunks(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       // boundary positions, computed in array land (sequence guarded: Spark's

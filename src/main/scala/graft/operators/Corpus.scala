@@ -1108,7 +1108,8 @@ object Corpus {
     // materializes once and the steady-state runs re-read parquet instead
     // of re-running the shingle kernel per run. Flag off: the raw plan —
     // one consumer, so the explode streams straight into the partial agg.
-    val ex = graft.Leaves.sharedOrInline(spark, s"novelty_postings:$dir") {
+    val ex = graft.Leaves.sharedOrInline(spark, s"novelty_postings:$dir",
+                                         fanOut = true) {
       docs.select(col("source"),
         explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("sh"))
     }
@@ -1185,7 +1186,7 @@ object Corpus {
     // conditions are outside codegen subexpression elimination — inlining
     // the score expression 9× tripled the query (27.7 s vs 10 s measured).
     // CollapseProject won't re-inline a non-trivial alias used 9 times.
-    val pre = Tables.documents(spark, dir)
+    val pre = Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         TextOps.sQColumn(col("text"), t).as("__sq"),
         TextOps.shingles3(t).as("__shs"))

@@ -295,7 +295,7 @@ object Dedup {
     * integers. */
   def q87SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val sig = Tables.documents(spark, dir)
+    val sig = Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
               call_function("graft_simhash", col("text")).as("simhash"))
     // d=1 ⇒ 2 blocks of 8 bits
@@ -340,7 +340,7 @@ object Dedup {
     * unordered — shared with the q234 referee. */
   private[graft] def simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val sig = Tables.documents(spark, dir)
+    val sig = Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
               call_function("graft_simhash64", col("text")).as("simhash"))
     val blocks = sig.select(col("doc_id"), col("simhash"),
@@ -1584,7 +1584,7 @@ object Dedup {
     * the candidate set. */
   def q173FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     val corpus = docs.select(col("doc_id"), col("source"),
       call_function("graft_shingles", col("text")).as("sh"),
       call_function("graft_minhash", col("text"), lit(K_HASHES)).as("m"))

@@ -103,7 +103,8 @@ object SimJoin {
     val spark = documents.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
     def leaf(part: String)(build: => DataFrame): DataFrame =
-      graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part))(build)
+      graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part),
+                             fanOut = true)(build)
     val ex = leaf("postings") {
       documents.select(
         col("doc_id"),
@@ -201,7 +202,7 @@ object SimJoin {
   /** The bigram term-frequency relation (doc_id, term, tf) both weighted
     * operators (q93 exact, q97 LSH) consume. */
   def bigramTf(spark: SparkSession, dir: String): DataFrame =
-    graft.Leaves.shared(spark, s"simjoin_bigram_tf:$dir") {
+    graft.Leaves.shared(spark, s"simjoin_bigram_tf:$dir", fanOut = true) {
       val t = TextOps.tokens(col("text"))
       graft.Tables.documents(spark, dir)
         .select(col("doc_id"), t.as("t"))
@@ -259,7 +260,8 @@ object SimJoin {
     // Threshold-INdependent (prefix filtering happens below), so q93/q139
     // share one materialization under the leaf flag.
     val ranked = graft.Leaves.sharedOpt(tf.sparkSession,
-                                        leafKey.map(_ + ":wranked")) {
+                                        leafKey.map(_ + ":wranked"),
+                                        fanOut = true) {
       tf.join(dfRel, "term")
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
                 sum(col("tf")).over(wDoc).as("w"),

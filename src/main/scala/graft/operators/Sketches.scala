@@ -258,7 +258,7 @@ object Sketches {
 
   private def shingleOccurrences(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
               explode(call_function("graft_shingles", col("text"))).as("g"))
   }

@@ -205,7 +205,7 @@ object TextOps {
     val pred = scores.foldLeft(when(maxS <= 0, "und")) { case (acc, (lg, s)) =>
       acc.when(s === maxS, lg)
     }
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(pred.as("pred_lang"),
               size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
                 .cast("long").as("bpe"),
@@ -273,7 +273,7 @@ object TextOps {
     * Downstream, spans with n_shared > 0 are what an ExactSubstr cut
     * would splice out. */
   def q105SubstrShared(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= SubstrWindow)
     val w = docs.select(col("doc_id"),
@@ -318,7 +318,7 @@ object TextOps {
   def q106SubstrCut(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = SubstrWindow
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val pos = base.select(col("doc_id"),
         posexplode(col("t")).as(Seq("i0", "tok")))
@@ -424,7 +424,7 @@ object TextOps {
         concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
                   element_at(col("t"), i + 2))))
       .otherwise(typedLit(Array.empty[String]))
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("tri", tri)
       .select(
@@ -701,7 +701,7 @@ object TextOps {
   def q163GopherCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val toks = docs
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
@@ -810,7 +810,7 @@ object TextOps {
     * aggregated groupBy over the ≤ |langs|² confusion dimension. */
   def q177LangConfusion(spark: SparkSession, dir: String): DataFrame = {
     val pred = q34LangId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    Tables.documentsWide(spark, dir).select(col("doc_id"), col("lang"))
       .join(pred, "doc_id")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
@@ -1129,7 +1129,7 @@ object TextOps {
     * explodes once per granularity to partial-aggregated narrow
     * (doc, symbol) relations. */
   def q190SimpsonConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
     def collisionPpm(sym: DataFrame): DataFrame =
       sym.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
@@ -1314,7 +1314,7 @@ object TextOps {
     // inside transform/element_at is re-evaluated per lambda element
     // (no common-subexpression elimination across HOF bodies — measured
     // 7× on this query's first cut)
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), col("source"),
         split(lower(concat(col("text"), loopTail(col("doc_id")))), "\\s+")
           .as("t"))

@@ -47,7 +47,7 @@ object Winnow {
   /** Ordered k-gram hashes with 0-based positions (multiplicity kept —
     * winnowing runs over the SEQUENCE, unlike q37's distinct set). */
   private def kgrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= K)
       .select(col("doc_id"), col("source"),
