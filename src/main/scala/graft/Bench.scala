@@ -160,7 +160,20 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"prewarm_sec":$prewarmSec,"sf":"$sfDir"}""")
+    val aggregate =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"prewarm_sec":$prewarmSec,"sf":"$sfDir"}"""
+    println(aggregate)
+    // Round 14 (VERDICT r13 item 1): the driver keeps only a ~2,000-char
+    // tail of stdout, which clips this ~12 KB aggregate line and leaves
+    // PERF's per_query map empty every round. Persist the SAME line to a
+    // stable repo-root file so per-query ground truth survives the clip;
+    // the <200-byte summary line below carries the path. Best-effort: a
+    // read-only working directory must not fail the bench itself.
+    val selfPath = "BENCH_SELF.json"
+    try {
+      val w = new java.io.PrintWriter(selfPath, "UTF-8")
+      try w.println(aggregate) finally w.close()
+    } catch { case _: Throwable => () }
     // Self-certifying tail (round 13, VERDICT r12 item 3): the driver
     // stores only the last ~2,000 chars of output, which clips the ~12 KB
     // aggregate line above to a fragment (`parsed: null` in every rc-0
@@ -169,7 +182,7 @@ object Bench {
     // even when the per-query map is clipped.
     val failedN = results.count(!_._3)
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"summary":{"n":${results.size},"failed":$failedN,"total_sec":${math.round(total * 1000) / 1000.0},"wall_sec":${math.round(wallSec * 1000) / 1000.0}}}""")
+    println(s"""{"summary":{"n":${results.size},"failed":$failedN,"total_sec":${math.round(total * 1000) / 1000.0},"wall_sec":${math.round(wallSec * 1000) / 1000.0},"per_query_file":"$selfPath"}}""")
     spark.stop()
   }
 }
