@@ -35,9 +35,9 @@ object Leaves {
   /** Unkeyed inputs (generic DataFrames a spec hands in) can never be
     * identified safely — they always isolate, flag or no flag. */
   def sharedOpt(spark: SparkSession, key: Option[String],
-                fanOut: Boolean = false)
+                fanOutKey: Option[String] = None)
                (build: => DataFrame): DataFrame = key match {
-    case Some(k) => shared(spark, k, fanOut)(build)
+    case Some(k) => shared(spark, k, fanOutKey)(build)
     case None    => build.localCheckpoint()
   }
 
@@ -47,15 +47,16 @@ object Leaves {
     * cost); flag on → the parquet-shared table, which repeat invocations
     * (bench steady-state runs, a session re-running the query) reuse. */
   def sharedOrInline(spark: SparkSession, key: String,
-                     fanOut: Boolean = false)
+                     fanOutKey: Option[String] = None)
                     (build: => DataFrame): DataFrame =
-    if (!enabled(spark)) build else shared(spark, key, fanOut)(build)
+    if (!enabled(spark)) build else shared(spark, key, fanOutKey)(build)
 
   /** The leaf for `key` (callers pass a name + the table dir): built
     * fresh per call by default, built once and parquet-shared when the
-    * session opts in. */
+    * session opts in. `fanOutKey` opts the re-read into a keyed fan-out
+    * to session parallelism (see below). */
   def shared(spark: SparkSession, key: String,
-             fanOut: Boolean = false)(build: => DataFrame): DataFrame =
+             fanOutKey: Option[String] = None)(build: => DataFrame): DataFrame =
     if (!enabled(spark)) build.localCheckpoint()
     else {
       // Evict entries from OTHER applications before touching the map: the
@@ -72,21 +73,27 @@ object Leaves {
         val path = Stores.path(spark, name)
         build.write.mode("overwrite").parquet(path)
         val read = spark.read.parquet(path)
-        // Round 13 (optimization guide §2.5), caller-opt-in via `fanOut`:
-        // a leaf built from a single-split fixture lands as a handful of
-        // small files, and `openCostInBytes` packs those into ~one read
-        // split — every downstream map/broadcast-probe stage inheriting
-        // the scan partitioning (q93's 34M-row verify stream, measured)
-        // ran on 1-2 cores. High-volume leaves (SimJoin postings/TF,
-        // novelty postings) opt in and get fanned to the session's
-        // parallelism when the file layout can't feed it; tiny leaves
-        // (per-doc signatures) skip the exchange. On a real cluster the
-        // leaf is a many-split table and this is the identity either way.
-        // Round-robin over a deterministic parquet read is retry-safe
-        // (sort-before-repartition is on by default).
+        // Round 13 (optimization guide §2.5), caller-opt-in via
+        // `fanOutKey`: a leaf built from a single-split fixture lands as
+        // a handful of small files, and `openCostInBytes` packs those
+        // into ~one read split — every downstream map/broadcast-probe
+        // stage inheriting the scan partitioning (q93's 34M-row verify
+        // stream, measured) ran on 1-2 cores. High-volume leaves (SimJoin
+        // postings/TF, novelty postings) opt in and get fanned to the
+        // session's parallelism when the file layout can't feed it; tiny
+        // leaves (per-doc signatures) skip the exchange. On a real
+        // cluster the leaf is a many-split table and this is the identity
+        // either way. Round 14 (ADVICE r13): the fan-out is KEYED (hash
+        // repartition on a caller-named column) like Tables.wide — a
+        // key-less round-robin's retry determinism depends on
+        // spark.sql.execution.sortBeforeRepartition staying true and on
+        // every leaf schema being sortable; the keyed form needs neither.
         val p = spark.sparkContext.defaultParallelism
-        if (fanOut && read.rdd.getNumPartitions < p) read.repartition(p)
-        else read
+        fanOutKey match {
+          case Some(k) if read.rdd.getNumPartitions < p =>
+            read.repartition(p, org.apache.spark.sql.functions.col(k))
+          case _ => read
+        }
       })
     }
 }

@@ -113,8 +113,15 @@ object Tables {
   def wide(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
     val base = load(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
+    // sweep stale appIds before inserting (ADVICE r13): same hygiene rule
+    // as `handles` — a long-lived JVM cycling SparkSessions must not
+    // accumulate dead entries.
     val parts = scanParts.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, name), base.rdd.getNumPartitions)
+      (spark.sparkContext.applicationId, dir, name), {
+        scanParts.filterInPlace { case ((app, _, _), _) =>
+          app == spark.sparkContext.applicationId }
+        base.rdd.getNumPartitions
+      })
     if (parts >= p) base else base.repartition(p, col(key))
   }
 

@@ -187,6 +187,71 @@ case class BloomMight(bits: Expression, key: Expression,
     copy(bits = newFirst, key = newSecond, kExpr = newThird, mExpr = newFourth)
 }
 
+/** Merge kernels over SORTED arrays — the verify step of the
+  * set-/multiset-similarity joins ([[graft.operators.SimJoin]]). Both are
+  * exact streams over two sorted inputs: one comparison per element, no
+  * hashing, no allocation. PRECONDITION (callers guarantee it with
+  * `sort_array` at leaf build): inputs are sorted ascending by the
+  * UTF8String binary order `sort_array` itself uses, and set inputs are
+  * distinct. SimJoinSpec pins equivalence to the declarative forms. */
+object SetOpsUtil {
+  /** Σ_t least(tf_a, tf_b) over terms present in BOTH sorted (terms, tfs)
+    * pairs — the exact weighted-intersection mass. */
+  def minMass(ta: ArrayData, fa: ArrayData, tb: ArrayData, fb: ArrayData): Long = {
+    val n = ta.numElements(); val m = tb.numElements()
+    var i = 0; var j = 0; var s = 0L
+    while (i < n && j < m) {
+      val cmp = ta.getUTF8String(i).compareTo(tb.getUTF8String(j))
+      if (cmp == 0) {
+        s += math.min(fa.getLong(i), fb.getLong(j)); i += 1; j += 1
+      } else if (cmp < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+/** `graft_min_mass(terms_a, tfs_a, terms_b, tfs_b)` —
+  * [[SetOpsUtil.minMass]] as a codegen'd Expression: the HOF forms pay
+  * interpreted lambda dispatch per element; this is one merge pass per
+  * row inside whole-stage codegen (the [[DotProduct]] rationale). */
+case class SortedMinMass(ta: Expression, fa: Expression,
+                         tb: Expression, fb: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = ta
+  override def second: Expression = fa
+  override def third: Expression = tb
+  override def fourth: Expression = fb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ta.dataType, fa.dataType, tb.dataType, fb.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"graft_min_mass expects (ARRAY<STRING>, ARRAY<BIGINT>) × 2, got " +
+          s"${a.sql}, ${b.sql}, ${c.sql}, ${d.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_min_mass"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SetOpsUtil.minMass(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.SetOpsUtil.minMass($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SortedMinMass =
+    copy(ta = newFirst, fa = newSecond, tb = newThird, fb = newFourth)
+}
+
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
@@ -220,6 +285,9 @@ object VectorFunctions {
       exprs => BloomMight(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_min_mass",
+      exprs => SortedMinMass(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_gram",
       exprs => GramMatrix(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
@@ -266,6 +334,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_min_mass"),
+      new ExpressionInfo(classOf[SortedMinMass].getName, "graft_min_mass"),
+      (exprs: Seq[Expression]) => SortedMinMass(exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((
       FunctionIdentifier("graft_gram"),
       new ExpressionInfo(classOf[GramMatrix].getName, "graft_gram"),

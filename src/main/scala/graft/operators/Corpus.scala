@@ -1109,7 +1109,7 @@ object Corpus {
     // of re-running the shingle kernel per run. Flag off: the raw plan —
     // one consumer, so the explode streams straight into the partial agg.
     val ex = graft.Leaves.sharedOrInline(spark, s"novelty_postings:$dir",
-                                         fanOut = true) {
+                                         fanOutKey = Some("sh")) {
       docs.select(col("source"),
         explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("sh"))
     }

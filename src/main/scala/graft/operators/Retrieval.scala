@@ -125,7 +125,12 @@ object Retrieval {
     * expression's own CAST(... AS BIGINT) already clipped (tfn ≤ 2.2e6
     * by saturation, so tfn·q ≤ 2.2·idf = term_ppm's own magnitude) — the
     * valid domain is unchanged. Round13bSpec pins the identity against
-    * the decimal form across the magnitude range. */
+    * the decimal form across the magnitude range. Outside that domain
+    * (idf_ppm ≳ 4.2e18/tfn, i.e. ~1e12+ docs) the FAILURE MODE differs
+    * (ADVICE r13): the decimal form's overflow cast returned NULL (row
+    * silently dropped from the score sum), the int64 form wraps to a
+    * garbage score. Neither is a correct score; a deployment at that
+    * scale must widen the chain, not rely on either behavior. */
   private def bm25Chain(tfdf: DataFrame, terms: DataFrame,
                         n: Long, avgdlPpm: Long): DataFrame =
     tfdf

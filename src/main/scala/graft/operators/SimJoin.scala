@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * oracle for the approximate path (Round3cSpec pins LSH ⊆ exact, and on
   * the synthetic corpus both emit the same pairs).
   *
-  * Scale shape — NO array column ever enters ANY exchange (stronger than
-  * q29's re-attach discipline; every shuffled row here is a few longs +
-  * one shingle string):
+  * Scale shape — the CANDIDATE pipeline shuffles only narrow rows (a few
+  * longs + one shingle string); bounded per-doc payloads appear exactly
+  * once, in the verify side-table:
   *   1. one shuffle builds the shingle document-frequency relation over
   *      the exploded posting relation (doc_id, shingle);
   *   2. a per-doc window (partition bounded by a doc's shingle count)
@@ -29,9 +29,17 @@ import org.apache.spark.sql.functions._
   *   4. candidates are pruned by the length filter (t·|b| ≤ |a|) and the
   *      positional filter (remaining-overlap upper bound vs the required
   *      ⌈t/(1+t)·(|a|+|b|)⌉) BEFORE the pair-dedup shuffle;
-  *   5. the exact intersection size is a COUNTING join — candidate pairs
-  *      pick up doc_a's postings, semi-match them against doc_b's, and a
-  *      per-pair count yields |∩| with no set materialization.
+  *   5. the exact intersection: the set family (q82/q92/q209, t = 1/2 —
+  *      long prefixes, LARGE candidate sets) keeps the COUNTING join
+  *      (pairs pick up doc_a's postings, semi-match against doc_b's, one
+  *      per-pair count — narrow rows, no set materialization); the
+  *      WEIGHTED family at t = 4/5 (q93/q139 — suffix-bounded, small
+  *      candidate sets) instead attaches per-doc sorted TF arrays and
+  *      computes Σ least in-row with a codegen'd merge kernel. Round 14
+  *      measured both forms on both families (interleaved A/B, sf0.1):
+  *      the side-table verify is 0.47-0.57× for q93/q139 (the old fan-out
+  *      was 34M rows) but 1.4-1.7× for q82/q92 — candidate volume decides,
+  *      so each family keeps its measured-cheaper verify.
   * All threshold tests are integer arithmetic (t = TN/TD is rational), so
   * no float decides set membership on either engine; the reported
   * `jaccard` column uses the shared DECIMAL(28,12)-then-round(6) render.
@@ -104,7 +112,7 @@ object SimJoin {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     def leaf(part: String)(build: => DataFrame): DataFrame =
       graft.Leaves.sharedOpt(spark, leafKey.map(_ + ":" + part),
-                             fanOut = true)(build)
+                             fanOutKey = Some("doc_id"))(build)
     val ex = leaf("postings") {
       documents.select(
         col("doc_id"),
@@ -153,7 +161,12 @@ object SimJoin {
       .dropDuplicates("doc_a", "doc_b")
     // counting verify: |∩| = #(pair, shingle) rows where doc_a's posting
     // also appears in doc_b — an inner join + per-pair count; rows stay
-    // narrow, the arrays never exist
+    // narrow, the arrays never exist. Round 14 NOTE: the side-table
+    // verify that wins for q93/q139 LOSES here (interleaved A/B at
+    // sf0.1: q82 1.43×, q92 1.66×, q184 1.49×) — at t = 1/2 the prefix
+    // is long and the candidate set large, so attaching two array
+    // payloads per candidate costs more than the narrow fan-out it
+    // replaces. Kept on the measured-cheaper form.
     val postings = ranked.select(col("doc_id"), col("s"))
     val interCnt = cand
       .join(postings.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -185,9 +198,9 @@ object SimJoin {
     *   - weighted length filter TD·W_b ≥ TN·W_a (both ways) and the
     *     positional filter least(rem_a, rem_b) ≥ ⌈TN(W_a+W_b)/(TN+TD)⌉
     *     run BEFORE the pair-dedup shuffle;
-    *   - verify is the counting join with Σ least(tf_a, tf_b) — exact,
-    *     no arrays in any exchange, all threshold tests integral
-    *     (weights are integer term counts).
+    *   - verify attaches per-doc (term → tf) maps to the candidate pairs
+    *     and computes Σ least(tf_a, tf_b) in-row — exact, all threshold
+    *     tests integral (weights are integer term counts).
     * Σmax = W_a + W_b − Σmin, so only Σmin is ever computed.
     *
     * Declared at the classic near-dup threshold t = 4/5: the weighted
@@ -202,7 +215,8 @@ object SimJoin {
   /** The bigram term-frequency relation (doc_id, term, tf) both weighted
     * operators (q93 exact, q97 LSH) consume. */
   def bigramTf(spark: SparkSession, dir: String): DataFrame =
-    graft.Leaves.shared(spark, s"simjoin_bigram_tf:$dir", fanOut = true) {
+    graft.Leaves.shared(spark, s"simjoin_bigram_tf:$dir",
+                        fanOutKey = Some("doc_id")) {
       val t = TextOps.tokens(col("text"))
       graft.Tables.documents(spark, dir)
         .select(col("doc_id"), t.as("t"))
@@ -217,6 +231,27 @@ object SimJoin {
   /** q93's threshold: Jw ≥ 4/5. */
   private val WTN = 4
   private val WTD = 5
+
+  /** Per-doc SORTED (terms[], tfs[], w) relation over any
+    * `(doc_id, term, tf)` posting source — the verify side-table of the
+    * weighted join family. One row per doc, payload bounded by doc
+    * length; materialized once (the doc_a and doc_b probes both consume
+    * it), shared across queries under the leaf flag like the postings it
+    * derives from. Term-sorted parallel arrays (not a map): the verify
+    * kernel [[graft.functions.SetOpsUtil.minMass]] is a codegen'd merge
+    * over sorted inputs — `sort_array` on (term, tf) structs with unique
+    * terms IS the term order the kernel requires. */
+  private[graft] def docTfArrs(tf: DataFrame,
+                               leafKey: Option[String]): DataFrame =
+    graft.Leaves.sharedOpt(tf.sparkSession, leafKey.map(_ + ":tfarrs")) {
+      tf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("e"),
+             sum(col("tf")).as("w"))
+        .select(col("doc_id"),
+          transform(col("e"), _.getField("term")).as("ts"),
+          transform(col("e"), _.getField("tf")).as("fs"),
+          col("w"))
+    }
 
   /** q139 — the weighted skew hatch (q92's pattern applied to q93): cut
     * the weighted inverted index at df > N/[[WeightedDfFracDen]] BEFORE
@@ -252,6 +287,7 @@ object SimJoin {
   def weightedJaccardJoinOn(tf: DataFrame, TN: Int = WTN, TD: Int = WTD,
                             maxDf: Option[Long] = None,
                             leafKey: Option[String] = None): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(tf.sparkSession)
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ordW = wDoc.orderBy(col("df"), col("term"))
@@ -261,7 +297,7 @@ object SimJoin {
     // share one materialization under the leaf flag.
     val ranked = graft.Leaves.sharedOpt(tf.sparkSession,
                                         leafKey.map(_ + ":wranked"),
-                                        fanOut = true) {
+                                        fanOutKey = Some("doc_id")) {
       tf.join(dfRel, "term")
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
                 sum(col("tf")).over(wDoc).as("w"),
@@ -311,14 +347,27 @@ object SimJoin {
       .filter(col("pshared") +
               least(col("wa") - col("ca"), col("wb") - col("cb")) >= oPair)
       .select(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
-    val postings = ranked.select(col("doc_id"), col("term"), col("tf"))
+    // Verify via per-doc TF MAPS, not the posting fan-out join (round 14,
+    // guide §2.3/§3): the old counting join expanded every candidate pair
+    // into ALL of doc_a's postings (~|cand|·avg_dl rows — 34M at sf0.1,
+    // measured round 13, the query's dominant stage) before a (doc_b,term)
+    // join and a per-pair aggregate could reduce them. Attaching each
+    // side's (term → tf) map instead keeps the verify relation at |cand|
+    // ROWS (two bounded-width map payloads per row) and computes
+    // Σ least(tf_a, tf_b) in-row — same integer arithmetic, same nulls
+    // (a pair with no shared term gets i = 0 and fails the threshold
+    // exactly like the old inner join dropping it). The maps move through
+    // at most two joins the planner is free to broadcast (the map relation
+    // is one row per doc); nothing new is collected to the driver.
+    val docArrs = docTfArrs(ranked, leafKey)
     val interCnt = cand
-      .join(postings.select(col("doc_id").as("doc_a"), col("term"),
-                            col("tf").as("tfa")), "doc_a")
-      .join(postings.select(col("doc_id").as("doc_b"), col("term"),
-                            col("tf").as("tfb")), Seq("doc_b", "term"))
-      .groupBy(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
-      .agg(sum(least(col("tfa"), col("tfb"))).as("i"))
+      .join(docArrs.select(col("doc_id").as("doc_a"),
+        col("ts").as("tsa"), col("fs").as("fsa")), "doc_a")
+      .join(docArrs.select(col("doc_id").as("doc_b"),
+        col("ts").as("tsb"), col("fs").as("fsb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("wa"), col("wb"),
+        call_function("graft_min_mass", col("tsa"), col("fsa"),
+          col("tsb"), col("fsb")).as("i"))
     val uni = col("wa") + col("wb") - col("i")
     val jac = round((col("i").cast("double") / uni.cast("double"))
         .cast(org.apache.spark.sql.types.DecimalType(28, 12)), 6)
@@ -358,6 +407,12 @@ object SimJoin {
                       lit(Dedup.K_HASHES)).as("m"))
       .localCheckpoint()
     val cand = Dedup.lshCandidates(Dedup.lshBands(sig))
+    // Verify stays the posting fan-out join here (round 14, measured):
+    // the side-table attach that wins for q93/q139 LOSES for q97 (3.9 →
+    // 5.3 s A/B at sf0.1) — LSH banding at 4×2 emits a much larger
+    // candidate set than the suffix-bounded exact path, and shipping two
+    // array payloads per candidate through the attach joins costs more
+    // than the narrow fan-out + partial aggregation it replaces.
     val w = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("w"))
     val interCnt = cand
       .join(tf.select(col("doc_id").as("doc_a"), col("term"),
@@ -520,6 +575,12 @@ object SimJoin {
       .filter(lit(CD) * col("lb") >= lit(CN) * col("la"))
       .select(col("doc_a"), col("doc_b"), col("la"))
       .dropDuplicates("doc_a", "doc_b")
+    // Verify stays the posting fan-out join here (round 14, measured):
+    // the q82/q92 side-table verify LOSES for containment (5.9 → 6.2 s
+    // A/B at sf0.1) — the one-sided prefix probe emits a larger candidate
+    // set than the symmetric join (no two-way length filter exists), so
+    // attaching array payloads per candidate costs more than the narrow
+    // fan-out + count it replaces.
     val interCnt = cand
       .join(postings.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(postings.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
