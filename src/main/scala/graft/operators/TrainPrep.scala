@@ -290,36 +290,60 @@ object TrainPrep {
     * keeper min. Nothing broadcasts corpus-sized state — the funnel
     * composes at any SF. */
   def q116FunnelV2(spark: SparkSession, dir: String): DataFrame = {
+    // ONE-PASS stage flags (round 14, guide §1.2 step 1 "don't compute
+    // things you throw away"): the original union of six per-stage
+    // aggregates recomputed the whole upstream chain per branch —
+    // qualityFlags (a tokenize pass) and dsirScores (the bigram-scoring
+    // pass) ran up to five times each. Each stage is now a boolean column
+    // over ONE flagged relation and all six counts come from a single
+    // aggregate. Stage semantics are value-identical:
+    //  - the dedup keeper min runs over the same md5-normalized-text
+    //    partitions with non-survivors nulled out (min skips nulls), so
+    //    f2 rows see exactly the old r2-only minimum;
+    //  - the per-lang sample rank is the running count of f3 rows in the
+    //    same (md5(doc_id), doc_id) order — identical to row_number over
+    //    the filtered relation (non-f3 rows contribute 0 and are ranked
+    //    but never selected).
     val docs = Tables.documents(spark, dir)
     val pass = TextOps.qualityFlags(spark, dir)
-      .filter(!col("f_any")).select(col("doc_id"))
-    val r1 = docs.join(pass, Seq("doc_id"))
+      .filter(!col("f_any")).select(col("doc_id"), lit(true).as("p1"))
     val dsel = Corpus.dsirScores(spark, dir)
-      .filter(col("dsir_score") >= 1.0).select(col("doc_id"))
-    val r2 = r1.join(dsel, Seq("doc_id"))
-    val w = Window.partitionBy(col("k"))
-    val dd = r2
-      .withColumn("k", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-      .withColumn("keep", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep")).drop("k", "keep")
+      .filter(col("dsir_score") >= 1.0).select(col("doc_id"), lit(true).as("p2"))
+    val w = Window.partitionBy(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
     val rw = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val sampled = dd
-      .withColumn("rk", row_number().over(rw))
-      .filter(col("rk") <= FunnelV2SampleK)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    val packs = sampled
-      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("nt"))
-      .agg((((sum(col("nt")) + lit(Corpus.PackSeqLen - 1)) / lit(Corpus.PackSeqLen))
-        .cast("long")).as("n"))
-      .select(lit("5_packs").as("stage"), col("n"))
-    stage("0_all", docs)
-      .unionAll(stage("1_rules", r1))
-      .unionAll(stage("2_dsir", r2))
-      .unionAll(stage("3_dedup", dd))
-      .unionAll(stage("4_sample", sampled))
-      .unionAll(packs)
+    val flagged = docs
+      .join(pass, Seq("doc_id"), "left")
+      .join(dsel, Seq("doc_id"), "left")
+      .withColumn("f1", coalesce(col("p1"), lit(false)))
+      .withColumn("f2", col("f1") && coalesce(col("p2"), lit(false)))
+      .withColumn("f3", col("f2") &&
+        col("doc_id") === min(when(col("f2"), col("doc_id"))).over(w))
+      .withColumn("f4", col("f3") &&
+        sum(when(col("f3"), 1L).otherwise(0L))
+          .over(rw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          <= FunnelV2SampleK)
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f4"), 1L).otherwise(0L)).as("n4"),
+      // no .otherwise(0): sum must stay NULL when no row samples (the old
+      // aggregate-over-empty behavior and the oracle's)
+      ((sum(when(col("f4"),
+          size(split(lower(col("text")), "\\s+")).cast("long")))
+          + lit(Corpus.PackSeqLen - 1)) / lit(Corpus.PackSeqLen))
+        .cast("long").as("n5"))
+    agg.select(explode(array(
+        struct(lit("0_all").as("stage"), col("n0").as("n")),
+        struct(lit("1_rules").as("stage"), col("n1").as("n")),
+        struct(lit("2_dsir").as("stage"), col("n2").as("n")),
+        struct(lit("3_dedup").as("stage"), col("n3").as("n")),
+        struct(lit("4_sample").as("stage"), col("n4").as("n")),
+        struct(lit("5_packs").as("stage"), col("n5").as("n")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n").as("n"))
       .orderBy(col("stage"))
   }
 
@@ -972,30 +996,44 @@ object TrainPrep {
     * model is a broadcast dimension (≤ HashDim rows); every stage is a
     * map/keyed-join/partial-agg over the shrinking survivor relation. */
   def q174FunnelV4(spark: SparkSession, dir: String): DataFrame = {
+    // ONE-PASS stage flags (round 14 — the q116 rewrite, same argument):
+    // the five-branch union recomputed Lexicon.allScored (the classifier
+    // chain over every doc) per stage count; one flagged relation + one
+    // aggregate now computes all five. Stage semantics value-identical
+    // (see q116FunnelV2's equivalence notes).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         concat(col("text"), Lexicon.lexTail(col("doc_id"))).as("ft"))
     val scored = Lexicon.allScored(spark, dir)
-    val r1 = docs.join(
-      scored.filter(col("label") === 0L)
-        .select(col("doc_id"), col("score_ppm")), "doc_id")
-    val r2 = r1.filter(col("score_ppm") <= 0)
-    val w = Window.partitionBy(col("k"))
-    val dd = r2
-      .withColumn("k", md5(trim(regexp_replace(lower(col("ft")), "\\s+", " "))))
-      .withColumn("keep", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep")).drop("k", "keep")
+    val w = Window.partitionBy(
+      md5(trim(regexp_replace(lower(col("ft")), "\\s+", " "))))
     val rw = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val sampled = dd.withColumn("rk", row_number().over(rw))
-      .filter(col("rk") <= FunnelV2SampleK)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    stage("0_all", docs)
-      .unionAll(stage("1_lexgate", r1))
-      .unionAll(stage("2_clsgate", r2))
-      .unionAll(stage("3_dedup", dd))
-      .unionAll(stage("4_sample", sampled))
+    val flagged = docs
+      .join(scored.filter(col("label") === 0L)
+        .select(col("doc_id"), col("score_ppm"), lit(true).as("p1")),
+        Seq("doc_id"), "left")
+      .withColumn("f1", coalesce(col("p1"), lit(false)))
+      .withColumn("f2", col("f1") && col("score_ppm") <= 0)
+      .withColumn("f3", col("f2") &&
+        col("doc_id") === min(when(col("f2"), col("doc_id"))).over(w))
+      .withColumn("f4", col("f3") &&
+        sum(when(col("f3"), 1L).otherwise(0L))
+          .over(rw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          <= FunnelV2SampleK)
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f4"), 1L).otherwise(0L)).as("n4"))
+    agg.select(explode(array(
+        struct(lit("0_all").as("stage"), col("n0").as("n")),
+        struct(lit("1_lexgate").as("stage"), col("n1").as("n")),
+        struct(lit("2_clsgate").as("stage"), col("n2").as("n")),
+        struct(lit("3_dedup").as("stage"), col("n3").as("n")),
+        struct(lit("4_sample").as("stage"), col("n4").as("n")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n").as("n"))
       .orderBy(col("stage"))
   }
 
